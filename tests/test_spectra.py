@@ -1,0 +1,95 @@
+"""Unit tests for Phillips / h0 / dispersion against closed-form numpy
+(SURVEY.md §4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_ocean import spectra, grids
+from tpu_ocean.config import G, PI, EPSILON
+
+
+def _phillips_scalar(kx, kz, amp, wind, damping):
+    """Straight transliteration of FFTMesh.cs:149-166 for one wavevector."""
+    k_len = np.hypot(kx, kz)
+    if k_len < EPSILON:
+        return 0.0
+    k2 = k_len ** 2
+    k4 = k2 ** 2
+    w_len = np.hypot(*wind)
+    k_dot_w = (kx * wind[0] + kz * wind[1]) / (k_len * w_len)
+    l = w_len ** 2 / G
+    l2 = l * l
+    big_l2 = l2 * damping ** 2
+    return amp * np.exp(-1.0 / (k2 * l2)) / k4 * k_dot_w ** 2 * np.exp(-k2 * big_l2)
+
+
+def test_phillips_matches_scalar_reference():
+    n, length = 16, 32.0
+    kx, kz, _ = grids.wavevector_grid(n, length, "centered")
+    amp, wind, damping = 0.8, (3.0, -2.0), 0.001
+    p = spectra.phillips(kx, kz, amp, wind, damping)
+    expected = np.vectorize(
+        lambda a, b: _phillips_scalar(a, b, amp, wind, damping))(kx, kz)
+    np.testing.assert_allclose(p, expected, rtol=1e-10)
+
+
+def test_phillips_zero_at_k0_and_perpendicular_wind():
+    kx = np.array([0.0, 0.0])
+    kz = np.array([0.0, 1.0])
+    p = spectra.phillips(kx, kz, 1.0, (1.0, 0.0), 0.001)
+    assert p[0] == 0.0           # |k| < EPSILON cutoff
+    assert p[1] < 1e-20          # (k̂·ŵ)² = 0
+
+
+def test_dispersion_capillary_formula():
+    k = np.array([0.0, 1.0, 370.0])
+    w = spectra.dispersion_capillary(k)
+    np.testing.assert_allclose(
+        w, np.sqrt(G * k * (1 + (k / 370.0) ** 2)), rtol=1e-12)
+
+
+def test_dispersion_quantized_is_multiple_of_w0():
+    n, length = 32, 57.0
+    _, _, k_mag = grids.wavevector_grid(n, length, "centered")
+    w0 = 2 * PI / length
+    w = spectra.dispersion_quantized(k_mag, length)
+    ratio = w / w0
+    np.testing.assert_allclose(ratio, np.round(ratio), atol=1e-9)
+    # quantization floors: ω ≤ sqrt(g|k|)
+    assert np.all(w <= np.sqrt(G * k_mag) + 1e-12)
+
+
+def test_sample_h0_statistics_and_determinism():
+    n, length = 64, 64.0
+    kx, kz, _ = grids.wavevector_grid(n, length, "centered")
+    p = spectra.phillips(kx, kz, 1.0, (10.0, 10.0), 0.001)
+    key = jax.random.PRNGKey(7)
+    h0a = spectra.sample_h0(key, p)
+    h0b = spectra.sample_h0(key, p)
+    # same key ⇒ bit-identical (replaces the reference's irreproducible RNGs,
+    # SURVEY.md §4.5)
+    assert jnp.array_equal(h0a, h0b)
+    # E[|h0|²] = P(k): with a flat unit spectrum the mean |h0|² over all
+    # N² modes concentrates tightly around 1 (std ≈ 1/N).
+    flat = spectra.sample_h0(jax.random.PRNGKey(11), np.ones((n, n)))
+    ratio = float(jnp.mean(jnp.abs(flat) ** 2))
+    assert 0.93 < ratio < 1.07
+
+
+def test_h0_pair_centered_conjugate_convention():
+    key = jax.random.PRNGKey(3)
+    h0, h0c = spectra.h0_pair_centered(key, 16, 16.0, 1.0, (5.0, 3.0), 0.001)
+    assert h0.shape == (16, 16) and h0c.shape == (16, 16)
+    assert h0.dtype == jnp.complex64
+    # independent draws: not simply conj-mirrors of each other
+    assert not jnp.allclose(h0c, jnp.conj(h0))
+
+
+def test_uv_random_matches_hlsl_frac_sin_hash():
+    # spot-check the scalar recipe frac(sin(dot(uv+(s,r),(12.9898,78.233)))*43758.5453)
+    u, v, s, r = 0.3, 0.7, 10.612, 1.5
+    got = spectra.uv_random(np.float64(u), np.float64(v), s, r)
+    expected = np.mod(
+        np.sin((u + s) * 12.9898 + (v + r) * 78.233) * 43758.5453, 1.0)
+    np.testing.assert_allclose(got, expected, rtol=1e-9)

@@ -1,0 +1,91 @@
+"""Time evolution of the wave spectrum and the packed 5-spectra assembly
+(components C5-C7).
+
+The reference has two evolution modes (SURVEY.md §3.5), both supported:
+
+* ``absolute`` — stateless in t: h̃(k,t) = h0·e^{iωt} + h0*·e^{−iωt}
+  (FFTMesh.cs:178-190). Exactly periodic with quantized dispersion.
+* ``phase`` — recurrent: φ ← (φ + ω·dt) mod 2π, then the same assembly with
+  e^{iφ} (Dispersion.shader:32-41, Spectrum.shader:34-51). Supports varying dt.
+
+The reference runs two separate FFT chains of 2 complex channels each
+(OceanRenderer.cs:229-298: displacement hx,hz then height h,h — the height
+channel duplicated). Here all output fields pack into ONE batched spectrum
+tensor [5, N, N]: (height, disp_x, disp_z, slope_x, slope_z), transformed by a
+single batched 2-D IFFT — 5 transforms instead of the reference's 8.
+
+Coefficient conventions (oracle signs, FFTMesh.cs:205-215):
+    C_height  = 1
+    C_disp_x  = +kx/|k|        (zero where |k| < EPSILON)
+    C_disp_z  = −kz/|k|        (the z sign quirk, FFTMesh.cs:215; flag-gated)
+    C_slope_x = −kx            (normal accumulation, FFTMesh.cs:212)
+    C_slope_z = −kz
+Fields extract as height = Re(F₀), others = Im(F_c), matching the reference's
+Re/Im bookkeeping. Choppiness is applied at position update (FFTMesh.cs:244-245),
+not baked into the spectrum (the GPU path bakes it, Spectrum.shader:48-49 —
+mathematically identical since it is a real scalar).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_ocean.config import EPSILON, OceanConfig
+from tpu_ocean.grids import wavevector_grid
+from tpu_ocean.spectra import dispersion
+
+#: order of channels in the packed spectrum / field tensors
+CHANNELS = ("height", "disp_x", "disp_z", "slope_x", "slope_z")
+NUM_CHANNELS = len(CHANNELS)
+
+
+def omega_grid(cfg: OceanConfig) -> np.ndarray:
+    """ω[N, N] as a float64 trace-time constant.
+
+    Computed in float64 on purpose: the quantized mode's floor() is
+    discontinuous, and evaluating it in float32 can flip a mode across the
+    floor boundary, producing O(ω₀·t) phase divergence from the float64 oracle
+    (SURVEY.md §7 "Hard parts").
+    """
+    _, _, k_mag = wavevector_grid(cfg.resolution, cfg.length, cfg.spectrum_layout)
+    return dispersion(k_mag, cfg.dispersion_mode, cfg.length)
+
+
+def spectrum_coefficients(cfg: OceanConfig) -> np.ndarray:
+    """[5, N, N] float64 per-channel multipliers (trace-time constant)."""
+    kx, kz, k_mag = wavevector_grid(cfg.resolution, cfg.length, cfg.spectrum_layout)
+    inv_k = np.where(k_mag < EPSILON, 0.0, 1.0 / np.maximum(k_mag, 1e-300))
+    dz_sign = -1.0 if cfg.oracle_sign_quirk else 1.0
+    return np.stack([
+        np.ones_like(kx),          # height
+        kx * inv_k,                # disp_x
+        dz_sign * kz * inv_k,      # disp_z
+        -kx,                       # slope_x
+        -kz,                       # slope_z
+    ])
+
+
+def evolve_phase_absolute(omega, t):
+    """φ(k) = ω·t — the absolute-time mode (FFTMesh.cs:183)."""
+    return omega * t
+
+
+def evolve_phase_accumulate(phase, omega, dt):
+    """φ ← (φ + ω·dt) mod 2π — the phase-accumulation mode
+    (GetDispersion, FFTCommon.cginc:101-104; Dispersion.shader:32-41)."""
+    two_pi = 2.0 * np.pi
+    return jnp.mod(phase + omega * dt, two_pi)
+
+
+def assemble_spectra(h0, h0_conj, phase, coeffs) -> jnp.ndarray:
+    """Packed time-evolved spectra [5, N, N] complex.
+
+    h̃(k) = h0·e^{iφ} + h0*·e^{−iφ} (FFTMesh.cs:188, Spectrum.shader:44-45),
+    then each channel multiplies by its coefficient grid. One fused elementwise
+    pass — the XLA equivalent of the reference's Dispersion + Spectrum +
+    SpectrumHeight blits.
+    """
+    pv = jnp.cos(phase) + 1j * jnp.sin(phase)
+    h = h0 * pv + h0_conj * jnp.conj(pv)
+    return coeffs.astype(h.dtype) * h[None, :, :]

@@ -1,0 +1,224 @@
+"""The end-to-end ocean solver: init() / step() over an OceanState pytree (L3).
+
+The reference schedules ~44 fragment passes per frame from the CPU
+(OceanRenderer.cs:216-316: dispersion → spectrum ×2 → 4·log2 N Stockham blits →
+normal → whitecap), each a host→device round trip. Here the whole step is ONE
+jitted function: spectrum assembly, a batched 5-channel 2-D IFFT, and the
+derived-field stencils all fuse under XLA (SURVEY.md §7 design stance).
+
+State (C18, the reference's 10 RenderTextures collapse to):
+    h0, h0_conj : complex64 [N, N]   — initial spectrum pair (InitialSpectrum)
+    phase       : float32 [N, N]     — recurrent phase (phase mode only)
+    t           : float32 scalar     — sim time (absolute mode)
+    step        : int32 scalar
+
+Evaluation modes:
+    * ``fft``    — batched unnormalized inverse FFT (backend-selectable);
+                   centered layout additionally applies the pre/post modulation
+                   that lands the DFT exactly on the oracle's mesh positions.
+    * ``direct`` — two complex matmuls per channel on the MXU: the oracle's
+                   direct sum, vectorized. O(N³) but MXU-shaped; also the only
+                   exact evaluator when length ≠ resolution·unit_width.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean import grids
+from tpu_ocean.evolve import (
+    omega_grid,
+    spectrum_coefficients,
+    evolve_phase_accumulate,
+    assemble_spectra,
+)
+from tpu_ocean.spectra import h0_pair_centered, h0_pair_fft
+from tpu_ocean.fft import get_ifft2
+from tpu_ocean.fft.reference import centered_modulation
+from tpu_ocean import fields as field_ops
+
+
+class OceanState(NamedTuple):
+    h0: jax.Array
+    h0_conj: jax.Array
+    phase: jax.Array
+    t: jax.Array
+    step: jax.Array
+
+
+class OceanFields(NamedTuple):
+    """Prognostic output fields, [N, N] (normal: [N, N, 3]); axis0=x, axis1=z."""
+    height: jax.Array
+    disp_x: jax.Array      # raw horizontal displacement (pre-choppiness)
+    disp_z: jax.Array
+    pos_x: jax.Array       # displaced positions: x0 − chop·disp_x (FFTMesh.cs:245)
+    pos_z: jax.Array
+    normal: jax.Array
+    foam: jax.Array
+    jacobian: jax.Array
+
+
+class OceanSolver:
+    """Builds and owns the jitted step for a fixed OceanConfig."""
+
+    def __init__(self, cfg: OceanConfig, fft_backend: str = "reference",
+                 eval_mode: str = "fft"):
+        if eval_mode not in ("fft", "direct"):
+            raise ValueError(f"bad eval_mode {eval_mode!r}")
+        if eval_mode == "direct" and cfg.spectrum_layout != "centered":
+            raise ValueError("direct evaluation implements the centered "
+                             "(oracle) layout only")
+        self.cfg = cfg
+        self.eval_mode = eval_mode
+        self.fft_backend = fft_backend
+        n = cfg.resolution
+
+        # ---- trace-time constants (float64 numpy → device constants) ----
+        self._omega = jnp.asarray(omega_grid(cfg), dtype=jnp.float32)
+        self._coeffs = jnp.asarray(spectrum_coefficients(cfg), dtype=jnp.complex64)
+
+        if cfg.spectrum_layout == "centered":
+            x1d = grids.coordinate_1d(n, cfg.unit_width)
+        else:
+            x1d = np.arange(n, dtype=np.float64) * (cfg.length / n)
+        x0, z0 = np.meshgrid(x1d, x1d, indexing="ij")
+        self._x0 = jnp.asarray(x0, dtype=jnp.float32)
+        self._z0 = jnp.asarray(z0, dtype=jnp.float32)
+
+        if eval_mode == "fft":
+            self._ifft2 = get_ifft2(fft_backend, n)
+            if cfg.spectrum_layout == "centered":
+                self._pre, self._post = centered_modulation(
+                    n, cfg.length, cfg.unit_width)
+            else:
+                self._pre = self._post = None
+        else:
+            # Direct DFT basis E[n, i] = e^{i k_n x_i} (oracle convention,
+            # FFTMesh.cs:205-208) — valid for any length/unit_width pairing.
+            k1d = grids.wavenumbers_1d(n, cfg.length, "centered")
+            ex = np.exp(1j * np.outer(k1d, x1d))
+            self._ex = jnp.asarray(ex, dtype=jnp.complex64)
+
+        self._step_jit = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: Optional[jax.Array] = None,
+             h0: Optional[jax.Array] = None,
+             h0_conj: Optional[jax.Array] = None) -> OceanState:
+        """Create the initial state: either sample h0 from ``key`` (the
+        InitialSpectrum pass, InitialSpectrum.shader:42-54) or inject given
+        spectra (parity tests share one h0 with the oracle)."""
+        cfg = self.cfg
+        n = cfg.resolution
+        if h0 is None:
+            if key is None:
+                key = jax.random.PRNGKey(cfg.seed)
+            pair_fn = (h0_pair_centered if cfg.spectrum_layout == "centered"
+                       else h0_pair_fft)
+            h0, h0_conj = pair_fn(key, n, cfg.length, cfg.phillips_amplitude,
+                                  cfg.wind, cfg.damping)
+        h0 = jnp.asarray(h0, dtype=jnp.complex64)
+        h0_conj = jnp.asarray(h0_conj, dtype=jnp.complex64)
+        # Initial phase = 0: the reference's phase textures start black
+        # (OceanRenderer.cs:138-139; SURVEY.md C5).
+        return OceanState(
+            h0=h0,
+            h0_conj=h0_conj,
+            phase=jnp.zeros((n, n), dtype=jnp.float32),
+            t=jnp.zeros((), dtype=jnp.float32),
+            step=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ step
+
+    def step(self, state: OceanState, dt: float = 1.0 / 60.0):
+        """Advance one step and return (new_state, OceanFields)."""
+        return self._step_jit(state, jnp.asarray(dt, dtype=jnp.float32))
+
+    def _step_impl(self, state: OceanState, dt: jax.Array):
+        cfg = self.cfg
+
+        if cfg.evolution_mode == "absolute":
+            # timer += dt / tDivision, evaluate at new absolute time
+            # (FFTMesh.cs:70-72).
+            t_new = state.t + dt / cfg.t_division
+            phase = self._omega * t_new
+            phase_state = state.phase
+        else:
+            # φ ← (φ + ω·dt·mult) mod 2π (Dispersion.shader:32-41,
+            # OceanRenderer.cs:223 dt·mult).
+            phase = evolve_phase_accumulate(
+                state.phase, self._omega, dt * cfg.dt_multiplier)
+            phase_state = phase
+            t_new = state.t + dt
+
+        spectra = assemble_spectra(state.h0, state.h0_conj, phase, self._coeffs)
+        f = self._transform(spectra)
+        out = self._extract_fields(f)
+
+        new_state = OceanState(h0=state.h0, h0_conj=state.h0_conj,
+                               phase=phase_state, t=t_new,
+                               step=state.step + 1)
+        return new_state, out
+
+    def fields_at(self, state: OceanState, t: float) -> OceanFields:
+        """Evaluate fields at an absolute time without advancing state
+        (absolute mode only) — mirrors the oracle's stateless EvaluateWaves."""
+        phase = self._omega * jnp.asarray(t, dtype=jnp.float32)
+        spectra = assemble_spectra(state.h0, state.h0_conj, phase, self._coeffs)
+        return self._extract_fields(self._transform(spectra))
+
+    # ---------------------------------------------------------------- internals
+
+    def _transform(self, spectra: jax.Array) -> jax.Array:
+        """[5, N, N] spectra → [5, N, N] complex spatial fields."""
+        if self.eval_mode == "direct":
+            # F_c = Eᵀ @ C_c @ E — MXU path, exact at any unit_width.
+            return jnp.einsum(
+                "ni,cnm,mj->cij", self._ex, spectra, self._ex,
+                precision=jax.lax.Precision.HIGHEST)
+        if self._pre is not None:
+            spectra = spectra * self._pre[None]
+        f = self._ifft2(spectra)
+        if self._post is not None:
+            f = f * self._post[None]
+        return f
+
+    def _extract_fields(self, f: jax.Array) -> OceanFields:
+        cfg = self.cfg
+        height = jnp.real(f[0])
+        disp_x = jnp.imag(f[1])
+        disp_z = jnp.imag(f[2])
+        slope_x = jnp.imag(f[3])
+        slope_z = jnp.imag(f[4])
+        chop = cfg.choppiness
+
+        if cfg.normals_mode == "spectral":
+            normal = field_ops.normals_spectral(slope_x, slope_z)
+        else:
+            texel_size = cfg.length / cfg.resolution
+            normal = field_ops.normals_stencil(
+                chop * disp_x, height, chop * disp_z, texel_size)
+
+        if cfg.spectrum_layout == "centered":
+            foam, jac = field_ops.whitecap_oracle(disp_x, disp_z, normal)
+        else:
+            foam, jac = field_ops.whitecap_gpu(chop * disp_x, chop * disp_z, normal)
+
+        return OceanFields(
+            height=height,
+            disp_x=disp_x,
+            disp_z=disp_z,
+            pos_x=self._x0 - chop * disp_x,
+            pos_z=self._z0 - chop * disp_z,
+            normal=normal,
+            foam=foam,
+            jacobian=jac,
+        )

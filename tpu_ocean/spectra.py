@@ -1,0 +1,178 @@
+"""Phillips spectrum, Gaussian h0 sampling and dispersion relations (C2-C4).
+
+All functions are pure and shape-polymorphic over the wavevector arrays, so
+they fuse into the surrounding jitted step. Wavevector grids are trace-time
+numpy constants from :mod:`tpu_ocean.grids`.
+
+Reference formulas:
+  * Phillips  — FFTCommon.cginc:69-85 (GPU, damping 0.01) and
+                FFTMesh.cs:149-166 (CPU, damping 0.001):
+                P(k) = A · exp(−1/(|k|²l²)) / |k|⁴ · (k̂·ŵ)² · exp(−|k|²l²d²),
+                l = |w|²/g, zero below EPSILON.
+  * h0        — h̃₀(k) = (ξ₁ + iξ₂)·sqrt(P(k)/2) with ξ ~ N(0,1)
+                (FFTMesh.cs:168-176 via Box–Muller; FFTCommon.cginc:87-99 via a
+                frac(sin(dot)) hash — reproduced here only for GPU-parity).
+  * dispersion — capillary: ω = sqrt(g|k|(1 + |k|²/370²)) (FFTCommon.cginc:106-114);
+                 quantized: ω = floor(sqrt(g|k|)/ω₀)·ω₀, ω₀ = 2π/L, which makes
+                 the motion exactly periodic in time (FFTMesh.cs:141-147).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_ocean.config import G, PI, EPSILON
+
+
+# ---------------------------------------------------------------------------
+# Phillips spectrum (C2)
+# ---------------------------------------------------------------------------
+
+def phillips(kx, kz, amplitude: float, wind, damping: float, g: float = G):
+    """Phillips spectrum P(k) over wavevector arrays.
+
+    Works on numpy or jnp inputs; returns the same family. ``amplitude`` is the
+    final Phillips A (callers apply any amplitude_scale beforehand).
+    """
+    xp = jnp if isinstance(kx, jnp.ndarray) else np
+    wx, wz = float(wind[0]), float(wind[1])
+    w_len = np.sqrt(wx * wx + wz * wz)
+    l = w_len * w_len / g                       # largest wave from wind speed
+    l2 = l * l
+    big_l2 = l2 * damping * damping             # suppression of tiny waves
+
+    k_mag = xp.sqrt(kx * kx + kz * kz)
+    k2 = k_mag * k_mag
+    k4 = k2 * k2
+    # (k̂ · ŵ)² directional factor
+    k_dot_w = (kx * wx + kz * wz) / xp.maximum(k_mag * w_len, 1e-30)
+    k_dot_w2 = k_dot_w * k_dot_w
+
+    safe_k2 = xp.maximum(k2, 1e-30)
+    safe_k4 = xp.maximum(k4, 1e-30)
+    p = (
+        amplitude
+        * xp.exp(-1.0 / (safe_k2 * l2))
+        / safe_k4
+        * k_dot_w2
+        * xp.exp(-safe_k2 * big_l2)
+    )
+    return xp.where(k_mag < EPSILON, xp.zeros_like(p), p)
+
+
+# ---------------------------------------------------------------------------
+# h0 sampling (C3)
+# ---------------------------------------------------------------------------
+
+def sample_h0(key: jax.Array, phillips_spec) -> jax.Array:
+    """h̃₀(k) = (ξ₁ + iξ₂)·sqrt(P(k)/2), ξ ~ N(0,1) via jax.random.
+
+    The reference RNGs (Unity Random.value / shader hash) are platform-bound
+    and non-reproducible; this replaces them with counter-based jax.random so
+    the same seed yields identical h0 on every device and host (SURVEY.md §4.5).
+    """
+    spec = jnp.asarray(phillips_spec, dtype=jnp.float32)
+    noise = jax.random.normal(key, spec.shape + (2,), dtype=jnp.float32)
+    scale = jnp.sqrt(spec / 2.0)
+    return (noise[..., 0] + 1j * noise[..., 1]).astype(jnp.complex64) * scale
+
+
+def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
+                     wind, damping: float):
+    """(h0, h0conj) in the oracle's centered layout (FFTMesh.cs:114-116).
+
+    h0 is drawn at P(k_{n,m}); the conjugate partner is drawn INDEPENDENTLY at
+    the mirrored formula evaluation P(k_{N−n,N−m}) = P(−k) and conjugated —
+    matching ``vertConj[i] = conj(htilde0(N−i, N−j))``. Independence (rather
+    than a Hermitian pairing) is a property of the reference that makes the
+    complex field non-Hermitian; the solver therefore keeps complex IFFTs and
+    extracts Re/Im parts per field (SURVEY.md §3.3).
+    """
+    from tpu_ocean.grids import wavevector_grid
+
+    kx, kz, _ = wavevector_grid(n, length, "centered")
+    p_pos = phillips(kx, kz, amplitude, wind, damping)
+    # k at index (N−n, N−m): π(2(N−n)−N)/L = −k_n exactly.
+    p_neg = phillips(-kx, -kz, amplitude, wind, damping)
+    k1, k2 = jax.random.split(key)
+    h0 = sample_h0(k1, p_pos)
+    h0_conj = jnp.conj(sample_h0(k2, p_neg))
+    return h0, h0_conj
+
+
+def h0_pair_fft(key: jax.Array, n: int, length: float, amplitude: float,
+                wind, damping: float):
+    """(h0, h0conj) in the GPU shaders' FFT-ordered layout.
+
+    InitialSpectrum.shader:42-53 evaluates Phillips at texel coordinate
+    n' = n + 0.5 and its "mirror" N − n', which after GetWave's −0.5 offset
+    lands on wrap(N − n − 1) — one texel off a true conjugate mirror. That
+    off-by-one is a reference quirk; we implement the corrected mirror
+    P(−k) (identical for every index except the k=0 row/col, where P=0 anyway
+    in centered layout, and negligible at FFT ordering's Nyquist row).
+    """
+    from tpu_ocean.grids import wavevector_grid
+
+    kx, kz, _ = wavevector_grid(n, length, "fft")
+    p_pos = phillips(kx, kz, amplitude, wind, damping)
+    p_neg = phillips(-kx, -kz, amplitude, wind, damping)
+    k1, k2 = jax.random.split(key)
+    h0 = sample_h0(k1, p_pos)
+    h0_conj = jnp.conj(sample_h0(k2, p_neg))
+    return h0, h0_conj
+
+
+# ---------------------------------------------------------------------------
+# GPU-parity hash RNG (FFTCommon.cginc:37-41,87-99) — optional bit-level
+# emulation of the shader path, useful for replaying the Unity demo exactly.
+# ---------------------------------------------------------------------------
+
+def uv_random(u, v, salt: float, random: float):
+    """frac(sin(dot(uv + (salt, random), (12.9898, 78.233))) * 43758.5453)."""
+    xp = jnp if isinstance(u, jnp.ndarray) else np
+    uu = u + salt
+    vv = v + random
+    return xp.mod(xp.sin(uu * 12.9898 + vv * 78.233) * 43758.5453, 1.0)
+
+
+def h_tilde0_hash(u, v, r1: float, r2: float, phillips_spec):
+    """Shader-path h0: Box–Muller over the UVRandom hash, rand clamped to
+    [0.01, 1] (FFTCommon.cginc:87-99)."""
+    xp = jnp if isinstance(u, jnp.ndarray) else np
+    rand1 = xp.clip(uv_random(u, v, 10.612, r1), 0.01, 1.0)
+    rand2 = xp.clip(uv_random(u, v, 11.899, r2), 0.01, 1.0)
+    x = xp.sqrt(-2.0 * xp.log(rand1))
+    y = 2.0 * PI * rand2
+    re = x * xp.cos(y)
+    im = x * xp.sin(y)
+    amp = xp.sqrt(phillips_spec / 2.0)
+    return (re * amp) + 1j * (im * amp)
+
+
+# ---------------------------------------------------------------------------
+# Dispersion relations (C4)
+# ---------------------------------------------------------------------------
+
+def dispersion_capillary(k_mag, g: float = G, k_m: float = 370.0):
+    """ω(k) = sqrt(g|k|(1 + |k|²/k_m²)) — continuous, with the capillary
+    correction term (FFTCommon.cginc:106-114; k_m = 370 rad/m)."""
+    xp = jnp if isinstance(k_mag, jnp.ndarray) else np
+    return xp.sqrt(g * k_mag * (1.0 + (k_mag * k_mag) / (k_m * k_m)))
+
+
+def dispersion_quantized(k_mag, length: float, g: float = G):
+    """ω(k) = floor(sqrt(g|k|)/ω₀)·ω₀ with ω₀ = 2π/L — quantized so every mode
+    has an integer number of periods in T = L (FFTMesh.cs:141-147)."""
+    xp = jnp if isinstance(k_mag, jnp.ndarray) else np
+    w0 = 2.0 * PI / length
+    return xp.floor(xp.sqrt(g * k_mag) / w0) * w0
+
+
+def dispersion(k_mag, mode: str, length: float, g: float = G):
+    if mode == "capillary":
+        return dispersion_capillary(k_mag, g)
+    if mode == "quantized":
+        return dispersion_quantized(k_mag, length, g)
+    raise ValueError(f"bad dispersion mode {mode!r}")
