@@ -1,0 +1,127 @@
+"""Distributed-path tests on a fake 8-device CPU mesh (SURVEY.md §4.3):
+(a) distributed 2-D IFFT == single-device transform on the gathered array,
+(b) halo-exchanged rolls == periodic jnp.roll,
+(c) sharded step == unsharded step, shard-exact."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+import pytest
+
+from tpu_ocean.parallel import make_mesh, roll_sharded
+from tpu_ocean.parallel.halo import make_roll_fn
+from tpu_ocean.fft.distributed import ifft2_x_sharded
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+from tpu_ocean.solver_dist import DistributedOceanSolver
+
+
+def _mesh():
+    assert len(jax.devices()) >= 8, "conftest should fake 8 CPU devices"
+    return make_mesh(shard=8)
+
+
+@pytest.mark.parametrize("shift,axis", [(1, 0), (-1, 0), (1, 1), (-3, 1)])
+def test_roll_sharded_matches_jnp_roll(shift, axis):
+    mesh = _mesh()
+    x = np.arange(32 * 24, dtype=np.float32).reshape(32, 24)
+    spec = P("shard", None) if axis == 0 else P(None, "shard")
+
+    fn = shard_map(lambda a: roll_sharded(a, shift, axis, "shard"),
+                   mesh=mesh, in_specs=(spec,), out_specs=spec)
+    got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.roll(x, shift, axis))
+
+
+def test_make_roll_fn_mixed_axes():
+    mesh = _mesh()
+    x = np.random.default_rng(0).normal(size=(16, 16, 3)).astype(np.float32)
+
+    def body(a):
+        roll = make_roll_fn("shard", sharded_axes=(1,))
+        return roll(roll(a, -1, 0), 2, 1)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(None, "shard", None),),
+                   out_specs=P(None, "shard", None))
+    got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.roll(np.roll(x, -1, 0), 2, 1))
+
+
+@pytest.mark.parametrize("backend", ["reference", "stockham"])
+def test_distributed_ifft2_matches_single_device(backend):
+    mesh = _mesh()
+    n = 64
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(5, n, n)) + 1j * rng.normal(size=(5, n, n))
+         ).astype(np.complex64)
+
+    fn = shard_map(lambda a: ifft2_x_sharded(a, "shard", backend),
+                   mesh=mesh, in_specs=(P(None, "shard", None),),
+                   out_specs=P(None, None, "shard"))
+    got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+    want = np.fft.ifft2(x) * n * n
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+@pytest.mark.parametrize("layout,normals,quirk", [
+    ("centered", "spectral", True),
+    ("fft", "stencil", False),
+])
+def test_sharded_step_matches_unsharded(layout, normals, quirk):
+    """(c): the distributed step reproduces the single-device step."""
+    mesh = _mesh()
+    n = 64
+    cfg = OceanConfig(resolution=n, length=float(n), unit_width=1.0,
+                      wind=(9.0, 4.0), amplitude=0.15, choppiness=1.1,
+                      dispersion_mode="quantized", evolution_mode="absolute",
+                      spectrum_layout=layout, normals_mode=normals,
+                      oracle_sign_quirk=quirk)
+    rng = np.random.default_rng(2)
+    h0 = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    h0c = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+
+    single = OceanSolver(cfg)
+    s1 = single.init(h0=h0, h0_conj=h0c)
+    dist = DistributedOceanSolver(cfg, mesh)
+    s8 = dist.init(h0=h0, h0_conj=h0c)
+
+    dt = 1 / 60
+    for _ in range(3):
+        s1, f1 = single.step(s1, dt)
+        s8, f8 = dist.step(s8, dt)
+
+    assert float(s8.t) == float(s1.t)
+    for name in ("height", "disp_x", "disp_z", "pos_x", "pos_z",
+                 "normal", "foam", "jacobian"):
+        a = np.asarray(getattr(f1, name))
+        b = np.asarray(getattr(f8, name))
+        tol = 2e-6 * max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(
+            b, a, atol=tol, err_msg=f"distributed {name} != single-device")
+
+
+def test_sharded_phase_mode_state_threading():
+    """Phase-accumulation state stays consistent across sharded steps."""
+    mesh = _mesh()
+    n = 32
+    cfg = OceanConfig(resolution=n, length=float(n), unit_width=1.0,
+                      wind=(6.0, 3.0), amplitude=0.1, choppiness=0.5,
+                      dispersion_mode="capillary", evolution_mode="phase",
+                      spectrum_layout="fft", normals_mode="stencil",
+                      oracle_sign_quirk=False)
+    rng = np.random.default_rng(3)
+    h0 = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    h0c = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+
+    single = OceanSolver(cfg)
+    dist = DistributedOceanSolver(cfg, mesh)
+    s1, s8 = single.init(h0=h0, h0_conj=h0c), dist.init(h0=h0, h0_conj=h0c)
+    for _ in range(5):
+        s1, f1 = single.step(s1, 0.016)
+        s8, f8 = dist.step(s8, 0.016)
+    np.testing.assert_allclose(np.asarray(s8.phase), np.asarray(s1.phase),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f8.height), np.asarray(f1.height),
+                               atol=2e-6 * np.abs(f1.height).max())

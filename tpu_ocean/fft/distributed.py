@@ -1,0 +1,59 @@
+"""Domain-decomposed 2-D inverse FFT: local row FFTs → all_to_all transpose →
+local column FFTs (component D5, the Ulysses/sequence-parallel analogue).
+
+The grid side N is this domain's "sequence length" (SURVEY.md §5.7): a 2-D
+transform needs every element of a row AND every element of a column, forcing
+global communication exactly like attention does. The decomposition:
+
+    input  [C, X, Z]  sharded on X  (each device owns N/D contiguous rows)
+    1. local 1-D IFFT along Z (rows are fully resident)
+    2. lax.all_to_all: split Z into D tiles, exchange, concat along X
+       → [C, X, Z] sharded on Z (each device owns N/D columns, all rows)
+    3. local 1-D IFFT along X (columns now fully resident)
+    output sharded on Z — the layout the stencil/halo stage consumes.
+
+Two all_to_all transposes per step chain (one per 2-D transform batch; the
+packed 5-channel spectrum rides a single transpose). Runs inside shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _ifft1d_local(x: jnp.ndarray, backend: str) -> jnp.ndarray:
+    """Unnormalized inverse DFT along the last axis with a local backend."""
+    if backend == "reference":
+        return jnp.fft.ifft(x) * x.shape[-1]
+    if backend == "stockham":
+        from tpu_ocean.fft.stockham import fft_stockham_1d
+        return fft_stockham_1d(x, inverse=True)
+    if backend == "matmul":
+        from tpu_ocean.fft.matmul import fft_matmul_1d
+        return fft_matmul_1d(x, inverse=True)
+    raise ValueError(f"unknown local backend {backend!r}")
+
+
+def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
+                    backend: str = "reference") -> jnp.ndarray:
+    """[..., X_local, Z_full] x-sharded spectra → [..., X_full, Z_local]
+    z-sharded spatial fields. Call inside shard_map over ``axis_name``.
+
+    The transpose is the step's dominant communication volume; the reference's
+    equivalent was the _HORIZONTAL→_VERTICAL keyword flip between blit chains
+    (OceanRenderer.cs:256-260) — free on one GPU, an all_to_all here.
+    """
+    # 1. row transform: Z is fully local
+    x = _ifft1d_local(x, backend)
+
+    n_dev = lax.axis_size(axis_name)
+    if n_dev > 1:
+        # 2. distributed transpose: [.., Nx/D, N] → [.., Nx, N/D]
+        x = lax.all_to_all(x, axis_name, split_axis=x.ndim - 1,
+                           concat_axis=x.ndim - 2, tiled=True)
+    # 3. column transform: X is now fully local
+    x = jnp.swapaxes(x, -1, -2)
+    x = _ifft1d_local(x, backend)
+    return jnp.swapaxes(x, -1, -2)

@@ -37,18 +37,19 @@ def normals_spectral(slope_x, slope_z):
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
-def normals_stencil(disp_x, height, disp_z, texel_size: float):
+def normals_stencil(disp_x, height, disp_z, texel_size: float, roll_fn=jnp.roll):
     """GPU finite-difference normals (OceanNormal.shader:39-56).
 
     Displaced position p = (dx, h, dz) at each texel; edge vectors to the four
     neighbors (with the rest-position offset ±texel_size on the stepped axis),
-    four cross products averaged. Periodic wrap via jnp.roll matches the
-    shader's repeat-sampling (SURVEY.md D6). Axis0 = x, axis1 = z.
+    four cross products averaged. Periodic wrap via roll_fn matches the
+    shader's repeat-sampling; on sharded grids pass parallel.halo.make_roll_fn
+    so the wrap becomes a ppermute ring (SURVEY.md D6). Axis0 = x, axis1 = z.
     """
     p = jnp.stack([disp_x, height, disp_z], axis=-1)          # [N, N, 3]
 
     def nb(axis, shift):
-        return jnp.roll(p, shift=-shift, axis=axis)
+        return roll_fn(p, -shift, axis)
 
     ts = texel_size
     right = jnp.stack([jnp.full_like(height, ts), jnp.zeros_like(height),
@@ -67,19 +68,26 @@ def normals_stencil(disp_x, height, disp_z, texel_size: float):
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
-def whitecap_oracle(disp_x, disp_z, normal):
+def whitecap_oracle(disp_x, disp_z, normal, roll_fn=jnp.roll,
+                    axis_offsets=(0, 0), global_sizes=None):
     """Jacobian foam, oracle convention (FFTMesh.cs:253-276).
 
     One-sided differences dD/dx = 0.5·(D[i] − D[i+1]) (zero on the last row),
     J = (1+dDdx.x)(1+dDdy.y) − dDdx.y·dDdy.x, turbulence 1 − J plus 0.3·|n.xz|,
     smoothstepped. Returns (foam, jacobian).
+
+    On sharded grids pass roll_fn from parallel.halo plus each axis's global
+    offset/size so the far-boundary zeroing (the reference's
+    `if (i != resolution-1)`) lands on the GLOBAL last row, not each shard's.
     """
+    if global_sizes is None:
+        global_sizes = (disp_x.shape[0], disp_x.shape[1])
+
     def one_sided(d, axis):
-        shifted = jnp.roll(d, shift=-1, axis=axis)
+        shifted = roll_fn(d, -1, axis)
         g = 0.5 * (d - shifted)
-        # zero at the far boundary (the reference's `if (i != resolution-1)`)
-        idx = jnp.arange(d.shape[axis])
-        mask = (idx < d.shape[axis] - 1)
+        idx = jnp.arange(d.shape[axis]) + axis_offsets[axis]
+        mask = (idx < global_sizes[axis] - 1)
         mask = mask.reshape([-1 if a == axis else 1 for a in range(d.ndim)])
         return jnp.where(mask, g, 0.0)
 
@@ -93,7 +101,7 @@ def whitecap_oracle(disp_x, disp_z, normal):
     return _smoothstep01(turb), jacobian
 
 
-def whitecap_gpu(disp_x, disp_z, normal):
+def whitecap_gpu(disp_x, disp_z, normal, roll_fn=jnp.roll):
     """Jacobian foam, GPU convention (WhiteCap.shader:33-45).
 
     Central differences with periodic wrap and the reference's ÷8 display
@@ -102,8 +110,8 @@ def whitecap_gpu(disp_x, disp_z, normal):
     map's .xz channels (WhiteCap.shader:38). Returns (foam, jacobian).
     """
     def central(d, axis):
-        fwd = jnp.roll(d, shift=-1, axis=axis)
-        bwd = jnp.roll(d, shift=1, axis=axis)
+        fwd = roll_fn(d, -1, axis)
+        bwd = roll_fn(d, 1, axis)
         return -0.5 * (bwd - fwd) / 8.0
 
     ddx_x = central(disp_x, 0)
