@@ -1,0 +1,95 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: heightfield grid-points per second per chip at 1024² (BASELINE.json),
+full ocean step (spectrum assembly → batched 5-channel 2-D IFFT → normals →
+whitecap foam) on the flagship OCEAN_DEMO configuration.
+
+vs_baseline: the reference is an interactive Unity demo at 1024² textures
+with an implied real-time (60 FPS) target (SURVEY.md §6; no published numbers
+exist), i.e. 1024² × 60 ≈ 6.29e7 grid-points/s. vs_baseline = measured / that.
+
+Usage: python bench.py [--res N] [--steps K] [--backend B|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _time_steps(solver, state, dt, steps):
+    import jax
+    # warmup: compile + one execution
+    state, fields = solver.step(state, dt)
+    jax.block_until_ready(fields)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, fields = solver.step(state, dt)
+    jax.block_until_ready(fields)
+    t1 = time.perf_counter()
+    return (t1 - t0) / steps, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--backend", type=str, default="all",
+                    help="fft backend or 'all' (pick fastest)")
+    args = ap.parse_args()
+
+    import jax
+    from tpu_ocean.config import OCEAN_DEMO
+    from tpu_ocean.solver import OceanSolver
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
+    dt = 1.0 / 60.0
+
+    backends = (["reference", "stockham", "matmul", "pallas"]
+                if args.backend == "all" else [args.backend])
+    best = None
+    for backend in backends:
+        try:
+            solver = OceanSolver(cfg, fft_backend=backend)
+            state = solver.init(jax.random.PRNGKey(0))
+            step_s, _ = _time_steps(solver, state, dt, args.steps)
+        except Exception as e:  # backend unavailable on this platform
+            print(f"# backend {backend}: FAILED ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            continue
+        ups = 1.0 / step_s
+        print(f"# backend {backend}: {step_s * 1e3:.3f} ms/step "
+              f"({ups:.1f} updates/s)", file=sys.stderr)
+        if best is None or step_s < best[1]:
+            best = (backend, step_s)
+
+    if best is None:
+        print(json.dumps({"metric": "grid-points/s/chip", "value": 0,
+                          "unit": "gp/s", "vs_baseline": 0,
+                          "error": "all backends failed"}))
+        return 1
+
+    backend, step_s = best
+    n = args.res
+    gps = n * n / step_s
+    baseline_gps = 1024 * 1024 * 60.0  # reference: 1024² @ 60 FPS implied
+    print(json.dumps({
+        "metric": f"heightfield grid-points/s/chip at {n}^2",
+        "value": round(gps, 1),
+        "unit": "gp/s",
+        "vs_baseline": round(gps / baseline_gps, 3),
+        "backend": backend,
+        "ms_per_step": round(step_s * 1e3, 4),
+        "updates_per_s": round(1.0 / step_s, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,7 +22,7 @@ def ifft2_unnorm(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.ifft2(x) * (n0 * n1)
 
 
-def centered_modulation(n: int, length: float, unit_width: float, dtype=jnp.complex64):
+def centered_modulation(n: int, length: float, unit_width: float, dtype=np.complex64):
     """(pre[N,N], post[N,N]) modulation grids for the centered-grid transform.
 
     See grids.centered_ifft_factors: converts a standard-index IFFT into the

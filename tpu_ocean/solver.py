@@ -79,17 +79,20 @@ class OceanSolver:
         self.fft_backend = fft_backend
         n = cfg.resolution
 
-        # ---- trace-time constants (float64 numpy → device constants) ----
-        self._omega = jnp.asarray(omega_grid(cfg), dtype=jnp.float32)
-        self._coeffs = jnp.asarray(spectrum_coefficients(cfg), dtype=jnp.complex64)
+        # ---- trace-time constants (float64 numpy, embedded at lowering) ----
+        # Kept as HOST numpy arrays on purpose: closed-over device arrays are
+        # re-fetched (device→host) when jit lowers them as constants, which is
+        # slow — and unimplemented on some experimental TPU runtimes.
+        self._omega = np.asarray(omega_grid(cfg), dtype=np.float32)
+        self._coeffs = np.asarray(spectrum_coefficients(cfg), dtype=np.complex64)
 
         if cfg.spectrum_layout == "centered":
             x1d = grids.coordinate_1d(n, cfg.unit_width)
         else:
             x1d = np.arange(n, dtype=np.float64) * (cfg.length / n)
         x0, z0 = np.meshgrid(x1d, x1d, indexing="ij")
-        self._x0 = jnp.asarray(x0, dtype=jnp.float32)
-        self._z0 = jnp.asarray(z0, dtype=jnp.float32)
+        self._x0 = np.asarray(x0, dtype=np.float32)
+        self._z0 = np.asarray(z0, dtype=np.float32)
 
         if eval_mode == "fft":
             self._ifft2 = get_ifft2(fft_backend, n)
@@ -103,7 +106,7 @@ class OceanSolver:
             # FFTMesh.cs:205-208) — valid for any length/unit_width pairing.
             k1d = grids.wavenumbers_1d(n, cfg.length, "centered")
             ex = np.exp(1j * np.outer(k1d, x1d))
-            self._ex = jnp.asarray(ex, dtype=jnp.complex64)
+            self._ex = np.asarray(ex, dtype=np.complex64)
 
         self._step_jit = jax.jit(self._step_impl, donate_argnums=(0,))
 
