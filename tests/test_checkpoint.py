@@ -1,0 +1,75 @@
+"""Checkpoint/resume: restoring must continue the trajectory bitwise
+(SURVEY.md §5.4 — the reference loses all state on exit)."""
+
+import numpy as np
+import jax
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+from tpu_ocean.checkpoint import (
+    save_checkpoint, load_checkpoint, CheckpointManager)
+
+
+def _cfg():
+    return OceanConfig(resolution=32, length=32.0, wind=(6.0, 4.0),
+                       amplitude=0.05, evolution_mode="phase",
+                       dispersion_mode="capillary", spectrum_layout="fft",
+                       normals_mode="stencil")
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = _cfg()
+    solver = OceanSolver(cfg)
+    state = solver.init(jax.random.PRNGKey(3))
+    for _ in range(5):
+        state, _ = solver.step(state, 1 / 60)
+
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, state, cfg)
+    restored, cfg2 = load_checkpoint(p)
+    assert cfg2 == cfg
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_is_bitwise_continuing(tmp_path):
+    cfg = _cfg()
+    solver = OceanSolver(cfg)
+    state = solver.init(jax.random.PRNGKey(3))
+    for _ in range(3):
+        state, _ = solver.step(state, 1 / 60)
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, state, cfg)
+
+    # continue without stopping
+    cont = state
+    for _ in range(4):
+        cont, f_direct = solver.step(cont, 1 / 60)
+
+    # stop, restore, continue
+    restored, _ = load_checkpoint(p)
+    for _ in range(4):
+        restored, f_resumed = solver.step(restored, 1 / 60)
+
+    np.testing.assert_array_equal(np.asarray(f_direct.height),
+                                  np.asarray(f_resumed.height))
+    np.testing.assert_array_equal(np.asarray(cont.phase),
+                                  np.asarray(restored.phase))
+
+
+def test_manager_interval_and_retention(tmp_path):
+    cfg = _cfg()
+    solver = OceanSolver(cfg)
+    state = solver.init(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), interval=2, keep=2)
+    saved = []
+    for _ in range(9):
+        state, _ = solver.step(state, 1 / 60)
+        p = mgr.maybe_save(state, cfg)
+        if p:
+            saved.append(p)
+    assert len(saved) == 4          # steps 2, 4, 6, 8
+    latest = mgr.latest()
+    assert latest is not None and latest.endswith("state_0000000008.npz")
+    st, _ = mgr.restore_latest()
+    assert int(np.asarray(st.step)) == 8

@@ -1,0 +1,89 @@
+"""Pallas kernel unit tests (interpret mode on the fake-CPU mesh) against
+their pure-jnp twins — SURVEY.md §4.4 kernel-level testing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_ocean.fft.pallas_fft import ifft2_pallas, fft2_pallas
+from tpu_ocean.config import PondConfig
+from tpu_ocean import grids
+from tpu_ocean.gerstner import (
+    WaveBank, gerstner_eval, PondSolver)
+from tpu_ocean.ops.gerstner_pallas import gerstner_pallas
+
+
+@pytest.mark.parametrize("n", [16, 64, 256])
+def test_pallas_ifft2_matches_fft(n):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((5, n, n))
+         + 1j * rng.standard_normal((5, n, n))).astype(np.complex64)
+    ref = np.fft.ifft2(x) * (n * n)
+    got = np.asarray(ifft2_pallas(jnp.asarray(x)))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_pallas_fft2_forward():
+    n = 64
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, n, n))
+         + 1j * rng.standard_normal((2, n, n))).astype(np.complex64)
+    ref = np.fft.fft2(x)
+    got = np.asarray(fft2_pallas(jnp.asarray(x)))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_pallas_ifft2_rectangular_batch():
+    n = 32
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((3, n, n))
+         + 1j * rng.standard_normal((3, n, n))).astype(np.complex64)
+    ref = np.fft.ifft2(x) * (n * n)
+    got = np.asarray(ifft2_pallas(jnp.asarray(x)))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+@pytest.mark.parametrize("mode", ["analytic", "flat"])
+def test_gerstner_pallas_matches_jnp(mode):
+    cfg = PondConfig(resolution=64)
+    bank = WaveBank.random(7, 16)
+    x, z = grids.coordinate_grid(64, 1.0)
+    x = jnp.asarray(x, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    ref = gerstner_eval(bank, x, z, 2.3, mode)
+    got = gerstner_pallas(bank, x, z, 2.3, mode)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_pond_solver_pallas_path():
+    cfg = PondConfig(resolution=64)
+    ref = PondSolver(cfg, use_pallas=False).fields(1.0)
+    got = PondSolver(cfg, use_pallas=True).fields(1.0)
+    np.testing.assert_allclose(np.asarray(got.offset_y),
+                               np.asarray(ref.offset_y), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=2e-5)
+
+
+def test_solver_pallas_backend_matches_reference_backend():
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    cfg = OceanConfig(resolution=64, length=64.0, wind=(7.0, 4.0),
+                      amplitude=0.2, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    key = jax.random.PRNGKey(5)
+    s_ref = OceanSolver(cfg, fft_backend="reference")
+    s_pal = OceanSolver(cfg, fft_backend="pallas")
+    st_r = s_ref.init(key)
+    st_p = s_pal.init(key)
+    for _ in range(3):
+        st_r, f_r = s_ref.step(st_r, 1 / 60)
+        st_p, f_p = s_pal.step(st_p, 1 / 60)
+    scale = np.max(np.abs(np.asarray(f_r.height))) + 1e-12
+    assert np.max(np.abs(np.asarray(f_p.height)
+                         - np.asarray(f_r.height))) / scale < 1e-4

@@ -1,0 +1,166 @@
+"""Checkpoint / resume for solver state (SURVEY.md §5.4).
+
+The reference loses all state on exit — everything lives in GPU textures
+(OceanRenderer.cs:137-146). The full recurrent state is tiny and well-defined
+(SURVEY.md C18): {h0, h0_conj, phase, t, step} + the config that produced it.
+Resume is bitwise-continuing: restoring and stepping gives the same trajectory
+as never having stopped (tests/test_checkpoint.py).
+
+Format: a single .npz (atomic rename on write) holding the state leaves plus a
+JSON-encoded config. Complex leaves are split into (re, im) float planes
+*on device* before the host pull — complex64 device→host transfers are
+unimplemented on some experimental TPU runtimes. An Orbax-backed variant is
+provided for multi-host async checkpointing of sharded state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanState
+
+_FORMAT_VERSION = 1
+
+
+def _pull(x) -> np.ndarray:
+    """Device → host, splitting complex into stacked (re, im) on device."""
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        pair = jnp.stack([jnp.real(x), jnp.imag(x)])
+        return np.asarray(jax.device_get(pair))
+    return np.asarray(jax.device_get(x))
+
+
+def save_checkpoint(path: str, state: OceanState,
+                    cfg: Optional[OceanConfig] = None) -> None:
+    """Write state (+ config) to ``path`` (.npz appended if missing)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    payload = {
+        "version": np.int64(_FORMAT_VERSION),
+        "h0_pair": _pull(state.h0),
+        "h0_conj_pair": _pull(state.h0_conj),
+        "phase": _pull(state.phase),
+        "t": _pull(state.t),
+        "step": _pull(state.step),
+    }
+    if cfg is not None:
+        payload["config_json"] = np.bytes_(
+            json.dumps(dataclasses.asdict(cfg)).encode())
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)  # atomic: a crash never corrupts the last good one
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str) -> Tuple[OceanState, Optional[OceanConfig]]:
+    """Read (state, config-or-None) from ``path``."""
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["version"])
+        if version > _FORMAT_VERSION:
+            raise ValueError(f"checkpoint version {version} is newer than "
+                             f"supported {_FORMAT_VERSION}")
+        h0 = z["h0_pair"][0] + 1j * z["h0_pair"][1]
+        h0c = z["h0_conj_pair"][0] + 1j * z["h0_conj_pair"][1]
+        state = OceanState(
+            h0=jnp.asarray(h0, jnp.complex64),
+            h0_conj=jnp.asarray(h0c, jnp.complex64),
+            phase=jnp.asarray(z["phase"], jnp.float32),
+            t=jnp.asarray(z["t"], jnp.float32),
+            step=jnp.asarray(z["step"], jnp.int32),
+        )
+        cfg = None
+        if "config_json" in z.files:
+            d = json.loads(bytes(z["config_json"]).decode())
+            d["wind"] = tuple(d["wind"])
+            cfg = OceanConfig(**d)
+    return state, cfg
+
+
+class CheckpointManager:
+    """Periodic checkpointing with retention, mirroring a training loop's
+    save-every-K-steps pattern. Keeps the newest ``keep`` files."""
+
+    def __init__(self, directory: str, interval: int = 100, keep: int = 3):
+        self.directory = directory
+        self.interval = max(1, interval)
+        self.keep = max(1, keep)
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"state_{step:010d}.npz")
+
+    def maybe_save(self, state: OceanState,
+                   cfg: Optional[OceanConfig] = None) -> Optional[str]:
+        step = int(jax.device_get(state.step))
+        if step % self.interval != 0:
+            return None
+        p = self._path(step)
+        save_checkpoint(p, state, cfg)
+        self._gc()
+        return p
+
+    def _gc(self):
+        ckpts = sorted(f for f in os.listdir(self.directory)
+                       if f.startswith("state_") and f.endswith(".npz"))
+        for f in ckpts[: -self.keep]:
+            os.unlink(os.path.join(self.directory, f))
+
+    def latest(self) -> Optional[str]:
+        ckpts = sorted(f for f in os.listdir(self.directory)
+                       if f.startswith("state_") and f.endswith(".npz"))
+        return os.path.join(self.directory, ckpts[-1]) if ckpts else None
+
+    def restore_latest(self):
+        p = self.latest()
+        if p is None:
+            return None, None
+        return load_checkpoint(p)
+
+
+# ---------------------------------------------------------------- orbax path
+
+def save_checkpoint_orbax(directory: str, state: OceanState) -> None:
+    """Async-capable sharded checkpoint via Orbax (multi-host pods). The .npz
+    path above stays the default: it has no daemon, no directory protocol, and
+    restores anywhere."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(directory),
+               {"h0_re": jnp.real(state.h0), "h0_im": jnp.imag(state.h0),
+                "h0c_re": jnp.real(state.h0_conj),
+                "h0c_im": jnp.imag(state.h0_conj),
+                "phase": state.phase, "t": state.t, "step": state.step},
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(directory: str) -> OceanState:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    d = ckptr.restore(os.path.abspath(directory))
+    return OceanState(
+        h0=jnp.asarray(d["h0_re"] + 1j * d["h0_im"], jnp.complex64),
+        h0_conj=jnp.asarray(d["h0c_re"] + 1j * d["h0c_im"], jnp.complex64),
+        phase=jnp.asarray(d["phase"], jnp.float32),
+        t=jnp.asarray(d["t"], jnp.float32),
+        step=jnp.asarray(d["step"], jnp.int32),
+    )

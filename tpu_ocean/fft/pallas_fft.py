@@ -1,0 +1,171 @@
+"""Fused Pallas 2-D (inverse) FFT — the hand-tuned TPU kernel for C8/C9.
+
+The reference's Stockham butterfly pass (Stockham.shader:31-57) is a
+gather-network: per output texel it reads two strided inputs and a twiddle.
+Gathers map poorly onto TPU lanes; the MXU maps perfectly. So the TPU-native
+kernel re-expresses each 1-D transform as Bailey's four-step factorization
+N = N1·N2 (same math as fft/matmul.py, see its docstring):
+
+    A[s, t] = x[s·N1 + t]                    s ∈ [0,N2), t ∈ [0,N1)
+    C[k2, t]  = Σ_s F2[k2, s] · A[s, t]       (MXU, contract s)
+    C ⊙= T,   T[k2, t] = e^{±2πi·t·k2/N}
+    X[k2 + N2·k1] = Σ_t F1[k1, t] · C[k2, t]  (MXU, contract t)
+
+What Pallas buys over the XLA einsum chain is *fusion*: one HBM read and one
+HBM write per axis pass. A block of R rows is DMA'd to VMEM, runs the whole
+chain on-chip, and is stored TRANSPOSED — so the column pass is the same
+kernel applied again, and the row↔column turn (the reference's
+_HORIZONTAL→_VERTICAL flip, OceanRenderer.cs:256-260) never materializes a
+separate 2·N²·C·8-byte transpose pass in HBM.
+
+Mosaic layout rules shape the implementation (probed on the target toolchain):
+lane-dim splits/merges are unsupported, so the (N,)→(N2, N1) view happens in
+HBM before the call; dot_general must contract a non-minor rhs dim, so both
+contractions use a 2-D lhs table against the rhs middle axis; N1 is pinned to
+128 (the lane width) whenever N divides, making step 2 a full-width MXU op.
+
+Complex data is carried as separate (re, im) float32 planes: TPU dots are
+real, and a complex matmul is 4 real MXU ops at controlled precision.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _split_lanes(n: int):
+    """(n1, n2) with n = n2·n1; n1 = 128 (lane width) when possible."""
+    if n % 128 == 0:
+        return 128, n // 128
+    # small n: largest divisor ≤ n/2 as n1 (still exact, interp/test sizes)
+    n1 = n // 2
+    while n1 > 1 and n % n1 != 0:
+        n1 -= 1
+    return n1, n // n1
+
+
+@functools.lru_cache(maxsize=32)
+def _tables_np(n: int, inverse: bool):
+    n1, n2 = _split_lanes(n)
+    sign = +1.0 if inverse else -1.0
+    w1 = np.exp(sign * 2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    w2 = np.exp(sign * 2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    tw = np.exp(sign * 2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n)
+    f32 = np.float32
+    return (n1, n2,
+            w2.real.astype(f32), w2.imag.astype(f32),     # F2 [k2, s]
+            tw.real.astype(f32), tw.imag.astype(f32),     # T  [k2, t]
+            w1.real.astype(f32), w1.imag.astype(f32))     # F1 [k1, t]
+
+
+def _dot_mid(m, x):
+    """[a, b] · [r, b, t] contracting b (rhs middle) → [a, r, t]."""
+    return lax.dot_general(m, x, dimension_numbers=(((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
+                      re_ref, im_ref, ore_ref, oim_ref, *, n1, n2):
+    """(1, R, N2, N1) row block → 1-D transforms → transposed (1, N, R) store."""
+    _, r, _, _ = re_ref.shape
+    n = n1 * n2
+    ar = re_ref[:].reshape(r, n2, n1)
+    ai = im_ref[:].reshape(r, n2, n1)
+
+    # C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]
+    f2r, f2i = f2r_ref[:], f2i_ref[:]
+    cr = _dot_mid(f2r, ar) - _dot_mid(f2i, ai)
+    ci = _dot_mid(f2r, ai) + _dot_mid(f2i, ar)
+
+    # twiddle, broadcast over the row axis
+    twr = twr_ref[:][:, None, :]
+    twi = twi_ref[:][:, None, :]
+    cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
+
+    # reorient so t is the middle (contractable) axis: [k2, t, r]
+    cr = cr.transpose(0, 2, 1)
+    ci = ci.transpose(0, 2, 1)
+
+    # D[k1, k2, r] = Σ_t F1[k1, t] C[k2, t, r]
+    f1r, f1i = f1r_ref[:], f1i_ref[:]
+    dr = _dot_mid(f1r, cr) - _dot_mid(f1i, ci)
+    di = _dot_mid(f1r, ci) + _dot_mid(f1i, cr)
+
+    # X[n] with n = k2 + N2·k1 ⇔ [k1, k2] row-major; minor axis stays r.
+    ore_ref[:] = dr.reshape(1, n, r)
+    oim_ref[:] = di.reshape(1, n, r)
+
+
+def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
+    """Largest power-of-two row block dividing n_rows under the VMEM budget
+    (~8 live/double-buffered (R, N) f32 planes)."""
+    r = 256
+    while r > 8 and (r * n * 4 * 8 > vmem_budget or n_rows % r != 0):
+        r //= 2
+    while n_rows % r != 0 and r > 1:
+        r //= 2
+    return r
+
+
+def _fft1d_transposed(re, im, inverse: bool):
+    """Batched 1-D transform along the last axis of [C, M, N]; returns
+    [C, N, M] (transposed within each channel)."""
+    c, m, n = re.shape
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
+    r = _pick_block_rows(m, n)
+
+    # the (N,) → (N2, N1) split is free in HBM; lane splits are not in VMEM
+    re = re.reshape(c, m, n2, n1)
+    im = im.reshape(c, m, n2, n1)
+
+    kernel = functools.partial(_fft_block_kernel, n1=n1, n2=n2)
+    table = lambda shape: pl.BlockSpec(shape, lambda ci, bi: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    in_block = pl.BlockSpec((1, r, n2, n1), lambda ci, bi: (ci, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, n, r), lambda ci, bi: (ci, 0, bi),
+                             memory_space=pltpu.VMEM)
+
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid=(c, m // r),
+        in_specs=[table((n2, n2)), table((n2, n2)),
+                  table((n2, n1)), table((n2, n1)),
+                  table((n1, n1)), table((n1, n1)),
+                  in_block, in_block],
+        out_specs=[out_block, out_block],
+        out_shape=[jax.ShapeDtypeStruct((c, n, m), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * c * m * n * (n1 + n2)),
+            bytes_accessed=int(2 * 2 * c * m * n * 4),
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",  # tests: fake-CPU meshes
+    )(f2r, f2i, twr, twi, f1r, f1i, re, im)
+    return ore, oim
+
+
+def ifft2_pallas(x: jnp.ndarray, inverse: bool = True) -> jnp.ndarray:
+    """Unnormalized inverse FFT over the last two axes of [..., N, N].
+
+    Two fused passes; each transforms rows and stores transposed, so after
+    the second pass the orientation is restored and both axes are done.
+    """
+    orig_shape = x.shape
+    n0, n = x.shape[-2], x.shape[-1]
+    re = jnp.real(x).astype(jnp.float32).reshape(-1, n0, n)
+    im = jnp.imag(x).astype(jnp.float32).reshape(-1, n0, n)
+    re, im = _fft1d_transposed(re, im, inverse)   # [C, N, N0]: axis -1 done
+    re, im = _fft1d_transposed(re, im, inverse)   # [C, N0, N]: both done
+    out = re + 1j * im
+    return out.reshape(orig_shape)
+
+
+def fft2_pallas(x: jnp.ndarray) -> jnp.ndarray:
+    return ifft2_pallas(x, inverse=False)
