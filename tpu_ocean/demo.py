@@ -1,0 +1,145 @@
+"""Demo runner — the reference's three scenes as a CLI (L5, SURVEY.md §2.4).
+
+    python -m tpu_ocean ocean   [--steps K] [--res N] [--out DIR]
+    python -m tpu_ocean fftmesh [--steps K] [--out DIR]
+    python -m tpu_ocean pond    [--steps K] [--waves W] [--out DIR]
+
+Each command steps the corresponding preset (Ocean Demo.unity / FFT
+Mesh.unity / Pond.unity parameter sets, encoded in config.py) and exports
+field snapshots — PNG heatmaps plus a shaded render for the ocean — the
+TPU-native stand-in for watching the Unity scene. Metrics stream to stderr
+as JSONL (observe.Metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def _add_common(p, default_steps):
+    p.add_argument("--steps", type=int, default=default_steps)
+    p.add_argument("--out", type=str, default="out")
+    p.add_argument("--dump-every", type=int, default=0,
+                   help="write snapshots every K steps (0 = final only)")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--backend", type=str, default="reference")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def run_ocean(args) -> int:
+    from tpu_ocean.config import OCEAN_DEMO
+    from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.observe import Metrics
+    from tpu_ocean import viz
+
+    cfg = OCEAN_DEMO
+    if args.res:
+        cfg = cfg.replace(resolution=args.res, length=float(args.res))
+    solver = OceanSolver(cfg, fft_backend=args.backend)
+    state = solver.init(jax.random.PRNGKey(args.seed))
+    metrics = Metrics(grid_points=cfg.resolution ** 2, emit=sys.stderr)
+    mgr = None
+    if args.checkpoint_every:
+        from tpu_ocean.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.join(args.out, "ckpt"),
+                                interval=args.checkpoint_every)
+    fields = None
+    for k in range(args.steps):
+        with metrics.measure():
+            state, fields = solver.step(state, 1.0 / 60.0)
+            jax.block_until_ready(fields.height)
+        if mgr is not None:
+            mgr.maybe_save(state, cfg)
+        if args.dump_every and (k + 1) % args.dump_every == 0:
+            viz.save_render_png(
+                os.path.join(args.out, f"ocean_render_{k + 1:06d}.png"), fields)
+    if fields is not None:
+        viz.save_fields(args.out, fields, prefix="ocean", step=args.steps)
+        viz.save_render_png(os.path.join(args.out, "ocean_render.png"), fields)
+    print(f"# {args.steps} steps at {cfg.resolution}^2: "
+          f"{metrics.summary()}", file=sys.stderr)
+    return 0
+
+
+def run_fftmesh(args) -> int:
+    """The CPU-oracle scene (FFT Mesh.unity): runs BOTH the oracle and the
+    solver on the same h0 and reports their agreement — the reference's
+    visual cross-check, quantified."""
+    from tpu_ocean.config import FFT_MESH_DEMO
+    from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.oracle import Oracle
+    from tpu_ocean import viz
+
+    cfg = FFT_MESH_DEMO
+    oracle = Oracle(cfg, rng=np.random.default_rng(args.seed))
+    solver = OceanSolver(cfg, eval_mode="direct")
+    state = solver.init(h0=oracle.h0.astype(np.complex64),
+                        h0_conj=oracle.h0_conj.astype(np.complex64))
+    t = args.steps * (1.0 / 60.0) / cfg.t_division
+    ref = oracle.fields(t)
+    got = solver.fields_at(state, t)
+    scale = np.max(np.abs(ref.height)) + 1e-12
+    err = np.max(np.abs(np.asarray(got.height) - ref.height)) / scale
+    viz.save_fields(args.out, got, prefix="fftmesh", step=args.steps)
+    print(f"# oracle-vs-solver max rel height error at t={t:.4f}: {err:.3e}",
+          file=sys.stderr)
+    return 0 if err < 1e-3 else 1
+
+
+def run_pond(args) -> int:
+    from tpu_ocean.config import POND_DEMO
+    from tpu_ocean.gerstner import PondSolver, WaveBank
+    from tpu_ocean.observe import Metrics
+    from tpu_ocean import viz
+
+    cfg = POND_DEMO
+    if args.res:
+        cfg = cfg.__class__(**{**cfg.__dict__, "resolution": args.res})
+    bank = (WaveBank.random(args.seed, args.waves) if args.waves
+            else WaveBank.from_packed4(cfg))
+    solver = PondSolver(cfg, bank=bank, use_pallas=args.pallas)
+    metrics = Metrics(grid_points=cfg.resolution ** 2, emit=sys.stderr)
+    fields = None
+    for k in range(args.steps):
+        with metrics.measure():
+            fields = solver.fields(k / 60.0)
+            jax.block_until_ready(fields.offset_y)
+    if fields is not None:
+        viz.save_fields(args.out, fields, prefix="pond", step=args.steps)
+    print(f"# {args.steps} pond steps, {len(bank)} waves: "
+          f"{metrics.summary()}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpu_ocean")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ocean", help="GPU ocean demo (Ocean Demo.unity)")
+    _add_common(p, default_steps=60)
+    p.add_argument("--res", type=int, default=0,
+                   help="override resolution (default: preset 1024)")
+
+    p = sub.add_parser("fftmesh", help="CPU oracle scene (FFT Mesh.unity)")
+    _add_common(p, default_steps=10)
+
+    p = sub.add_parser("pond", help="Gerstner pond (Pond.unity)")
+    _add_common(p, default_steps=60)
+    p.add_argument("--res", type=int, default=0)
+    p.add_argument("--waves", type=int, default=0,
+                   help="random W-wave bank instead of the demo's packed 4")
+    p.add_argument("--pallas", action="store_true")
+
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    return {"ocean": run_ocean, "fftmesh": run_fftmesh,
+            "pond": run_pond}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
