@@ -1,0 +1,191 @@
+"""BASELINE.md config harness — runs the five working-baseline configs and
+emits one JSON line per config (plus an optional BASELINE.md results table).
+
+    python bench/run_baselines.py [--configs 1,2,3,4] [--append-md]
+
+Configs (BASELINE.json):
+  1. 64² heightfield, single step — allclose vs the float64 oracle (CPU).
+  2. 256² full state × 100 steps — allclose vs oracle at the final time.
+  3. 512² Gerstner pond, 16 waves — fused Pallas kernel throughput.
+  4. 1024² single-chip ocean step, batched 5-spectra IFFT — updates/s.
+  5. 4096² domain-decomposed ocean — single-chip throughput here (multi-host
+     measurement needs a pod slice; the sharded path itself is exercised by
+     the 8-device CPU-mesh tests and the driver's dryrun_multichip).
+
+Parity configs run on CPU (float comparisons against the numpy oracle need
+host pulls, and complex transfers over the axon tunnel are unreliable);
+throughput configs run on whatever jax.default_backend() is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _emit(obj):
+    print(json.dumps(obj))
+    sys.stdout.flush()
+    return obj
+
+
+def _parity_case(n, steps, seed=0):
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.oracle import Oracle
+    from tpu_ocean.solver import OceanSolver
+    import jax
+
+    length = float(n)
+    cfg = OceanConfig(resolution=n, length=length, unit_width=1.0,
+                      wind=(8.0, 5.0), amplitude=0.05, choppiness=1.2,
+                      dispersion_mode="quantized", evolution_mode="absolute",
+                      spectrum_layout="centered", normals_mode="spectral",
+                      seed=seed)
+    rng = np.random.default_rng(seed)
+    oracle = Oracle(cfg, rng=rng)
+    solver = OceanSolver(cfg, fft_backend="reference")
+    state = solver.init(h0=oracle.h0.astype(np.complex64),
+                        h0_conj=oracle.h0_conj.astype(np.complex64))
+    dt = 1.0 / 60.0
+    for _ in range(steps):
+        state, fields = solver.step(state, dt)
+    jax.block_until_ready(fields.height)
+    t = steps * dt / cfg.t_division
+    ref = oracle.fields(t)
+    errs = {}
+    for name in ("height", "disp_x", "disp_z", "foam", "jacobian"):
+        g = np.asarray(getattr(fields, name), dtype=np.float64)
+        w = np.asarray(getattr(ref, name))
+        errs[name] = float(np.max(np.abs(g - w))
+                           / max(np.max(np.abs(w)), 1e-12))
+    return errs
+
+
+def config1():
+    errs = _parity_case(64, steps=1)
+    ok = max(errs.values()) < 1e-3
+    return _emit({"config": 1, "desc": "64^2 single step vs oracle",
+                  "max_rel_err": errs, "pass": ok})
+
+
+def config2():
+    errs = _parity_case(256, steps=100)
+    ok = max(errs.values()) < 5e-3   # float32 accumulation over 100 steps
+    return _emit({"config": 2, "desc": "256^2 x100 steps vs oracle",
+                  "max_rel_err": errs, "pass": ok})
+
+
+def config3():
+    import jax
+    from tpu_ocean.gerstner import WaveBank, gerstner_eval
+    from tpu_ocean import grids
+    import jax.numpy as jnp
+
+    n, w = 512, 16
+    bank = WaveBank.random(0, w)
+    x, z = grids.coordinate_grid(n, 1.0)
+    x = jnp.asarray(np.asarray(x, np.float32))
+    z = jnp.asarray(np.asarray(z, np.float32))
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        from tpu_ocean.ops.gerstner_pallas import gerstner_pallas
+        fn = jax.jit(lambda t: gerstner_pallas(bank, x, z, t, "analytic"))
+        kernel = "pallas"
+    else:
+        fn = jax.jit(lambda t: gerstner_eval(bank, x, z, t, "analytic"))
+        kernel = "jnp"
+    jax.block_until_ready(fn(0.0))
+    k = 200
+    t0 = time.perf_counter()
+    for i in range(k):
+        out = fn(i / 60.0)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / k
+    return _emit({"config": 3, "desc": f"512^2 Gerstner {w} waves ({kernel})",
+                  "ms_per_eval": round(dt * 1e3, 4),
+                  "updates_per_s": round(1 / dt, 1),
+                  "grid_points_per_s": round(n * n / dt, 1),
+                  # the >60 updates/s target is a TPU target; CPU is
+                  # informational only
+                  "pass": (1 / dt > 60) if on_tpu else None})
+
+
+def _ocean_throughput(n, backend, steps=50):
+    import jax
+    from tpu_ocean.config import OCEAN_DEMO
+    from tpu_ocean.solver import OceanSolver
+
+    cfg = OCEAN_DEMO.replace(resolution=n, length=float(n))
+    solver = OceanSolver(cfg, fft_backend=backend)
+    state = solver.init(jax.random.PRNGKey(0))
+    dt = 1.0 / 60.0
+    state, f = solver.step(state, dt)
+    jax.block_until_ready(f.height)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, f = solver.step(state, dt)
+    jax.block_until_ready(f.height)
+    return (time.perf_counter() - t0) / steps
+
+
+def config4(backend="matmul"):
+    dt = _ocean_throughput(1024, backend)
+    return _emit({"config": 4, "desc": f"1024^2 ocean step ({backend})",
+                  "ms_per_step": round(dt * 1e3, 4),
+                  "updates_per_s": round(1 / dt, 1),
+                  "grid_points_per_s_chip": round(1024 * 1024 / dt, 1),
+                  "pass": 1 / dt > 60})
+
+
+def config5(backend="matmul"):
+    import jax
+    n = 4096
+    if jax.default_backend() == "cpu":
+        return _emit({"config": 5, "desc": "4096^2 (skipped on CPU)",
+                      "pass": None})
+    dt = _ocean_throughput(n, backend, steps=20)
+    return _emit({"config": 5,
+                  "desc": f"4096^2 ocean step, single chip ({backend}); "
+                          "multi-host pending pod hardware",
+                  "ms_per_step": round(dt * 1e3, 4),
+                  "updates_per_s": round(1 / dt, 1),
+                  "grid_points_per_s_chip": round(n * n / dt, 1),
+                  "pass": 1 / dt > 60})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=str, default="1,2,3,4,5")
+    ap.add_argument("--backend", type=str, default="matmul")
+    ap.add_argument("--append-md", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+    fns = {1: config1, 2: config2, 3: config3,
+           4: lambda: config4(args.backend), 5: lambda: config5(args.backend)}
+    results = []
+    for c in (int(x) for x in args.configs.split(",")):
+        try:
+            results.append(fns[c]())
+        except Exception as e:
+            results.append(_emit({"config": c, "error": repr(e)[:200],
+                                  "pass": False}))
+
+    if args.append_md:
+        import datetime
+        with open("BASELINE.md", "a") as f:
+            f.write(f"\n### Measured {datetime.date.today()} "
+                    f"({jax.default_backend()})\n\n```json\n")
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+            f.write("```\n")
+    return 0 if all(r.get("pass") is not False for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
