@@ -1,0 +1,62 @@
+"""Ensemble (DP) solver and transpose-overlap chunking on the fake-CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+from tpu_ocean.solver_dist import DistributedOceanSolver
+from tpu_ocean.ensemble import EnsembleOceanSolver
+from tpu_ocean.parallel import make_mesh
+
+
+def _cfg(n=32):
+    return OceanConfig(resolution=n, length=float(n), wind=(6.0, 4.0),
+                       amplitude=0.05, evolution_mode="phase",
+                       dispersion_mode="capillary", spectrum_layout="fft",
+                       normals_mode="stencil")
+
+
+def test_ensemble_members_match_single_patch():
+    cfg = _cfg()
+    mesh = make_mesh(batch=4, shard=2)
+    ens = EnsembleOceanSolver(cfg, mesh, ensemble_size=4)
+    key = jax.random.PRNGKey(9)
+    state = ens.init(key)
+    state, fields = ens.step(state, 1 / 60)
+    state, fields = ens.step(state, 1 / 60)
+    assert fields.height.shape == (4, 32, 32)
+
+    # member i must equal a standalone solver run with the same key
+    single = OceanSolver(cfg)
+    keys = jax.random.split(key, 4)
+    for i in [0, 3]:
+        st = single.init(keys[i])
+        st, f = single.step(st, 1 / 60)
+        st, f = single.step(st, 1 / 60)
+        np.testing.assert_allclose(np.asarray(fields.height[i]),
+                                   np.asarray(f.height), atol=1e-5)
+
+
+def test_ensemble_size_validation():
+    mesh = make_mesh(batch=4, shard=2)
+    with pytest.raises(ValueError):
+        EnsembleOceanSolver(_cfg(), mesh, ensemble_size=3)
+
+
+@pytest.mark.parametrize("chunks", [1, 5])
+def test_overlap_chunks_identical_results(chunks):
+    cfg = _cfg(32)
+    mesh = make_mesh(shard=8)
+    base = DistributedOceanSolver(cfg, mesh)
+    over = DistributedOceanSolver(cfg, mesh, overlap_chunks=chunks)
+    key = jax.random.PRNGKey(2)
+    s1 = base.init(key)
+    s2 = over.init(key)
+    for _ in range(2):
+        s1, f1 = base.step(s1, 1 / 60)
+        s2, f2 = over.step(s2, 1 / 60)
+    np.testing.assert_array_equal(np.asarray(f1.height), np.asarray(f2.height))
+    np.testing.assert_array_equal(np.asarray(f1.foam), np.asarray(f2.foam))

@@ -37,23 +37,49 @@ def _ifft1d_local(x: jnp.ndarray, backend: str) -> jnp.ndarray:
 
 
 def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
-                    backend: str = "reference") -> jnp.ndarray:
+                    backend: str = "reference",
+                    overlap_chunks: int = 1) -> jnp.ndarray:
     """[..., X_local, Z_full] x-sharded spectra → [..., X_full, Z_local]
     z-sharded spatial fields. Call inside shard_map over ``axis_name``.
 
     The transpose is the step's dominant communication volume; the reference's
     equivalent was the _HORIZONTAL→_VERTICAL keyword flip between blit chains
     (OceanRenderer.cs:256-260) — free on one GPU, an all_to_all here.
+
+    ``overlap_chunks > 1`` splits the leading (channel) axis into independent
+    chunks so XLA's latency-hiding scheduler can run chunk i's all_to_all on
+    the ICI while chunk i+1's row butterflies occupy the MXU — the
+    transpose/compute overlap of SURVEY.md §5.8 without hand-rolled
+    semaphores. Chunking is a no-op for correctness (tests sweep it).
     """
+    if overlap_chunks > 1 and x.ndim >= 3 and x.shape[0] % overlap_chunks == 0:
+        parts = jnp.split(x, overlap_chunks, axis=0)
+        # Phase-ordered so every chunk's transpose is issued before any
+        # column FFT: row-FFT k → a2a k → (row-FFT k+1 overlaps a2a k) ...
+        transposed = []
+        for p in parts:
+            p = _ifft1d_local(p, backend)
+            transposed.append(_transpose_x_to_z(p, axis_name))
+        outs = []
+        for p in transposed:
+            p = jnp.swapaxes(p, -1, -2)
+            p = _ifft1d_local(p, backend)
+            outs.append(jnp.swapaxes(p, -1, -2))
+        return jnp.concatenate(outs, axis=0)
+
     # 1. row transform: Z is fully local
     x = _ifft1d_local(x, backend)
-
-    n_dev = lax.axis_size(axis_name)
-    if n_dev > 1:
-        # 2. distributed transpose: [.., Nx/D, N] → [.., Nx, N/D]
-        x = lax.all_to_all(x, axis_name, split_axis=x.ndim - 1,
-                           concat_axis=x.ndim - 2, tiled=True)
+    # 2. distributed transpose: [.., Nx/D, N] → [.., Nx, N/D]
+    x = _transpose_x_to_z(x, axis_name)
     # 3. column transform: X is now fully local
     x = jnp.swapaxes(x, -1, -2)
     x = _ifft1d_local(x, backend)
     return jnp.swapaxes(x, -1, -2)
+
+
+def _transpose_x_to_z(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    n_dev = lax.axis_size(axis_name)
+    if n_dev == 1:
+        return x
+    return lax.all_to_all(x, axis_name, split_axis=x.ndim - 1,
+                          concat_axis=x.ndim - 2, tiled=True)

@@ -40,7 +40,7 @@ class DistributedOceanSolver:
     """Sharded twin of OceanSolver. ``mesh`` must contain a 'shard' axis."""
 
     def __init__(self, cfg: OceanConfig, mesh: Mesh,
-                 fft_backend: str = "reference"):
+                 fft_backend: str = "reference", overlap_chunks: int = 1):
         if "shard" not in mesh.axis_names:
             raise ValueError("mesh needs a 'shard' axis (parallel.make_mesh)")
         n = cfg.resolution
@@ -50,6 +50,9 @@ class DistributedOceanSolver:
         self.cfg = cfg
         self.mesh = mesh
         self.fft_backend = fft_backend
+        # >1 splits the 5-channel transform so the all_to_all transpose of
+        # one chunk overlaps the row butterflies of the next (SURVEY.md §5.8)
+        self.overlap_chunks = overlap_chunks
         self.n_local = n // n_dev
 
         # trace-time constants (full-size; shard_map slices them via in_specs)
@@ -136,7 +139,8 @@ class DistributedOceanSolver:
         # --- distributed transform: X-sharded in, Z-sharded out ---
         if cfg.spectrum_layout == "centered":
             spectra = spectra * pre[None]
-        f = ifft2_x_sharded(spectra, "shard", self.fft_backend)
+        f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
+                            overlap_chunks=self.overlap_chunks)
         if cfg.spectrum_layout == "centered":
             f = f * post[None]
 
