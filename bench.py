@@ -20,16 +20,13 @@ import time
 
 
 def _time_steps(solver, state, dt, steps):
-    import jax
-    # warmup: compile + one execution
-    state, fields = solver.step(state, dt)
-    jax.block_until_ready(fields)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, fields = solver.step(state, dt)
-    jax.block_until_ready(fields)
-    t1 = time.perf_counter()
-    return (t1 - t0) / steps, state
+    # Differenced scan-of-K timing (tpu_ocean.benchlib): immune to async
+    # runtimes that defer work past block_until_ready and to per-pull tunnel
+    # latency. ``steps`` sets the larger scan length.
+    from tpu_ocean.benchlib import time_steps
+    k2 = max(32, steps)
+    per_step = time_steps(solver._step_impl, state, dt, k1=k2 // 8, k2=k2)
+    return per_step, state
 
 
 def main():

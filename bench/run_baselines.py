@@ -93,18 +93,16 @@ def config3():
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
         from tpu_ocean.ops.gerstner_pallas import gerstner_pallas
-        fn = jax.jit(lambda t: gerstner_pallas(bank, x, z, t, "analytic"))
+        raw = lambda t: gerstner_pallas(bank, x, z, t, "analytic")
         kernel = "pallas"
     else:
-        fn = jax.jit(lambda t: gerstner_eval(bank, x, z, t, "analytic"))
+        raw = lambda t: gerstner_eval(bank, x, z, t, "analytic")
         kernel = "jnp"
-    jax.block_until_ready(fn(0.0))
-    k = 200
-    t0 = time.perf_counter()
-    for i in range(k):
-        out = fn(i / 60.0)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / k
+    # adapt t -> fields to the (state, dt) stepper shape for benchlib
+    from tpu_ocean.benchlib import time_steps
+    step_impl = lambda t, dt: (t + dt, raw(t))
+    dt = time_steps(step_impl, jnp.zeros((), jnp.float32), 1.0 / 60.0,
+                    k1=8, k2=64)
     return _emit({"config": 3, "desc": f"512^2 Gerstner {w} waves ({kernel})",
                   "ms_per_eval": round(dt * 1e3, 4),
                   "updates_per_s": round(1 / dt, 1),
@@ -114,22 +112,17 @@ def config3():
                   "pass": (1 / dt > 60) if on_tpu else None})
 
 
-def _ocean_throughput(n, backend, steps=50):
+def _ocean_throughput(n, backend, steps=64):
     import jax
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.benchlib import time_steps
 
     cfg = OCEAN_DEMO.replace(resolution=n, length=float(n))
     solver = OceanSolver(cfg, fft_backend=backend)
     state = solver.init(jax.random.PRNGKey(0))
-    dt = 1.0 / 60.0
-    state, f = solver.step(state, dt)
-    jax.block_until_ready(f.height)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, f = solver.step(state, dt)
-    jax.block_until_ready(f.height)
-    return (time.perf_counter() - t0) / steps
+    return time_steps(solver._step_impl, state, 1.0 / 60.0,
+                      k1=max(8, steps // 8), k2=steps)
 
 
 def config4(backend="matmul"):

@@ -1,0 +1,187 @@
+"""Multi-band spectral cascades — the expert-parallel analogue (D7).
+
+A single Tessendorf patch tiles visibly at its length L. Production ocean
+systems superpose B independent spectral "cascades" — same N, different patch
+lengths (e.g. 1000 m / 130 m / 17 m) — so each wave band is resolved at its
+own scale and tiling decorrelates. The reference has exactly one patch
+(SURVEY.md D7 lists cascades as the natural EP analogue: independent experts
+with a combine).
+
+TPU-native formulation: all per-band trace-time constants are STACKED into
+leading-[B] arrays and the band step is vmapped — one fused computation, no
+Python-level band loop in the hot path. On a mesh with an 'expert' axis the
+[B, ...] state shards band-per-device-group and the final combine (Σ over
+bands at shared UV) is the only cross-band communication.
+
+Combined surface at display point (u, v) ∈ [0, 1)²:
+    height(u,v)  = Σ_b h_b(u·N, v·N)           (per-band physical x = uv·L_b)
+    disp/slopes sum likewise; normals and Jacobian foam are computed from the
+    COMBINED fields (fields.py), with world spacing display_length / N.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.evolve import omega_grid, spectrum_coefficients, assemble_spectra
+from tpu_ocean.spectra import h0_pair_fft, h0_pair_centered
+from tpu_ocean.fft import get_ifft2
+from tpu_ocean import fields as field_ops
+from tpu_ocean.solver import OceanFields
+
+
+class CascadeState(NamedTuple):
+    h0: jax.Array        # [B, N, N] complex64
+    h0_conj: jax.Array   # [B, N, N]
+    phase: jax.Array     # [B, N, N] float32
+    t: jax.Array         # scalar
+    step: jax.Array      # scalar
+
+
+class CascadeSolver:
+    """B spectral bands stepped and combined in one jitted call.
+
+    ``cfgs`` must share resolution and mode switches; lengths / winds /
+    amplitudes / choppiness may differ per band. ``mesh`` with an 'expert'
+    axis shards the band dimension (B divisible by its size).
+    """
+
+    def __init__(self, cfgs: Sequence[OceanConfig],
+                 fft_backend: str = "reference",
+                 display_length: Optional[float] = None,
+                 mesh: Optional[Mesh] = None):
+        if not cfgs:
+            raise ValueError("need at least one band config")
+        n = cfgs[0].resolution
+        for c in cfgs[1:]:
+            if (c.resolution != n
+                    or c.evolution_mode != cfgs[0].evolution_mode
+                    or c.dispersion_mode != cfgs[0].dispersion_mode
+                    or c.spectrum_layout != cfgs[0].spectrum_layout):
+                raise ValueError("cascade bands must share resolution and "
+                                 "mode switches")
+        if cfgs[0].spectrum_layout != "fft":
+            raise ValueError("cascades use the 'fft' (GPU) spectrum layout")
+        self.cfgs = list(cfgs)
+        self.n = n
+        self.b = len(cfgs)
+        self.mesh = mesh
+        self.display_length = (display_length if display_length is not None
+                               else max(c.length for c in cfgs))
+
+        # stacked trace-time constants — host numpy (axon closure rule)
+        self._omega = np.stack([np.asarray(omega_grid(c), np.float32)
+                                for c in cfgs])                    # [B, N, N]
+        self._coeffs = np.stack([np.asarray(spectrum_coefficients(c),
+                                            np.complex64)
+                                 for c in cfgs])                   # [B, 5, N, N]
+        self._chop = np.asarray([c.choppiness for c in cfgs], np.float32)
+        self._dtmul = np.asarray([c.dt_multiplier for c in cfgs], np.float32)
+        self._ifft2 = get_ifft2(fft_backend, n)
+
+        step = self._step_impl
+        if mesh is not None and "expert" in mesh.axis_names:
+            espec = NamedSharding(mesh, P("expert"))
+            state_shardings = CascadeState(h0=espec, h0_conj=espec,
+                                           phase=espec, t=None, step=None)
+            self._step_jit = jax.jit(step, donate_argnums=(0,),
+                                     in_shardings=(state_shardings, None))
+        else:
+            self._step_jit = jax.jit(step, donate_argnums=(0,))
+
+    # ---------------------------------------------------------------- init
+
+    def init(self, key: Optional[jax.Array] = None) -> CascadeState:
+        if key is None:
+            key = jax.random.PRNGKey(self.cfgs[0].seed)
+        keys = jax.random.split(key, self.b)
+        h0s, h0cs = [], []
+        for c, k in zip(self.cfgs, keys):
+            pair = (h0_pair_centered if c.spectrum_layout == "centered"
+                    else h0_pair_fft)
+            h0, h0c = pair(k, c.resolution, c.length, c.phillips_amplitude,
+                           c.wind, c.damping)
+            h0s.append(h0)
+            h0cs.append(h0c)
+        st = CascadeState(
+            h0=jnp.stack(h0s), h0_conj=jnp.stack(h0cs),
+            phase=jnp.zeros((self.b, self.n, self.n), jnp.float32),
+            t=jnp.zeros((), jnp.float32),
+            step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None and "expert" in self.mesh.axis_names:
+            espec = NamedSharding(self.mesh, P("expert"))
+            st = CascadeState(
+                h0=jax.device_put(st.h0, espec),
+                h0_conj=jax.device_put(st.h0_conj, espec),
+                phase=jax.device_put(st.phase, espec),
+                t=st.t, step=st.step)
+        return st
+
+    # ---------------------------------------------------------------- step
+
+    def step(self, state: CascadeState, dt: float = 1.0 / 60.0):
+        return self._step_jit(state, jnp.asarray(dt, jnp.float32))
+
+    def _step_impl(self, state: CascadeState, dt: jax.Array):
+        cfg0 = self.cfgs[0]
+        omega = self._omega
+        if cfg0.evolution_mode == "absolute":
+            t_new = state.t + dt / cfg0.t_division
+            phase = omega * t_new
+            phase_state = state.phase
+        else:
+            phase = jnp.mod(state.phase
+                            + omega * (dt * self._dtmul[:, None, None]),
+                            np.float32(2 * np.pi))
+            phase_state = phase
+            t_new = state.t + dt
+
+        # [B, 5, N, N] band spectra, one batched IFFT over the trailing axes
+        spectra = jax.vmap(assemble_spectra)(state.h0, state.h0_conj,
+                                             phase, jnp.asarray(self._coeffs))
+        f = self._ifft2(spectra)
+
+        chop = self._chop[:, None, None]
+        # combine bands at shared UV: Σ over B (the EP all-reduce)
+        height = jnp.sum(jnp.real(f[:, 0]), axis=0)
+        disp_x = jnp.sum(chop * jnp.imag(f[:, 1]), axis=0)
+        disp_z = jnp.sum(chop * jnp.imag(f[:, 2]), axis=0)
+        slope_x = jnp.sum(jnp.imag(f[:, 3]), axis=0)
+        slope_z = jnp.sum(jnp.imag(f[:, 4]), axis=0)
+
+        texel = self.display_length / self.n
+        if cfg0.normals_mode == "spectral":
+            normal = field_ops.normals_spectral(slope_x, slope_z)
+        else:
+            normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
+        foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
+
+        x1d = (np.arange(self.n, dtype=np.float32)
+               * np.float32(self.display_length / self.n))
+        x0, z0 = np.meshgrid(x1d, x1d, indexing="ij")
+        out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
+                          pos_x=x0 - disp_x, pos_z=z0 - disp_z,
+                          normal=normal, foam=foam, jacobian=jac)
+        new_state = CascadeState(h0=state.h0, h0_conj=state.h0_conj,
+                                 phase=phase_state, t=t_new,
+                                 step=state.step + 1)
+        return new_state, out
+
+
+def default_cascade(n: int = 256, lengths=(1000.0, 130.0, 17.0),
+                    wind=(14.0, 12.0), amplitude: float = 0.4,
+                    choppiness: float = 0.6) -> List[OceanConfig]:
+    """A standard 3-band production cascade parameterization."""
+    return [OceanConfig(resolution=n, length=l, wind=wind,
+                        amplitude=amplitude, amplitude_scale=1e-4,
+                        choppiness=choppiness,
+                        evolution_mode="phase", dispersion_mode="capillary",
+                        spectrum_layout="fft", normals_mode="stencil",
+                        damping=0.01, oracle_sign_quirk=False, seed=i)
+            for i, l in enumerate(lengths)]

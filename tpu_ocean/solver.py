@@ -148,23 +148,30 @@ class OceanSolver:
     def _step_impl(self, state: OceanState, dt: jax.Array):
         cfg = self.cfg
 
-        if cfg.evolution_mode == "absolute":
-            # timer += dt / tDivision, evaluate at new absolute time
-            # (FFTMesh.cs:70-72).
-            t_new = state.t + dt / cfg.t_division
-            phase = self._omega * t_new
-            phase_state = state.phase
-        else:
-            # φ ← (φ + ω·dt·mult) mod 2π (Dispersion.shader:32-41,
-            # OceanRenderer.cs:223 dt·mult).
-            phase = evolve_phase_accumulate(
-                state.phase, self._omega, dt * cfg.dt_multiplier)
-            phase_state = phase
-            t_new = state.t + dt
+        # named scopes mirror the reference's per-pass structure in profiler
+        # traces (SURVEY.md §5.1): dispersion → spectrum → FFT → fields
+        with jax.named_scope("dispersion"):
+            if cfg.evolution_mode == "absolute":
+                # timer += dt / tDivision, evaluate at new absolute time
+                # (FFTMesh.cs:70-72).
+                t_new = state.t + dt / cfg.t_division
+                phase = self._omega * t_new
+                phase_state = state.phase
+            else:
+                # φ ← (φ + ω·dt·mult) mod 2π (Dispersion.shader:32-41,
+                # OceanRenderer.cs:223 dt·mult).
+                phase = evolve_phase_accumulate(
+                    state.phase, self._omega, dt * cfg.dt_multiplier)
+                phase_state = phase
+                t_new = state.t + dt
 
-        spectra = assemble_spectra(state.h0, state.h0_conj, phase, self._coeffs)
-        f = self._transform(spectra)
-        out = self._extract_fields(f)
+        with jax.named_scope("spectrum_assembly"):
+            spectra = assemble_spectra(state.h0, state.h0_conj, phase,
+                                       self._coeffs)
+        with jax.named_scope("ifft2"):
+            f = self._transform(spectra)
+        with jax.named_scope("fields"):
+            out = self._extract_fields(f)
 
         new_state = OceanState(h0=state.h0, h0_conj=state.h0_conj,
                                phase=phase_state, t=t_new,
