@@ -1,24 +1,34 @@
-"""Trustworthy device timing on asynchronous/tunneled runtimes.
+"""Trustworthy device timing on asynchronous / tunneled runtimes.
 
-Measured on the axon TPU tunnel: dispatch-loop timings with a trailing
-block_until_ready do NOT scale with problem size (identical wall-clock from
-512² to 4096² — the runtime defers/elides work), and per-iteration scalar
-pulls cost seconds of tunnel latency. Neither is a measurement.
+Measured on the axon TPU tunnel, BOTH standard techniques fail:
+  * dispatch loops + trailing block_until_ready report wall-clocks that do
+    not scale with problem size N or iteration count K (work is deferred or
+    elided past the block) — timings can be 100× too optimistic;
+  * host pulls of a result scalar (the classic forcing) can raise
+    UNIMPLEMENTED or hang for minutes of tunnel latency.
 
-The scheme here is immune to both failure modes:
+The scheme here is layered:
 
-  1. K solver steps run inside ONE executable (lax.scan) — the runtime cannot
-     skip iterations, and every field output is folded into a scalar
-     checksum carried through the scan, so nothing is dead code.
-  2. The checksum is pulled to the host — forcing real execution end-to-end.
-  3. Per-step time = (wall(K₂) − wall(K₁)) / (K₂ − K₁): differencing cancels
-     dispatch, transfer, and tunnel constants.
+  1. K solver steps run inside ONE executable (lax.scan); every output field
+     folds into a scalar checksum carried through the scan, so no step and no
+     field is dead code.
+  2. Execution is forced by pulling the checksum when the backend allows it
+     (watchdog-guarded), else by block_until_ready.
+  3. Per-step time = (wall(K₂) − wall(K₁)) / (K₂ − K₁), differencing away
+     dispatch/transfer constants.
+  4. A self-check compares wall(K₂)/wall(K₁) to K₂/K₁; when the ratio is
+     far off linear the result is flagged ``suspect`` — reported, never
+     silently trusted.
 """
 
 from __future__ import annotations
 
+import contextlib
+import signal
 import time
+from dataclasses import dataclass
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,7 +44,6 @@ def _consume(fields) -> jax.Array:
 
 def make_scan_stepper(step_impl, dt: float, k: int):
     """jit(state -> (state, checksum)) running ``k`` chained steps."""
-    import numpy as np
     # host scalar, NOT jnp: a closed-over device array becomes an MLIR
     # constant that jit must fetch device→host — unimplemented on axon
     dt = np.float32(dt)
@@ -52,78 +61,82 @@ def make_scan_stepper(step_impl, dt: float, k: int):
     return jax.jit(run)
 
 
-def time_steps(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
-               repeats: int = 2):
-    """Seconds per step via the differenced-scan scheme. ``step_impl`` is the
-    pure (state, dt) -> (state, fields) function (e.g. solver._step_impl)."""
+@contextlib.contextmanager
+def _watchdog(seconds: int):
+    """Convert a hung host pull into an exception (main thread, Unix)."""
+    def handler(signum, frame):
+        raise TimeoutError("host pull timed out")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+@dataclass
+class TimingResult:
+    per_step_s: float
+    forcing: str          # 'pull' | 'block'
+    suspect: bool         # K-scaling self-check failed
+    k1: int
+    k2: int
+    wall_k1_s: float
+    wall_k2_s: float
+
+
+def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
+                    repeats: int = 2, pull_timeout_s: int = 60) -> TimingResult:
+    """TimingResult for the pure (state, dt) -> (state, fields) stepper."""
     f1 = make_scan_stepper(step_impl, dt, k1)
     f2 = make_scan_stepper(step_impl, dt, k2)
 
+    # forcing strategy: demote pull → block on the FIRST failure anywhere
+    # (pull support is flaky per-program on tunneled backends)
+    strategy = {"forcing": "pull"}
+
     def run_once(f):
         st, acc = f(state)
-        # the pull forces execution; float() of an f32 scalar is safe even on
-        # backends where complex transfers are not
-        float(jax.device_get(acc))
+        if strategy["forcing"] == "pull":
+            try:
+                with _watchdog(pull_timeout_s):
+                    return float(jax.device_get(acc))
+            except Exception:
+                strategy["forcing"] = "block"
+        jax.block_until_ready(acc)
+        return None
 
-    run_once(f1)  # compile + warm
+    run_once(f1)  # compile + warm + probe forcing
     run_once(f2)
-    # difference the per-K minima (not per-pair diffs: noise on the short run
-    # would make a pairwise difference negative and min() would keep it)
+
     best1 = best2 = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        run_once(f1)
-        t1 = time.perf_counter()
-        run_once(f2)
-        t2 = time.perf_counter()
-        best1 = min(best1, t1 - t0)
-        best2 = min(best2, t2 - t1)
-    return max((best2 - best1) / (k2 - k1), 1e-9)
+    for attempt in range(2):
+        mode = strategy["forcing"]
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_once(f1)
+            t1 = time.perf_counter()
+            run_once(f2)
+            t2 = time.perf_counter()
+            best1 = min(best1, t1 - t0)
+            best2 = min(best2, t2 - t1)
+        if strategy["forcing"] == mode:
+            break   # forcing stable throughout the measurement
+        best1 = best2 = float("inf")  # flipped mid-run: redo with block
+    forcing = strategy["forcing"]
+
+    per_step = max((best2 - best1) / (k2 - k1), 1e-9)
+    # linearity self-check: with real execution, wall(K2)/wall(K1) should be
+    # ≳ half the ideal K2/K1 (constants only shrink the ratio toward 1)
+    ratio = best2 / max(best1, 1e-9)
+    suspect = ratio < 0.25 * (k2 / k1) and best2 < 1.0
+    return TimingResult(per_step_s=per_step, forcing=forcing, suspect=suspect,
+                        k1=k1, k2=k2, wall_k1_s=best1, wall_k2_s=best2)
 
 
-def time_fn(fn, example, k1: int = 16, k2: int = 128, repeats: int = 2):
-    """Same scheme for a stateless x -> y function (chained via y feedback
-    when shapes/dtypes allow, else re-applied to the same input inside scan
-    with an iteration-dependent scale so calls cannot be collapsed)."""
-    def body_feedback(carry, _):
-        y = fn(carry)
-        return y, None
-
-    same_struct = jax.eval_shape(fn, example) == jax.eval_shape(
-        lambda x: x, example)
-
-    if same_struct:
-        def run(k):
-            def g(x):
-                y, _ = lax.scan(body_feedback, x, None, length=k)
-                return _consume(y)
-            return jax.jit(g)
-    else:
-        def run(k):
-            def g(x):
-                def body(acc, i):
-                    y = fn(x * (1.0 + 1e-6 * i.astype(x.real.dtype if
-                           jnp.iscomplexobj(x) else x.dtype)))
-                    return acc + _consume(y), None
-                acc, _ = lax.scan(body, jnp.zeros((), jnp.float32),
-                                  jnp.arange(k), length=k)
-                return acc
-            return jax.jit(g)
-
-    f1, f2 = run(k1), run(k2)
-
-    def once(f):
-        float(jax.device_get(jnp.sum(f(example)).astype(jnp.float32)))
-
-    once(f1)
-    once(f2)
-    best1 = best2 = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        once(f1)
-        t1 = time.perf_counter()
-        once(f2)
-        t2 = time.perf_counter()
-        best1 = min(best1, t1 - t0)
-        best2 = min(best2, t2 - t1)
-    return max((best2 - best1) / (k2 - k1), 1e-9)
+def time_steps(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
+               repeats: int = 2) -> float:
+    """Seconds per step (see time_steps_meta)."""
+    return time_steps_meta(step_impl, state, dt, k1, k2, repeats).per_step_s
