@@ -32,9 +32,13 @@ def _time_steps(solver, state, dt, steps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--backend", type=str, default="all",
-                    help="fft backend or 'all' (pick fastest)")
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--backend", type=str, default="matmul",
+                    help="fft backend or 'all' (pick fastest); default is the "
+                         "known-fastest single backend — compiles are the "
+                         "dominant cost on tunneled runtimes")
+    ap.add_argument("--budget-s", type=float, default=420.0,
+                    help="stop starting new backends past this wall budget")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +55,11 @@ def main():
     backends = (["reference", "stockham", "matmul", "pallas"]
                 if args.backend == "all" else [args.backend])
     best = None
+    t_start = time.perf_counter()
     for backend in backends:
+        if best is not None and time.perf_counter() - t_start > args.budget_s:
+            print(f"# budget exceeded, skipping {backend}", file=sys.stderr)
+            continue
         try:
             solver = OceanSolver(cfg, fft_backend=backend)
             state = solver.init(jax.random.PRNGKey(0))

@@ -1,0 +1,71 @@
+"""Demo CLI + viz + observe smoke coverage (the reference's scenes, headless)."""
+
+import glob
+import io
+import json
+import os
+
+import numpy as np
+import jax
+
+from tpu_ocean.demo import main
+from tpu_ocean.observe import Metrics, check_finite
+from tpu_ocean import viz
+
+
+def test_ocean_demo_cli(tmp_path):
+    rc = main(["ocean", "--res", "32", "--steps", "3",
+               "--out", str(tmp_path), "--checkpoint-every", "2",
+               "--dump-every", "2"])
+    assert rc == 0
+    assert glob.glob(str(tmp_path / "ocean_height_*.npy"))
+    assert glob.glob(str(tmp_path / "ocean_render.png"))
+    assert glob.glob(str(tmp_path / "ckpt" / "state_*.npz"))
+
+
+def test_fftmesh_demo_cli(tmp_path):
+    rc = main(["fftmesh", "--out", str(tmp_path)])
+    assert rc == 0  # rc 1 would mean oracle/solver divergence
+
+
+def test_pond_demo_cli(tmp_path):
+    rc = main(["pond", "--res", "32", "--steps", "2", "--waves", "8",
+               "--out", str(tmp_path)])
+    assert rc == 0
+    assert glob.glob(str(tmp_path / "pond_offset_y_*.png"))
+
+
+def test_metrics_emitters():
+    buf = io.StringIO()
+    m = Metrics(grid_points=16, emit=buf, emit_format="jsonl")
+    for _ in range(3):
+        with m.measure(extra_field=1):
+            pass
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert len(lines) == 3 and lines[0]["extra_field"] == 1
+    s = m.summary(warmup=1)
+    assert s["steps"] == 2 and s["updates_per_s"] > 0
+
+    buf = io.StringIO()
+    m = Metrics(grid_points=16, emit=buf, emit_format="csv")
+    with m.measure():
+        pass
+    assert buf.getvalue().splitlines()[0].startswith("step,")
+
+
+def test_check_finite_raises():
+    import pytest
+    ok = {"a": np.ones(3), "b": np.zeros(2)}
+    check_finite(ok)
+    bad = {"a": np.asarray([1.0, np.nan])}
+    with pytest.raises(FloatingPointError):
+        check_finite(bad)
+
+
+def test_shade_ocean_shapes():
+    class F:
+        normal = np.tile(np.asarray([0.0, 1.0, 0.0]), (8, 8, 1))
+        foam = np.zeros((8, 8))
+    rgb = viz.shade_ocean(F)
+    assert rgb.shape == (8, 8, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
