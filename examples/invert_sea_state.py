@@ -1,0 +1,92 @@
+"""Sea-state inversion by adjoint optimization — a capability demo.
+
+Because the entire solver is differentiable JAX (docs/design.md), the inverse
+problem "which initial spectrum h0 produced this observed heightfield?" is a
+gradient descent, structurally impossible in the reference's shader pipeline:
+
+    1. draw a ground-truth h0*, step the ocean, record height snapshots
+    2. start from h0 = 0 and minimize Σ_t ‖height(h0, t) − obs_t‖²
+    3. recover h0 (up to the observability limit of the snapshots)
+
+Run: python examples/invert_sea_state.py  [--steps 120] [--n 64]
+CPU-friendly (forces JAX_PLATFORMS=cpu when on the tunneled TPU session).
+"""
+
+import argparse
+import os
+import sys
+
+if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--snapshots", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--lr", type=float, default=5e-2)
+    args = ap.parse_args()
+
+    n = args.n
+    cfg = OceanConfig(resolution=n, length=float(n), wind=(8.0, 5.0),
+                      amplitude=0.05, evolution_mode="absolute",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="spectral")
+    solver = OceanSolver(cfg)
+
+    truth = solver.init(jax.random.PRNGKey(0))
+    times = [0.5 + 0.37 * i for i in range(args.snapshots)]
+    obs = [solver.fields_at(truth, t).height for t in times]
+
+    base = truth._replace(h0=jnp.zeros_like(truth.h0),
+                          h0_conj=jnp.zeros_like(truth.h0_conj))
+
+    def partner(h0):
+        # conjugate-partner layout for fft ordering: h0*[(N−n) mod N]
+        return jnp.conj(jnp.roll(jnp.flip(h0, (0, 1)), (1, 1), (0, 1)))
+
+    def loss(h0):
+        st = base._replace(h0=h0, h0_conj=partner(h0))
+        err = 0.0
+        for t, o in zip(times, obs):
+            err = err + jnp.mean((solver.fields_at(st, t).height - o) ** 2)
+        return err / len(times)
+
+    grad = jax.jit(jax.value_and_grad(loss))
+    h0 = jnp.zeros_like(truth.h0)
+    # Adam
+    m = jnp.zeros_like(h0)
+    v = jnp.zeros_like(jnp.real(h0))
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for i in range(args.steps):
+        val, g = grad(h0)
+        g = jnp.conj(g)   # Wirtinger: descend on conj gradient for real loss
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * jnp.abs(g) ** 2
+        mh = m / (1 - b1 ** (i + 1))
+        vh = v / (1 - b2 ** (i + 1))
+        h0 = h0 - args.lr * mh / (jnp.sqrt(vh) + eps)
+        if i % 25 == 0 or i == args.steps - 1:
+            rel = float(jnp.linalg.norm(h0 - truth.h0)
+                        / jnp.linalg.norm(truth.h0))
+            print(f"iter {i:4d}  loss {float(val):.3e}  "
+                  f"rel |h0 - h0*| {rel:.3f}", flush=True)
+
+    final = float(grad(h0)[0])
+    init = float(loss(jnp.zeros_like(h0)))
+    print(f"loss reduced {init:.3e} → {final:.3e} "
+          f"({init / max(final, 1e-30):.1f}×)")
+    return 0 if final < init * 1e-2 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

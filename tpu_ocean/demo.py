@@ -111,6 +111,8 @@ def run_pond(args) -> int:
             jax.block_until_ready(fields.offset_y)
     if fields is not None:
         viz.save_fields(args.out, fields, prefix="pond", step=args.steps)
+        viz.save_pond_render_png(os.path.join(args.out, "pond_render.png"),
+                                 fields)
     print(f"# {args.steps} pond steps, {len(bank)} waves: "
           f"{metrics.summary()}", file=sys.stderr)
     return 0

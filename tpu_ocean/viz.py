@@ -87,3 +87,57 @@ def save_render_png(path: str, fields, **kw) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     Image.fromarray(rgb).save(path)
     return path
+
+
+def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
+               deep_color=(0.02, 0.08, 0.12), sky_color=(0.65, 0.78, 0.9),
+               horizon_color=(0.85, 0.88, 0.9), depth: float = 3.0,
+               foam_threshold: float = 0.92) -> np.ndarray:
+    """CPU re-implementation of the pond über-shader's fragment stage
+    (MistralWaterBasic.shader + MistralWaterCommon.cginc:73-213) — the
+    keyword-matrix features rendered procedurally:
+
+      * depth fog: view-depth tint lerp(water, deep) (cginc:128-142),
+        depth proxied by surface height below rest level;
+      * fresnel reflection: Schlick blend toward a procedural sky
+        (REFLECTIONTYPE_CUBEMAP stand-in, cginc:189-195);
+      * edge foam where the surface is near the rest level with high normal
+        tilt — the shoreline-foam term (cginc:174-185).
+
+    Returns float RGB [N, N, 3] in [0, 1].
+    """
+    n = _to_host(fields.normal).astype(np.float64)
+    h = _to_host(fields.offset_y if hasattr(fields, "offset_y")
+                 else fields.height).astype(np.float64)
+
+    view = np.asarray([0.0, 1.0, 0.0])
+    cos_v = np.clip(n @ view, 0.0, 1.0)
+
+    # depth fog (deeper = darker): map height into [0,1] depth factor
+    depth_f = np.clip(0.5 - h / (2.0 * max(depth, 1e-6)), 0.0, 1.0)
+    water = np.asarray(water_color)
+    deep = np.asarray(deep_color)
+    base = water * (1 - depth_f[..., None]) + deep * depth_f[..., None]
+
+    # fresnel (Schlick, F0=0.02) toward a procedural sky by reflected pitch
+    f = 0.02 + 0.98 * (1.0 - cos_v) ** 5
+    refl_pitch = np.clip(2 * cos_v * n[..., 1] - view[1], 0.0, 1.0)
+    sky = (np.asarray(horizon_color)[None, None]
+           * (1 - refl_pitch[..., None])
+           + np.asarray(sky_color)[None, None] * refl_pitch[..., None])
+    rgb = base * (1 - f[..., None]) + sky * f[..., None]
+
+    # edge foam: high tilt near the rest level
+    tilt = 1.0 - n[..., 1]
+    edge = np.clip((tilt / (1 - foam_threshold + 1e-9))
+                   * np.exp(-np.abs(h)), 0.0, 1.0)
+    rgb = rgb * (1 - edge[..., None] * 0.6) + edge[..., None] * 0.6
+    return np.clip(rgb, 0.0, 1.0)
+
+
+def save_pond_render_png(path: str, fields, **kw) -> str:
+    from PIL import Image
+    rgb = (shade_pond(fields, **kw) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    Image.fromarray(rgb).save(path)
+    return path
