@@ -44,19 +44,26 @@ def _consume(fields) -> jax.Array:
 
 def make_scan_stepper(step_impl, dt: float, k: int):
     """jit(state -> (state, checksum)) running ``k`` chained steps."""
+    loop = make_loop_stepper(step_impl, dt)
+    return lambda state: loop(state, jnp.int32(k))
+
+
+def make_loop_stepper(step_impl, dt: float):
+    """jit((state, k) -> (state, checksum)) with a TRACED trip count — one
+    compile serves every k (remote AOT compiles cost minutes per executable
+    on tunneled runtimes, so the k1/k2 differencing must share one)."""
     # host scalar, NOT jnp: a closed-over device array becomes an MLIR
     # constant that jit must fetch device→host — unimplemented on axon
     dt = np.float32(dt)
 
-    def body(carry, _):
+    def body(_, carry):
         st, acc = carry
         st, fields = step_impl(st, dt)
-        return (st, acc + _consume(fields)), None
+        return (st, acc + _consume(fields))
 
-    def run(state):
-        (st, acc), _ = lax.scan(body, (state, jnp.zeros((), jnp.float32)),
-                                None, length=k)
-        return st, acc
+    def run(state, k):
+        return lax.fori_loop(0, k, body,
+                             (state, jnp.zeros((), jnp.float32)))
 
     return jax.jit(run)
 
@@ -90,8 +97,9 @@ class TimingResult:
 def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
                     repeats: int = 2, pull_timeout_s: int = 60) -> TimingResult:
     """TimingResult for the pure (state, dt) -> (state, fields) stepper."""
-    f1 = make_scan_stepper(step_impl, dt, k1)
-    f2 = make_scan_stepper(step_impl, dt, k2)
+    loop = make_loop_stepper(step_impl, dt)
+    f1 = lambda st: loop(st, jnp.int32(k1))
+    f2 = lambda st: loop(st, jnp.int32(k2))
 
     # forcing strategy: demote pull → block on the FIRST failure anywhere
     # (pull support is flaky per-program on tunneled backends)
