@@ -1,0 +1,71 @@
+"""Diagnostics + live reconfigure (the reference's runtime re-init,
+OceanRenderer.cs:98-109: spectrum re-rendered, phase NOT reset)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+from tpu_ocean import diagnostics
+
+
+def _cfg(**kw):
+    base = dict(resolution=64, length=64.0, wind=(8.0, 5.0), amplitude=0.3,
+                evolution_mode="phase", dispersion_mode="capillary",
+                spectrum_layout="fft", normals_mode="stencil")
+    base.update(kw)
+    return OceanConfig(**base)
+
+
+def test_hs_matches_definition():
+    h = jnp.asarray(np.random.default_rng(0).normal(0, 0.5, (64, 64)),
+                    jnp.float32)
+    hs = float(diagnostics.significant_wave_height(h))
+    np.testing.assert_allclose(hs, 4 * float(jnp.std(h)), rtol=1e-6)
+
+
+def test_spectrum_peak_of_monochromatic_wave():
+    n, length = 64, 64.0
+    x = np.arange(n) * (length / n)
+    kx = 2 * np.pi * 4 / length          # mode 4
+    h = np.cos(np.outer(kx * x, np.ones(n)))
+    k, e = diagnostics.omnidirectional_spectrum(jnp.asarray(h), length)
+    kp = k[1:][np.argmax(e[1:])]
+    np.testing.assert_allclose(kp, kx, rtol=0.15)
+    tp = diagnostics.peak_period(jnp.asarray(h), length)
+    np.testing.assert_allclose(tp, 2 * np.pi / np.sqrt(9.81 * kx), rtol=0.15)
+
+
+def test_energy_budget_block():
+    s = OceanSolver(_cfg())
+    st = s.init(jax.random.PRNGKey(0))
+    st, f = s.step(st, 1 / 60)
+    b = diagnostics.energy_budget(f)
+    assert b["hs"] > 0 and 0 <= b["foam_cover"] <= 1
+    assert np.isfinite(b["min_jacobian"])
+
+
+def test_reconfigure_preserves_phase():
+    s = OceanSolver(_cfg())
+    st = s.init(jax.random.PRNGKey(0))
+    for _ in range(4):
+        st, _ = s.step(st, 1 / 60)
+    phase_before = np.asarray(st.phase)
+
+    s2, st2 = s.reconfigure(st, _cfg(amplitude=0.9, wind=(12.0, 2.0)))
+    np.testing.assert_array_equal(np.asarray(st2.phase), phase_before)
+    assert int(np.asarray(st2.step)) == 4
+    # new spectrum actually differs
+    assert not np.allclose(np.asarray(st2.h0), np.asarray(st.h0))
+    st2, f = s2.step(st2, 1 / 60)
+    assert np.all(np.isfinite(np.asarray(f.height)))
+
+
+def test_reconfigure_resolution_change_resets():
+    s = OceanSolver(_cfg())
+    st = s.init(jax.random.PRNGKey(0))
+    st, _ = s.step(st, 1 / 60)
+    s2, st2 = s.reconfigure(st, _cfg(resolution=32, length=32.0))
+    assert st2.phase.shape == (32, 32)
+    assert int(np.asarray(st2.step)) == 0

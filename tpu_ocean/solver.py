@@ -139,6 +139,27 @@ class OceanSolver:
             step=jnp.zeros((), dtype=jnp.int32),
         )
 
+    # ------------------------------------------------------------- reconfigure
+
+    def reconfigure(self, state: OceanState, new_cfg: OceanConfig,
+                    key: Optional[jax.Array] = None):
+        """Live parameter change: returns (new_solver, new_state).
+
+        Mirrors the reference's runtime re-init (OceanRenderer.cs:98-109):
+        when length/wind/amplitude change, the initial spectrum is re-rendered
+        but the recurrent phase is NOT reset — waves keep their motion while
+        the sea state morphs. Resolution/layout changes rebuild everything.
+        """
+        solver = OceanSolver(new_cfg, fft_backend=self.fft_backend,
+                             eval_mode=self.eval_mode)
+        fresh = solver.init(key if key is not None
+                            else jax.random.PRNGKey(new_cfg.seed))
+        if (new_cfg.resolution == self.cfg.resolution
+                and new_cfg.spectrum_layout == self.cfg.spectrum_layout):
+            fresh = fresh._replace(phase=state.phase, t=state.t,
+                                   step=state.step)
+        return solver, fresh
+
     # ------------------------------------------------------------------ step
 
     def step(self, state: OceanState, dt: float = 1.0 / 60.0):
