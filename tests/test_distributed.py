@@ -125,3 +125,19 @@ def test_sharded_phase_mode_state_threading():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(f8.height), np.asarray(f1.height),
                                atol=2e-6 * np.abs(f1.height).max())
+
+
+def test_channel_sharded_ifft2_matches_single_device():
+    from tpu_ocean.fft.distributed import ifft2_channel_sharded
+    mesh = make_mesh(shard=4)
+    rng = np.random.default_rng(3)
+    n = 16
+    x = (rng.standard_normal((4, n, n))
+         + 1j * rng.standard_normal((4, n, n))).astype(np.complex64)
+
+    fn = shard_map(lambda a: ifft2_channel_sharded(a, "shard"),
+                   mesh=mesh, in_specs=(P("shard", None, None),),
+                   out_specs=P(None, None, None), check_vma=False)
+    got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+    want = np.fft.ifft2(x) * (n * n)
+    np.testing.assert_allclose(got, want, atol=1e-3)

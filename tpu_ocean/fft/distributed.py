@@ -83,3 +83,25 @@ def _transpose_x_to_z(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
         return x
     return lax.all_to_all(x, axis_name, split_axis=x.ndim - 1,
                           concat_axis=x.ndim - 2, tiled=True)
+
+
+def ifft2_channel_sharded(x: jnp.ndarray, axis_name: str,
+                          backend: str = "reference") -> jnp.ndarray:
+    """Tensor-parallel variant (D3): the CHANNEL batch is sharded instead of
+    the grid. Each device runs full local 2-D IFFTs for the channels it owns
+    ([C/D, N, N] resident), then an all_gather rebuilds the channel stack for
+    field extraction. No transpose collective at all — the right layout when
+    C·N² fits one device and the mesh is small (the 1-GPU reference's
+    Stockham pass already batched 2 channels per blit, Stockham.shader:53-54;
+    this is that idea stretched across devices).
+
+    Call inside shard_map with x sharded on axis 0.
+    """
+    x = _ifft1d_local(x, backend)
+    x = jnp.swapaxes(x, -1, -2)
+    x = _ifft1d_local(x, backend)
+    x = jnp.swapaxes(x, -1, -2)
+    n_dev = lax.axis_size(axis_name)
+    if n_dev > 1:
+        x = lax.all_gather(x, axis_name, axis=0, tiled=True)
+    return x
