@@ -18,6 +18,8 @@ import json
 import sys
 import time
 
+_METHOD = "dispatch"
+
 
 def _time_steps(solver, state, dt, steps):
     # Differenced scan-of-K timing (tpu_ocean.benchlib): immune to async
@@ -25,7 +27,8 @@ def _time_steps(solver, state, dt, steps):
     # latency. ``steps`` sets the larger scan length.
     from tpu_ocean.benchlib import time_steps_meta
     k2 = max(32, steps)
-    meta = time_steps_meta(solver._step_impl, state, dt, k1=k2 // 8, k2=k2)
+    meta = time_steps_meta(solver._step_impl, state, dt, k1=k2 // 8, k2=k2,
+                           method=_METHOD)
     return meta, state
 
 
@@ -39,7 +42,13 @@ def main():
                          "dominant cost on tunneled runtimes")
     ap.add_argument("--budget-s", type=float, default=420.0,
                     help="stop starting new backends past this wall budget")
+    ap.add_argument("--method", type=str, default="dispatch",
+                    choices=["dispatch", "loop"],
+                    help="dispatch: cheap-compile chained dispatches; "
+                         "loop: rigorous fori-loop + checksum pull")
     args = ap.parse_args()
+    global _METHOD
+    _METHOD = args.method
 
     import jax
     from tpu_ocean.config import OCEAN_DEMO

@@ -95,8 +95,21 @@ class TimingResult:
 
 
 def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
-                    repeats: int = 2, pull_timeout_s: int = 60) -> TimingResult:
-    """TimingResult for the pure (state, dt) -> (state, fields) stepper."""
+                    repeats: int = 2, pull_timeout_s: int = 60,
+                    method: str = "dispatch") -> TimingResult:
+    """TimingResult for the pure (state, dt) -> (state, fields) stepper.
+
+    method='dispatch': chained per-step dispatches, block on the last output.
+      Cheap to compile (one plain step executable); accurate wherever
+      block_until_ready is truthful; the K-linearity check flags the rest.
+    method='loop': fori_loop-of-K executable + checksum pull — rigorous even
+      against work-deferring runtimes, but the big-loop compile costs minutes
+      on remote-AOT tunnels and a hung pull cannot be interrupted (SIGALRM
+      can't preempt a blocked C call), so use it only where pulls are known
+      good.
+    """
+    if method == "dispatch":
+        return _time_steps_dispatch(step_impl, state, dt, k1, k2, repeats)
     loop = make_loop_stepper(step_impl, dt)
     f1 = lambda st: loop(st, jnp.int32(k1))
     f2 = lambda st: loop(st, jnp.int32(k2))
@@ -144,7 +157,36 @@ def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
                         k1=k1, k2=k2, wall_k1_s=best1, wall_k2_s=best2)
 
 
+def _time_steps_dispatch(step_impl, state, dt: float, k1: int, k2: int,
+                         repeats: int) -> TimingResult:
+    step = jax.jit(step_impl)   # NO donation: we re-feed the same start state
+    dtj = jnp.asarray(dt, jnp.float32)
+
+    def run_k(k):
+        st, fields = state, None
+        for _ in range(k):
+            st, fields = step(st, dtj)
+        jax.block_until_ready(fields)
+
+    run_k(2)   # compile + warm
+    best1 = best2 = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_k(k1)
+        t1 = time.perf_counter()
+        run_k(k2)
+        t2 = time.perf_counter()
+        best1 = min(best1, t1 - t0)
+        best2 = min(best2, t2 - t1)
+    per_step = max((best2 - best1) / (k2 - k1), 1e-9)
+    ratio = best2 / max(best1, 1e-9)
+    suspect = ratio < 0.25 * (k2 / k1) and best2 < 1.0
+    return TimingResult(per_step_s=per_step, forcing="block", suspect=suspect,
+                        k1=k1, k2=k2, wall_k1_s=best1, wall_k2_s=best2)
+
+
 def time_steps(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
-               repeats: int = 2) -> float:
+               repeats: int = 2, method: str = "dispatch") -> float:
     """Seconds per step (see time_steps_meta)."""
-    return time_steps_meta(step_impl, state, dt, k1, k2, repeats).per_step_s
+    return time_steps_meta(step_impl, state, dt, k1, k2, repeats,
+                           method=method).per_step_s
