@@ -61,7 +61,7 @@ def main():
     cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
     dt = 1.0 / 60.0
 
-    backends = (["reference", "stockham", "matmul", "pallas"]
+    backends = (["reference", "stockham", "matmul", "pallas", "pallas_fused"]
                 if args.backend == "all" else [args.backend])
     best = None
     t_start = time.perf_counter()

@@ -87,3 +87,37 @@ def test_solver_pallas_backend_matches_reference_backend():
     scale = np.max(np.abs(np.asarray(f_r.height))) + 1e-12
     assert np.max(np.abs(np.asarray(f_p.height)
                          - np.asarray(f_r.height))) / scale < 1e-4
+
+
+def test_fused_assembly_fft_matches_reference_backend():
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    cfg = OceanConfig(resolution=64, length=64.0, wind=(7.0, 4.0),
+                      amplitude=0.2, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    key = jax.random.PRNGKey(5)
+    s_ref = OceanSolver(cfg, fft_backend="reference")
+    s_fus = OceanSolver(cfg, fft_backend="pallas_fused")
+    st_r = s_ref.init(key)
+    st_f = s_fus.init(key)
+    for _ in range(3):
+        st_r, f_r = s_ref.step(st_r, 1 / 60)
+        st_f, f_f = s_fus.step(st_f, 1 / 60)
+    for name in ("height", "disp_x", "disp_z", "foam", "jacobian"):
+        a = np.asarray(getattr(f_r, name))
+        b = np.asarray(getattr(f_f, name))
+        scale = np.max(np.abs(a)) + 1e-12
+        assert np.max(np.abs(a - b)) / scale < 1e-4, name
+    # recurrent phase must evolve identically
+    np.testing.assert_array_equal(np.asarray(st_r.phase),
+                                  np.asarray(st_f.phase))
+
+
+def test_fused_requires_fft_layout():
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    cfg = OceanConfig(resolution=16, length=16.0, wind=(5.0, 3.0),
+                      amplitude=0.01, spectrum_layout="centered")
+    with pytest.raises(ValueError, match="pallas_fused"):
+        OceanSolver(cfg, fft_backend="pallas_fused")

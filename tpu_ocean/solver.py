@@ -44,6 +44,14 @@ from tpu_ocean.fft.reference import centered_modulation
 from tpu_ocean import fields as field_ops
 
 
+def _wavevector_f32(n: int, length: float):
+    """(kx, kz, |k|) float32 [N, N] fft-layout grids (trace-time, shares the
+    canonical convention in grids.wavevector_grid)."""
+    kx, kz, k_mag = grids.wavevector_grid(n, length, "fft")
+    return (np.asarray(kx, np.float32), np.asarray(kz, np.float32),
+            np.asarray(k_mag, np.float32))
+
+
 class OceanState(NamedTuple):
     h0: jax.Array
     h0_conj: jax.Array
@@ -95,12 +103,26 @@ class OceanSolver:
         self._z0 = np.asarray(z0, dtype=np.float32)
 
         if eval_mode == "fft":
-            self._ifft2 = get_ifft2(fft_backend, n)
-            if cfg.spectrum_layout == "centered":
-                self._pre, self._post = centered_modulation(
-                    n, cfg.length, cfg.unit_width)
-            else:
+            if fft_backend == "pallas_fused":
+                # fully fused assembly+FFT pipeline (ops/fused_spectrum_fft):
+                # needs the real-coefficient fft-layout channel set
+                if cfg.spectrum_layout != "fft":
+                    raise ValueError("pallas_fused requires "
+                                     "spectrum_layout='fft'")
+                kx, kz, k_mag = _wavevector_f32(n, cfg.length)
+                self._kx, self._kz = kx, kz
+                self._invk = np.where(k_mag < 1e-4, 0.0,
+                                      1.0 / np.maximum(k_mag, 1e-300)
+                                      ).astype(np.float32)
+                self._ifft2 = None
                 self._pre = self._post = None
+            else:
+                self._ifft2 = get_ifft2(fft_backend, n)
+                if cfg.spectrum_layout == "centered":
+                    self._pre, self._post = centered_modulation(
+                        n, cfg.length, cfg.unit_width)
+                else:
+                    self._pre = self._post = None
         else:
             # Direct DFT basis E[n, i] = e^{i k_n x_i} (oracle convention,
             # FFTMesh.cs:205-208) — valid for any length/unit_width pairing.
@@ -186,11 +208,7 @@ class OceanSolver:
                 phase_state = phase
                 t_new = state.t + dt
 
-        with jax.named_scope("spectrum_assembly"):
-            spectra = assemble_spectra(state.h0, state.h0_conj, phase,
-                                       self._coeffs)
-        with jax.named_scope("ifft2"):
-            f = self._transform(spectra)
+        f = self._evolved_transform(state, phase)
         with jax.named_scope("fields"):
             out = self._extract_fields(f)
 
@@ -203,10 +221,26 @@ class OceanSolver:
         """Evaluate fields at an absolute time without advancing state
         (absolute mode only) — mirrors the oracle's stateless EvaluateWaves."""
         phase = self._omega * jnp.asarray(t, dtype=jnp.float32)
-        spectra = assemble_spectra(state.h0, state.h0_conj, phase, self._coeffs)
-        return self._extract_fields(self._transform(spectra))
+        return self._extract_fields(self._evolved_transform(state, phase))
 
     # ---------------------------------------------------------------- internals
+
+    def _evolved_transform(self, state: OceanState, phase) -> jax.Array:
+        """phase [N, N] → [5, N, N] complex spatial fields (assembly + IFFT,
+        fused into one Pallas pipeline on the 'pallas_fused' backend)."""
+        if self.fft_backend == "pallas_fused" and self.eval_mode == "fft":
+            with jax.named_scope("fused_assembly_ifft2"):
+                from tpu_ocean.ops.fused_spectrum_fft import ifft2_fused
+                pair = (jnp.real(state.h0), jnp.imag(state.h0),
+                        jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
+                dz_sign = -1.0 if self.cfg.oracle_sign_quirk else 1.0
+                return ifft2_fused(pair, phase, self._kx, self._kz,
+                                   self._invk, dz_sign)
+        with jax.named_scope("spectrum_assembly"):
+            spectra = assemble_spectra(state.h0, state.h0_conj, phase,
+                                       self._coeffs)
+        with jax.named_scope("ifft2"):
+            return self._transform(spectra)
 
     def _transform(self, spectra: jax.Array) -> jax.Array:
         """[5, N, N] spectra → [5, N, N] complex spatial fields."""
