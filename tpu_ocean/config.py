@@ -75,7 +75,12 @@ class OceanConfig:
 
     # --- numerics ---
     seed: int = 0
-    precision: str = "float32"       # compute dtype for fields
+    # 'float32': parity-grade — MXU dots run bf16x3 (Precision.HIGHEST).
+    # 'bfloat16': fast mode — single-pass bf16 MXU dots, ~4e-3 relative field
+    #   error at 1024² (measured): fine for visualization/game workloads,
+    #   outside oracle-parity tolerance. Honored by the matmul/pallas FFT
+    #   backends; 'reference' (jnp.fft) is always full precision.
+    precision: str = "float32"
 
     def __post_init__(self):
         if self.resolution < 2:
@@ -88,6 +93,8 @@ class OceanConfig:
             raise ValueError(f"bad spectrum_layout {self.spectrum_layout!r}")
         if self.normals_mode not in ("spectral", "stencil"):
             raise ValueError(f"bad normals_mode {self.normals_mode!r}")
+        if self.precision not in ("float32", "bfloat16"):
+            raise ValueError(f"bad precision {self.precision!r}")
 
     @property
     def phillips_amplitude(self) -> float:

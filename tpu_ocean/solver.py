@@ -111,11 +111,21 @@ class OceanSolver:
                                      "spectrum_layout='fft'")
                 kx, kz, k_mag = _wavevector_f32(n, cfg.length)
                 self._kx, self._kz = kx, kz
-                self._invk = np.where(k_mag < 1e-4, 0.0,
-                                      1.0 / np.maximum(k_mag, 1e-300)
-                                      ).astype(np.float32)
+                with np.errstate(divide="ignore"):
+                    self._invk = np.where(
+                        k_mag < 1e-4, 0.0,
+                        1.0 / np.maximum(k_mag, np.float32(1e-30))
+                    ).astype(np.float32)
                 self._ifft2 = None
                 self._pre = self._post = None
+            elif fft_backend == "matmul" and cfg.precision == "bfloat16":
+                from tpu_ocean.fft.matmul import ifft2_matmul
+                self._ifft2 = functools.partial(
+                    ifft2_matmul, precision=jax.lax.Precision.DEFAULT)
+                self._pre = self._post = None
+                if cfg.spectrum_layout == "centered":
+                    self._pre, self._post = centered_modulation(
+                        n, cfg.length, cfg.unit_width)
             else:
                 self._ifft2 = get_ifft2(fft_backend, n)
                 if cfg.spectrum_layout == "centered":
