@@ -1,0 +1,61 @@
+"""Simulation runtime: run loop, metrics, checkpoint-resume, live reconfig."""
+
+import os
+
+import numpy as np
+import jax
+
+from tpu_ocean import OceanConfig, Simulation
+
+
+def _cfg(**kw):
+    base = dict(resolution=32, length=32.0, wind=(6.0, 4.0), amplitude=0.1,
+                evolution_mode="phase", dispersion_mode="capillary",
+                spectrum_layout="fft", normals_mode="stencil")
+    base.update(kw)
+    return OceanConfig(**base)
+
+
+def test_run_loop_and_metrics(tmp_path):
+    with Simulation(_cfg(), fft_backend="reference",
+                    out_dir=str(tmp_path)) as sim:
+        f = sim.run(5)
+        assert sim.step_count == 5
+        assert np.all(np.isfinite(np.asarray(f.height)))
+        assert sim.metrics.summary()["steps"] >= 4
+
+
+def test_auto_resume_from_checkpoint(tmp_path):
+    out = str(tmp_path / "run")
+    sim1 = Simulation(_cfg(), fft_backend="reference", out_dir=out,
+                      checkpoint_every=2)
+    sim1.run(6)
+    phase1 = np.asarray(jax.device_get(sim1.state.phase))
+    sim1.close()
+
+    sim2 = Simulation(_cfg(), fft_backend="reference", out_dir=out,
+                      checkpoint_every=2)
+    assert sim2.step_count == 6        # resumed, not restarted
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(sim2.state.phase)), phase1)
+    sim2.run(2)
+    assert sim2.step_count == 8
+    sim2.close()
+
+
+def test_export_every(tmp_path):
+    out = str(tmp_path / "run")
+    with Simulation(_cfg(), fft_backend="reference", out_dir=out,
+                    export_every=2) as sim:
+        sim.run(4)
+    exported = os.listdir(os.path.join(out, "fields"))
+    assert any("height" in f for f in exported)
+
+
+def test_live_reconfigure(tmp_path):
+    with Simulation(_cfg(), fft_backend="reference") as sim:
+        sim.run(3)
+        sim.reconfigure(_cfg(amplitude=0.5))
+        assert sim.step_count == 3     # phase/step preserved
+        sim.run(2)
+        assert sim.step_count == 5

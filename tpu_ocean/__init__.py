@@ -24,7 +24,9 @@ from tpu_ocean.config import (
     FFT_MESH_DEMO,
     POND_DEMO,
 )
-from tpu_ocean.solver import OceanState, OceanSolver
+from tpu_ocean.solver import OceanState, OceanFields, OceanSolver
+from tpu_ocean.gerstner import PondSolver, WaveBank
+from tpu_ocean.runtime import Simulation
 
 __version__ = "0.1.0"
 
@@ -35,5 +37,15 @@ __all__ = [
     "FFT_MESH_DEMO",
     "POND_DEMO",
     "OceanState",
+    "OceanFields",
     "OceanSolver",
+    "PondSolver",
+    "WaveBank",
+    "Simulation",
 ]
+
+# Heavier subsystems import lazily from their modules:
+#   tpu_ocean.solver_dist.DistributedOceanSolver   (domain decomposition)
+#   tpu_ocean.ensemble.EnsembleOceanSolver         (data parallel)
+#   tpu_ocean.cascade.CascadeSolver                (multi-band / expert)
+#   tpu_ocean.checkpoint / observe / viz / diagnostics / native

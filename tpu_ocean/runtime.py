@@ -1,0 +1,119 @@
+"""Simulation runtime — the orchestration layer around the jitted step.
+
+The reference's runtime is Unity's MonoBehaviour loop: Awake() → Update() per
+frame with live param re-init (OceanRenderer.cs:76-110). This module is its
+production-framework equivalent: one object owning solver + state + metrics +
+checkpointing + async export, with a run loop that keeps the device hot.
+
+    sim = Simulation(cfg, fft_backend="matmul", out_dir="run0",
+                     checkpoint_every=500, export_every=0)
+    sim.run(steps=10_000)            # resumes automatically if out_dir has
+    fields = sim.fields              # a checkpoint; emits JSONL metrics
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, Optional
+
+import jax
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+from tpu_ocean.observe import Metrics
+from tpu_ocean.checkpoint import CheckpointManager
+
+
+class Simulation:
+    """Owns the full lifecycle: init/resume → step loop → observe/persist."""
+
+    def __init__(self, cfg: OceanConfig, fft_backend: str = "matmul",
+                 out_dir: Optional[str] = None, dt: float = 1.0 / 60.0,
+                 checkpoint_every: int = 0, export_every: int = 0,
+                 metrics_stream=None, seed_key: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.dt = dt
+        self.solver = OceanSolver(cfg, fft_backend=fft_backend)
+        self.out_dir = out_dir
+        self.metrics = Metrics(grid_points=cfg.resolution ** 2,
+                               emit=metrics_stream)
+        self.fields = None
+
+        self._ckpt = None
+        if out_dir and checkpoint_every:
+            self._ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"),
+                                           interval=checkpoint_every)
+        self._exporter = None
+        self._export_every = export_every
+        if out_dir and export_every:
+            try:
+                from tpu_ocean.native import AsyncExporter
+                self._exporter = AsyncExporter(os.path.join(out_dir, "fields"))
+            except Exception:   # no native toolchain: fall back to sync viz
+                self._exporter = None
+
+        restored = self._ckpt.restore_latest() if self._ckpt else (None, None)
+        if restored[0] is not None:
+            self.state = restored[0]
+        else:
+            self.state = self.solver.init(seed_key)
+
+    @property
+    def step_count(self) -> int:
+        import numpy as np
+        return int(np.asarray(jax.device_get(self.state.step)))
+
+    def step(self):
+        """One solver step with metrics; returns the fields."""
+        with self.metrics.measure(sim_dt=self.dt):
+            self.state, self.fields = self.solver.step(self.state, self.dt)
+            jax.block_until_ready(self.fields.height)
+        self._post_step()
+        return self.fields
+
+    def _post_step(self):
+        k = self.step_count
+        if self._ckpt is not None:
+            self._ckpt.maybe_save(self.state, self.cfg)
+        if self._export_every and k % self._export_every == 0:
+            self._export(k)
+
+    def _export(self, k: int):
+        import numpy as np
+        if self._exporter is not None:
+            for name in ("height", "foam"):
+                self._exporter.submit(
+                    name, k, np.asarray(jax.device_get(
+                        getattr(self.fields, name))))
+        elif self.out_dir:
+            from tpu_ocean import viz
+            viz.save_fields(os.path.join(self.out_dir, "fields"),
+                            self.fields, step=k)
+
+    def run(self, steps: int,
+            callback: Optional[Callable[["Simulation"], None]] = None):
+        """Step ``steps`` times (on top of any resumed progress)."""
+        for _ in range(steps):
+            self.step()
+            if callback is not None:
+                callback(self)
+        if self._exporter is not None:
+            self._exporter.flush()
+        return self.fields
+
+    def reconfigure(self, new_cfg: OceanConfig):
+        """Live parameter change (the reference's Update() re-init path)."""
+        self.solver, self.state = self.solver.reconfigure(self.state, new_cfg)
+        self.cfg = new_cfg
+
+    def close(self):
+        if self._exporter is not None:
+            self._exporter.close()
+            self._exporter = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
