@@ -34,6 +34,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         # already initialized — idempotent by design (re-init on config
         # change mirrors OceanRenderer.cs:98-109's live re-init)
         pass
+    except ValueError:
+        # no coordinator and none inferable from the environment: we are a
+        # plain single-process run (CI, local dev) — distributed is a no-op
+        pass
 
 
 def make_mesh(shard: Optional[int] = None, batch: int = 1,
