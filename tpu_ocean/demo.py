@@ -119,6 +119,10 @@ def run_pond(args) -> int:
 
 
 def main(argv=None) -> int:
+    # honor an explicit JAX_PLATFORMS=cpu even where a device plugin
+    # overrides the env var during registration (the axon tunnel does)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(prog="tpu_ocean")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
