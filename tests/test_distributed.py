@@ -49,7 +49,7 @@ def test_make_roll_fn_mixed_axes():
     np.testing.assert_array_equal(got, np.roll(np.roll(x, -1, 0), 2, 1))
 
 
-@pytest.mark.parametrize("backend", ["reference", "stockham"])
+@pytest.mark.parametrize("backend", ["reference", "stockham", "pallas"])
 def test_distributed_ifft2_matches_single_device(backend):
     mesh = _mesh()
     n = 64
@@ -59,7 +59,9 @@ def test_distributed_ifft2_matches_single_device(backend):
 
     fn = shard_map(lambda a: ifft2_x_sharded(a, "shard", backend),
                    mesh=mesh, in_specs=(P(None, "shard", None),),
-                   out_specs=P(None, None, "shard"))
+                   out_specs=P(None, None, "shard"),
+                   # pallas_call outputs carry no vma annotation
+                   check_vma=backend != "pallas")
     got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
     want = np.fft.ifft2(x) * n * n
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
@@ -141,3 +143,29 @@ def test_channel_sharded_ifft2_matches_single_device():
     got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
     want = np.fft.ifft2(x) * (n * n)
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_sharded_step_pallas_backend_matches_single():
+    """Full distributed step with the transposed-store Pallas local FFTs."""
+    mesh = _mesh()
+    n = 64
+    cfg = OceanConfig(resolution=n, length=float(n), unit_width=1.0,
+                      wind=(9.0, 4.0), amplitude=0.15, choppiness=1.1,
+                      dispersion_mode="capillary", evolution_mode="phase",
+                      spectrum_layout="fft", normals_mode="stencil",
+                      oracle_sign_quirk=False)
+    rng = np.random.default_rng(5)
+    h0 = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    h0c = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    single = OceanSolver(cfg)
+    dist = DistributedOceanSolver(cfg, mesh, fft_backend="pallas")
+    s1 = single.init(h0=h0, h0_conj=h0c)
+    s8 = dist.init(h0=h0, h0_conj=h0c)
+    for _ in range(2):
+        s1, f1 = single.step(s1, 1 / 60)
+        s8, f8 = dist.step(s8, 1 / 60)
+    tol = 2e-5 * np.abs(np.asarray(f1.height)).max()
+    np.testing.assert_allclose(np.asarray(f8.height), np.asarray(f1.height),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(f8.foam), np.asarray(f1.foam),
+                               atol=1e-4)

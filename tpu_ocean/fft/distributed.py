@@ -36,6 +36,32 @@ def _ifft1d_local(x: jnp.ndarray, backend: str) -> jnp.ndarray:
     raise ValueError(f"unknown local backend {backend!r}")
 
 
+def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Distributed 2-D IFFT built from the transposed-store Pallas passes
+    (fft.pallas_fft): because each fused pass already writes its output
+    transposed, the all_to_all swaps (split=-2, concat=-1) and no local
+    swapaxes ever materializes. Layout chain per shard:
+
+        [C, X/D, N] → rowFFT+T → [C, N, X/D] → a2a → [C, N/D, X]
+                    → colFFT+T → [C, X, N/D]   (z-sharded, final)
+    """
+    from tpu_ocean.fft.pallas_fft import _fft1d_transposed
+
+    lead = x.shape[:-2]
+    m, n = x.shape[-2], x.shape[-1]
+    re = jnp.real(x).astype(jnp.float32).reshape(-1, m, n)
+    im = jnp.imag(x).astype(jnp.float32).reshape(-1, m, n)
+    re, im = _fft1d_transposed(re, im, inverse=True)      # [C, N, X/D]
+    if lax.axis_size(axis_name) > 1:
+        both = jnp.stack([re, im])                        # one collective
+        both = lax.all_to_all(both, axis_name, split_axis=2,
+                              concat_axis=3, tiled=True)  # [2, C, N/D, X]
+        re, im = both[0], both[1]
+    re, im = _fft1d_transposed(re, im, inverse=True)      # [C, X, N/D]
+    out = re + 1j * im
+    return out.reshape(lead + out.shape[-2:])
+
+
 def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
                     backend: str = "reference",
                     overlap_chunks: int = 1) -> jnp.ndarray:
@@ -52,6 +78,8 @@ def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
     transpose/compute overlap of SURVEY.md §5.8 without hand-rolled
     semaphores. Chunking is a no-op for correctness (tests sweep it).
     """
+    if backend == "pallas":
+        return _ifft2_x_sharded_pallas(x, axis_name)
     if overlap_chunks > 1 and x.ndim >= 3 and x.shape[0] % overlap_chunks == 0:
         parts = jnp.split(x, overlap_chunks, axis=0)
         # Phase-ordered so every chunk's transpose is issued before any

@@ -86,6 +86,8 @@ class DistributedOceanSolver:
                       x_spec, z_spec,              # pre (X-sharded), post (Z-sharded)
                       z_spec, z_spec),             # x0, z0
             out_specs=(state_specs, field_specs),
+            # pallas_call outputs carry no vma annotation for the checker
+            check_vma=fft_backend != "pallas",
         )
         self._step_jit = jax.jit(sharded_step, donate_argnums=(0,))
 
