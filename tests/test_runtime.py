@@ -59,3 +59,15 @@ def test_live_reconfigure(tmp_path):
         assert sim.step_count == 3     # phase/step preserved
         sim.run(2)
         assert sim.step_count == 5
+
+
+def test_resume_refuses_config_mismatch(tmp_path):
+    import pytest
+    out = str(tmp_path / "run")
+    sim1 = Simulation(_cfg(), fft_backend="reference", out_dir=out,
+                      checkpoint_every=1)
+    sim1.run(2)
+    sim1.close()
+    with pytest.raises(ValueError, match="different config"):
+        Simulation(_cfg(amplitude=0.9), fft_backend="reference",
+                   out_dir=out, checkpoint_every=1)

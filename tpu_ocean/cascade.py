@@ -17,6 +17,13 @@ Combined surface at display point (u, v) ∈ [0, 1)²:
     height(u,v)  = Σ_b h_b(u·N, v·N)           (per-band physical x = uv·L_b)
     disp/slopes sum likewise; normals and Jacobian foam are computed from the
     COMBINED fields (fields.py), with world spacing display_length / N.
+
+Field-contract note: because each band carries its OWN choppiness, the
+returned OceanFields.disp_x/disp_z are the EFFECTIVE (post-choppiness)
+combined displacements — i.e. the fields behave as if choppiness were 1:
+pos_x = x0 − disp_x directly. This deviates from the single-patch
+OceanSolver contract ("disp = raw, pos = x0 − chop·disp"), which cannot
+represent a per-band-weighted sum with a single scalar.
 """
 
 from __future__ import annotations

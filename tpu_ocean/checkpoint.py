@@ -78,11 +78,18 @@ def load_checkpoint(path: str) -> Tuple[OceanState, Optional[OceanConfig]]:
         if version > _FORMAT_VERSION:
             raise ValueError(f"checkpoint version {version} is newer than "
                              f"supported {_FORMAT_VERSION}")
-        h0 = z["h0_pair"][0] + 1j * z["h0_pair"][1]
-        h0c = z["h0_conj_pair"][0] + 1j * z["h0_conj_pair"][1]
+
+        def push(pair):
+            # upload the float planes and recombine ON DEVICE: complex64
+            # host→device transfers are as unreliable as device→host on the
+            # runtimes this module guards against
+            re = jnp.asarray(pair[0], jnp.float32)
+            im = jnp.asarray(pair[1], jnp.float32)
+            return (re + 1j * im).astype(jnp.complex64)
+
         state = OceanState(
-            h0=jnp.asarray(h0, jnp.complex64),
-            h0_conj=jnp.asarray(h0c, jnp.complex64),
+            h0=push(z["h0_pair"]),
+            h0_conj=push(z["h0_conj_pair"]),
             phase=jnp.asarray(z["phase"], jnp.float32),
             t=jnp.asarray(z["t"], jnp.float32),
             step=jnp.asarray(z["step"], jnp.int32),
@@ -109,8 +116,13 @@ class CheckpointManager:
         return os.path.join(self.directory, f"state_{step:010d}.npz")
 
     def maybe_save(self, state: OceanState,
-                   cfg: Optional[OceanConfig] = None) -> Optional[str]:
-        step = int(jax.device_get(state.step))
+                   cfg: Optional[OceanConfig] = None,
+                   step: Optional[int] = None) -> Optional[str]:
+        """Pass ``step`` when the caller tracks it host-side — pulling
+        state.step forces a device sync every call (and scalar pulls can hang
+        on tunneled runtimes)."""
+        if step is None:
+            step = int(jax.device_get(state.step))
         if step % self.interval != 0:
             return None
         p = self._path(step)
@@ -157,9 +169,14 @@ def load_checkpoint_orbax(directory: str) -> OceanState:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     d = ckptr.restore(os.path.abspath(directory))
+
+    def push(re, im):   # combine on device (complex host↔device is fragile)
+        return (jnp.asarray(re, jnp.float32)
+                + 1j * jnp.asarray(im, jnp.float32)).astype(jnp.complex64)
+
     return OceanState(
-        h0=jnp.asarray(d["h0_re"] + 1j * d["h0_im"], jnp.complex64),
-        h0_conj=jnp.asarray(d["h0c_re"] + 1j * d["h0c_im"], jnp.complex64),
+        h0=push(d["h0_re"], d["h0_im"]),
+        h0_conj=push(d["h0c_re"], d["h0c_im"]),
         phase=jnp.asarray(d["phase"], jnp.float32),
         t=jnp.asarray(d["t"], jnp.float32),
         step=jnp.asarray(d["step"], jnp.int32),

@@ -79,7 +79,14 @@ def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
     semaphores. Chunking is a no-op for correctness (tests sweep it).
     """
     if backend == "pallas":
+        if overlap_chunks > 1:
+            raise ValueError("overlap_chunks is not supported with the "
+                             "pallas backend")
         return _ifft2_x_sharded_pallas(x, axis_name)
+    if overlap_chunks > 1 and (x.ndim < 3
+                               or x.shape[0] % overlap_chunks != 0):
+        raise ValueError(f"overlap_chunks={overlap_chunks} must divide the "
+                         f"leading channel axis (shape {x.shape})")
     if overlap_chunks > 1 and x.ndim >= 3 and x.shape[0] % overlap_chunks == 0:
         parts = jnp.split(x, overlap_chunks, axis=0)
         # Phase-ordered so every chunk's transpose is issued before any

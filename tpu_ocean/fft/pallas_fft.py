@@ -65,21 +65,23 @@ def _tables_np(n: int, inverse: bool):
             w1.real.astype(f32), w1.imag.astype(f32))     # F1 [k1, t]
 
 
-def _dot_mid(m, x):
+def _dot_mid(m, x, precision=lax.Precision.HIGHEST):
     """[a, b] · [r, b, t] contracting b (rhs middle) → [a, r, t].
 
-    precision=HIGHEST: the MXU's default f32 path truncates to bf16 passes
-    (~4e-3 rel error at N=1024 — measured); HIGHEST selects the bf16x3
+    Default precision=HIGHEST: the MXU's default f32 path truncates to bf16
+    passes (~4e-3 rel error at N=1024 — measured); HIGHEST selects the bf16x3
     decomposition, restoring ~1e-7 parity with jnp.fft at ~3× the MXU cost
     (the kernel stays bandwidth-dominated, so wall-clock impact is small).
+    OceanConfig(precision='bfloat16') passes DEFAULT for the fast mode.
     """
     return lax.dot_general(m, x, dimension_numbers=(((1,), (1,)), ((), ())),
                            preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)
+                           precision=precision)
 
 
 def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
-                      re_ref, im_ref, ore_ref, oim_ref, *, n1, n2):
+                      re_ref, im_ref, ore_ref, oim_ref, *, n1, n2,
+                      precision=lax.Precision.HIGHEST):
     """(1, R, N2, N1) row block → 1-D transforms → transposed (1, N, R) store."""
     _, r, _, _ = re_ref.shape
     n = n1 * n2
@@ -88,8 +90,8 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
 
     # C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]
     f2r, f2i = f2r_ref[:], f2i_ref[:]
-    cr = _dot_mid(f2r, ar) - _dot_mid(f2i, ai)
-    ci = _dot_mid(f2r, ai) + _dot_mid(f2i, ar)
+    cr = _dot_mid(f2r, ar, precision) - _dot_mid(f2i, ai, precision)
+    ci = _dot_mid(f2r, ai, precision) + _dot_mid(f2i, ar, precision)
 
     # twiddle, broadcast over the row axis
     twr = twr_ref[:][:, None, :]
@@ -102,8 +104,8 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
 
     # D[k1, k2, r] = Σ_t F1[k1, t] C[k2, t, r]
     f1r, f1i = f1r_ref[:], f1i_ref[:]
-    dr = _dot_mid(f1r, cr) - _dot_mid(f1i, ci)
-    di = _dot_mid(f1r, ci) + _dot_mid(f1i, cr)
+    dr = _dot_mid(f1r, cr, precision) - _dot_mid(f1i, ci, precision)
+    di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
 
     # X[n] with n = k2 + N2·k1 ⇔ [k1, k2] row-major; minor axis stays r.
     ore_ref[:] = dr.reshape(1, n, r)
@@ -121,7 +123,8 @@ def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
     return r
 
 
-def _fft1d_transposed(re, im, inverse: bool):
+def _fft1d_transposed(re, im, inverse: bool,
+                      precision=lax.Precision.HIGHEST):
     """Batched 1-D transform along the last axis of [C, M, N]; returns
     [C, N, M] (transposed within each channel)."""
     c, m, n = re.shape
@@ -132,7 +135,8 @@ def _fft1d_transposed(re, im, inverse: bool):
     re = re.reshape(c, m, n2, n1)
     im = im.reshape(c, m, n2, n1)
 
-    kernel = functools.partial(_fft_block_kernel, n1=n1, n2=n2)
+    kernel = functools.partial(_fft_block_kernel, n1=n1, n2=n2,
+                               precision=precision)
     table = lambda shape: pl.BlockSpec(shape, lambda ci, bi: (0, 0),
                                        memory_space=pltpu.VMEM)
     in_block = pl.BlockSpec((1, r, n2, n1), lambda ci, bi: (ci, bi, 0, 0),
@@ -158,7 +162,8 @@ def _fft1d_transposed(re, im, inverse: bool):
     return ore, oim
 
 
-def ifft2_pallas(x: jnp.ndarray, inverse: bool = True) -> jnp.ndarray:
+def ifft2_pallas(x: jnp.ndarray, inverse: bool = True,
+                 precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """Unnormalized inverse FFT over the last two axes of [..., N, N].
 
     Two fused passes; each transforms rows and stores transposed, so after
@@ -168,8 +173,8 @@ def ifft2_pallas(x: jnp.ndarray, inverse: bool = True) -> jnp.ndarray:
     n0, n = x.shape[-2], x.shape[-1]
     re = jnp.real(x).astype(jnp.float32).reshape(-1, n0, n)
     im = jnp.imag(x).astype(jnp.float32).reshape(-1, n0, n)
-    re, im = _fft1d_transposed(re, im, inverse)   # [C, N, N0]: axis -1 done
-    re, im = _fft1d_transposed(re, im, inverse)   # [C, N0, N]: both done
+    re, im = _fft1d_transposed(re, im, inverse, precision)  # axis -1 done
+    re, im = _fft1d_transposed(re, im, inverse, precision)  # both done
     out = re + 1j * im
     return out.reshape(orig_shape)
 

@@ -38,4 +38,7 @@ def centered_modulation(n: int, length: float, unit_width: float, dtype=np.compl
     pre1, post1 = centered_ifft_factors(n, length, unit_width)
     pre = np.outer(pre1, pre1)
     post = np.outer(post1, post1)
-    return jnp.asarray(pre, dtype=dtype), jnp.asarray(post, dtype=dtype)
+    # HOST numpy on purpose: these become closed-over trace-time constants in
+    # the jitted step; device arrays there are re-fetched at lowering (slow or
+    # unimplemented on experimental TPU runtimes — CLAUDE.md hard rule)
+    return np.asarray(pre, dtype=dtype), np.asarray(post, dtype=dtype)

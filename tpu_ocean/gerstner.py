@@ -208,8 +208,10 @@ class PondSolver:
         self.normal_mode = normal_mode
         self.use_pallas = use_pallas
         x, z = grids.coordinate_grid(cfg.resolution, cfg.unit_width)
-        self._x = jnp.asarray(x, dtype=jnp.float32)
-        self._z = jnp.asarray(z, dtype=jnp.float32)
+        # HOST numpy: closed-over device constants are re-fetched at jit
+        # lowering (slow/unimplemented on experimental TPU runtimes)
+        self._x = np.asarray(x, dtype=np.float32)
+        self._z = np.asarray(z, dtype=np.float32)
         self._eval = jax.jit(self._eval_impl)
 
     def _eval_impl(self, t):

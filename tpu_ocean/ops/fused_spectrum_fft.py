@@ -46,7 +46,8 @@ NUM_CHANNELS = 5
 def _fused_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
                   h0r_ref, h0i_ref, h0cr_ref, h0ci_ref, ph_ref,
                   kx_ref, kz_ref, invk_ref,
-                  ore_ref, oim_ref, kscr_ref, *, n1, n2, dz_sign):
+                  ore_ref, oim_ref, kscr_ref, *, n1, n2, dz_sign,
+                  precision):
     r, _, _ = h0r_ref.shape
     n = n1 * n2
     shape3 = (r, n2, n1)
@@ -84,13 +85,13 @@ def _fused_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
         ar = k * htr
         ai = k * hti
         # four-step row FFT (see pallas_fft._fft_block_kernel for layout notes)
-        cr = _dot_mid(f2r, ar) - _dot_mid(f2i, ai)
-        ci = _dot_mid(f2r, ai) + _dot_mid(f2i, ar)
+        cr = _dot_mid(f2r, ar, precision) - _dot_mid(f2i, ai, precision)
+        ci = _dot_mid(f2r, ai, precision) + _dot_mid(f2i, ar, precision)
         cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
         cr = cr.transpose(0, 2, 1)
         ci = ci.transpose(0, 2, 1)
-        dr = _dot_mid(f1r, cr) - _dot_mid(f1i, ci)
-        di = _dot_mid(f1r, ci) + _dot_mid(f1i, cr)
+        dr = _dot_mid(f1r, cr, precision) - _dot_mid(f1i, ci, precision)
+        di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
         ore_ref[pl.ds(ch, 1)] = dr.reshape(1, 1, n, r)
         oim_ref[pl.ds(ch, 1)] = di.reshape(1, 1, n, r)
         return 0
@@ -99,10 +100,12 @@ def _fused_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
 
 
 def assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign: float,
-                    inverse: bool = True):
+                    inverse: bool = True, precision=None):
     """(h0r, h0i, h0cr, h0ci) f32 [M, N] each + phase/k tiles → row-FFT'd
     spectra stored TRANSPOSED: (re, im) [5, N, M] f32. Feed the result to
     pallas_fft._fft1d_transposed for the column pass."""
+    if precision is None:
+        precision = lax.Precision.HIGHEST
     h0r, h0i, h0cr, h0ci = h0_pair
     m, n = phase.shape
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
@@ -121,7 +124,8 @@ def assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign: float,
                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_fused_kernel, n1=n1, n2=n2,
-                               dz_sign=np.float32(dz_sign))
+                               dz_sign=np.float32(dz_sign),
+                               precision=precision)
     ore, oim = pl.pallas_call(
         kernel,
         grid=(m // r,),
@@ -141,10 +145,15 @@ def assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign: float,
     return ore[:, 0], oim[:, 0]     # [5, N, M]
 
 
-def ifft2_fused(h0_pair, phase, kx, kz, invk, dz_sign: float) -> jnp.ndarray:
+def ifft2_fused(h0_pair, phase, kx, kz, invk, dz_sign: float,
+                precision=None) -> jnp.ndarray:
     """Full fused 2-D unnormalized inverse transform of the five evolved
     spectra: returns complex [5, N, N] spatial fields (matches
     ifft2(assemble_spectra(...)) to fp32)."""
-    re, im = assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign)
-    re, im = _fft1d_transposed(re, im, inverse=True)   # column pass
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    re, im = assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign,
+                             precision=precision)
+    re, im = _fft1d_transposed(re, im, inverse=True,
+                               precision=precision)   # column pass
     return re + 1j * im

@@ -55,27 +55,40 @@ class Simulation:
 
         restored = self._ckpt.restore_latest() if self._ckpt else (None, None)
         if restored[0] is not None:
+            saved_cfg = restored[1]
+            if saved_cfg is not None and saved_cfg != cfg:
+                raise ValueError(
+                    f"checkpoint in {out_dir!r} was written with a different "
+                    f"config; refusing to silently continue it. Use a fresh "
+                    f"out_dir, or Simulation(saved_cfg, ...) to resume "
+                    f"(saved: {saved_cfg})")
             self.state = restored[0]
+            import numpy as np
+            self._steps_done = int(np.asarray(
+                jax.device_get(self.state.step)))   # one pull at startup only
         else:
             self.state = self.solver.init(seed_key)
+            self._steps_done = 0
 
     @property
     def step_count(self) -> int:
-        import numpy as np
-        return int(np.asarray(jax.device_get(self.state.step)))
+        # tracked host-side: pulling state.step every step would force a
+        # device sync per step (and scalar pulls can hang on tunneled TPUs)
+        return self._steps_done
 
     def step(self):
         """One solver step with metrics; returns the fields."""
         with self.metrics.measure(sim_dt=self.dt):
             self.state, self.fields = self.solver.step(self.state, self.dt)
             jax.block_until_ready(self.fields.height)
+        self._steps_done += 1
         self._post_step()
         return self.fields
 
     def _post_step(self):
-        k = self.step_count
+        k = self._steps_done
         if self._ckpt is not None:
-            self._ckpt.maybe_save(self.state, self.cfg)
+            self._ckpt.maybe_save(self.state, self.cfg, step=k)
         if self._export_every and k % self._export_every == 0:
             self._export(k)
 
@@ -104,8 +117,12 @@ class Simulation:
 
     def reconfigure(self, new_cfg: OceanConfig):
         """Live parameter change (the reference's Update() re-init path)."""
+        rebuilt = (new_cfg.resolution != self.cfg.resolution
+                   or new_cfg.spectrum_layout != self.cfg.spectrum_layout)
         self.solver, self.state = self.solver.reconfigure(self.state, new_cfg)
         self.cfg = new_cfg
+        if rebuilt:
+            self._steps_done = 0   # full re-init: progress restarted
 
     def close(self):
         if self._exporter is not None:

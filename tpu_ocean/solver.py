@@ -102,6 +102,11 @@ class OceanSolver:
         self._x0 = np.asarray(x0, dtype=np.float32)
         self._z0 = np.asarray(z0, dtype=np.float32)
 
+        # MXU dot precision for backends that honor cfg.precision
+        self._mxu_precision = (jax.lax.Precision.DEFAULT
+                               if cfg.precision == "bfloat16"
+                               else jax.lax.Precision.HIGHEST)
+
         if eval_mode == "fft":
             if fft_backend == "pallas_fused":
                 # fully fused assembly+FFT pipeline (ops/fused_spectrum_fft):
@@ -109,19 +114,26 @@ class OceanSolver:
                 if cfg.spectrum_layout != "fft":
                     raise ValueError("pallas_fused requires "
                                      "spectrum_layout='fft'")
+                from tpu_ocean.config import EPSILON
                 kx, kz, k_mag = _wavevector_f32(n, cfg.length)
                 self._kx, self._kz = kx, kz
                 with np.errstate(divide="ignore"):
                     self._invk = np.where(
-                        k_mag < 1e-4, 0.0,
+                        k_mag < EPSILON, 0.0,
                         1.0 / np.maximum(k_mag, np.float32(1e-30))
                     ).astype(np.float32)
                 self._ifft2 = None
                 self._pre = self._post = None
-            elif fft_backend == "matmul" and cfg.precision == "bfloat16":
-                from tpu_ocean.fft.matmul import ifft2_matmul
-                self._ifft2 = functools.partial(
-                    ifft2_matmul, precision=jax.lax.Precision.DEFAULT)
+            elif (fft_backend in ("matmul", "pallas")
+                  and cfg.precision == "bfloat16"):
+                if fft_backend == "matmul":
+                    from tpu_ocean.fft.matmul import ifft2_matmul
+                    self._ifft2 = functools.partial(
+                        ifft2_matmul, precision=self._mxu_precision)
+                else:
+                    from tpu_ocean.fft.pallas_fft import ifft2_pallas
+                    self._ifft2 = functools.partial(
+                        ifft2_pallas, precision=self._mxu_precision)
                 self._pre = self._post = None
                 if cfg.spectrum_layout == "centered":
                     self._pre, self._post = centered_modulation(
@@ -245,7 +257,8 @@ class OceanSolver:
                         jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
                 dz_sign = -1.0 if self.cfg.oracle_sign_quirk else 1.0
                 return ifft2_fused(pair, phase, self._kx, self._kz,
-                                   self._invk, dz_sign)
+                                   self._invk, dz_sign,
+                                   precision=self._mxu_precision)
         with jax.named_scope("spectrum_assembly"):
             spectra = assemble_spectra(state.h0, state.h0_conj, phase,
                                        self._coeffs)

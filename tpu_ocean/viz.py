@@ -32,9 +32,9 @@ def _normalize01(a: np.ndarray) -> np.ndarray:
 def save_field_png(path: str, field, cmap: str = "viridis") -> str:
     """One scalar field [N, N] → PNG heatmap."""
     from PIL import Image
-    import matplotlib.cm as cm
+    import matplotlib
     a = _normalize01(_to_host(field).astype(np.float64))
-    rgba = (cm.get_cmap(cmap)(a) * 255).astype(np.uint8)
+    rgba = (matplotlib.colormaps[cmap](a) * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     Image.fromarray(rgba).save(path)
     return path
