@@ -112,15 +112,30 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
     oim_ref[:] = di.reshape(1, n, r)
 
 
+MAX_FUSED_N = 2048  # transposed-store VMEM ceiling (see _pick_block_rows)
+
+
 def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
-    """Largest power-of-two row block dividing n_rows under the VMEM budget
-    (~8 live/double-buffered (R, N) f32 planes)."""
+    """Row block dividing n_rows under the VMEM budget (~8 live/double-
+    buffered (R, N) f32 planes).
+
+    The transposed store makes R the output's LANE dimension, so Mosaic
+    requires R % 128 == 0 (or R == n_rows for tiny grids). Beyond
+    N = MAX_FUSED_N the 128-row block no longer fits VMEM — callers fall back
+    to the unfused einsum path there (pallas_supported())."""
     r = 256
     while r > 8 and (r * n * 4 * 8 > vmem_budget or n_rows % r != 0):
         r //= 2
+    if r < 128 and n_rows % 128 == 0:
+        r = 128   # lane alignment beats the budget heuristic
     while n_rows % r != 0 and r > 1:
         r //= 2
     return r
+
+
+def pallas_supported(n: int) -> bool:
+    """True when the fused transposed-store kernels fit VMEM at side N."""
+    return n <= MAX_FUSED_N
 
 
 def _fft1d_transposed(re, im, inverse: bool,

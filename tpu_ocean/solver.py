@@ -84,8 +84,17 @@ class OceanSolver:
                              "(oracle) layout only")
         self.cfg = cfg
         self.eval_mode = eval_mode
-        self.fft_backend = fft_backend
         n = cfg.resolution
+        if fft_backend in ("pallas", "pallas_fused"):
+            from tpu_ocean.fft.pallas_fft import pallas_supported
+            if not pallas_supported(n):
+                # transposed-store blocks exceed VMEM past MAX_FUSED_N; the
+                # einsum four-step is the fast path there anyway
+                import warnings
+                warnings.warn(f"{fft_backend} supports N <= 2048 (VMEM); "
+                              f"falling back to 'matmul' at N={n}")
+                fft_backend = "matmul"
+        self.fft_backend = fft_backend
 
         # ---- trace-time constants (float64 numpy, embedded at lowering) ----
         # Kept as HOST numpy arrays on purpose: closed-over device arrays are
