@@ -112,7 +112,13 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
     oim_ref[:] = di.reshape(1, n, r)
 
 
-MAX_FUSED_N = 2048  # transposed-store VMEM ceiling (see _pick_block_rows)
+# Transposed-store VMEM ceilings (see _pick_block_rows): the pure FFT pass
+# streams 2 planes per block; the fused assembly pass streams 8 (h0 pair,
+# phase, wavevector tiles), so its 128-row lane-aligned block stops fitting
+# one N-doubling earlier. Verified on hardware: pallas OK at 2048, fused OK
+# at 1024, both VMEM-OOM one doubling later.
+MAX_PALLAS_N = 2048
+MAX_FUSED_N = 1024
 
 
 def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
@@ -133,9 +139,9 @@ def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
     return r
 
 
-def pallas_supported(n: int) -> bool:
-    """True when the fused transposed-store kernels fit VMEM at side N."""
-    return n <= MAX_FUSED_N
+def pallas_supported(n: int, fused: bool = False) -> bool:
+    """True when the transposed-store kernels fit VMEM at side N."""
+    return n <= (MAX_FUSED_N if fused else MAX_PALLAS_N)
 
 
 def _fft1d_transposed(re, im, inverse: bool,

@@ -87,12 +87,12 @@ class OceanSolver:
         n = cfg.resolution
         if fft_backend in ("pallas", "pallas_fused"):
             from tpu_ocean.fft.pallas_fft import pallas_supported
-            if not pallas_supported(n):
-                # transposed-store blocks exceed VMEM past MAX_FUSED_N; the
-                # einsum four-step is the fast path there anyway
+            if not pallas_supported(n, fused=fft_backend == "pallas_fused"):
+                # transposed-store blocks exceed VMEM past the per-path cap;
+                # the einsum four-step is the fast path there anyway
                 import warnings
-                warnings.warn(f"{fft_backend} supports N <= 2048 (VMEM); "
-                              f"falling back to 'matmul' at N={n}")
+                warnings.warn(f"{fft_backend} exceeds its VMEM cap at N={n}; "
+                              f"falling back to 'matmul'")
                 fft_backend = "matmul"
         self.fft_backend = fft_backend
 
