@@ -27,8 +27,10 @@ def _time_steps(solver, state, dt, steps):
     # latency. ``steps`` sets the larger scan length.
     from tpu_ocean.benchlib import time_steps_meta
     k2 = max(32, steps)
+    # the solver's device-resident constants travel as a jit ARGUMENT —
+    # closing over them would embed (numpy) or re-fetch (device) them
     meta = time_steps_meta(solver._step_impl, state, dt, k1=k2 // 8, k2=k2,
-                           method=_METHOD)
+                           method=_METHOD, extra=solver._consts)
     return meta, state
 
 

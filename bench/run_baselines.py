@@ -121,8 +121,10 @@ def _ocean_throughput(n, backend, steps=64):
     cfg = OCEAN_DEMO.replace(resolution=n, length=float(n))
     solver = OceanSolver(cfg, fft_backend=backend)
     state = solver.init(jax.random.PRNGKey(0))
-    return time_steps(solver._step_impl, state, 1.0 / 60.0,
-                      k1=max(8, steps // 8), k2=steps)
+    from tpu_ocean.benchlib import time_steps_meta
+    return time_steps_meta(solver._step_impl, state, 1.0 / 60.0,
+                           k1=max(8, steps // 8), k2=steps,
+                           extra=solver._consts).per_step_s
 
 
 def config4(backend="matmul"):

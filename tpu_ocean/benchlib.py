@@ -42,28 +42,40 @@ def _consume(fields) -> jax.Array:
     return acc
 
 
-def make_scan_stepper(step_impl, dt: float, k: int):
+def make_scan_stepper(step_impl, dt: float, k: int, extra=None):
     """jit(state -> (state, checksum)) running ``k`` chained steps."""
-    loop = make_loop_stepper(step_impl, dt)
-    return lambda state: loop(state, jnp.int32(k))
+    loop = make_loop_stepper(step_impl, dt, with_extra=extra is not None)
+    if extra is None:
+        return lambda state: loop(state, jnp.int32(k))
+    return lambda state: loop(state, jnp.int32(k), extra)
 
 
-def make_loop_stepper(step_impl, dt: float):
-    """jit((state, k) -> (state, checksum)) with a TRACED trip count — one
-    compile serves every k (remote AOT compiles cost minutes per executable
-    on tunneled runtimes, so the k1/k2 differencing must share one)."""
+def make_loop_stepper(step_impl, dt: float, with_extra: bool = False):
+    """jit((state, k[, extra]) -> (state, checksum)) with a TRACED trip
+    count — one compile serves every k (remote AOT compiles cost minutes per
+    executable on tunneled runtimes, so the k1/k2 differencing must share
+    one). ``extra`` carries the solver's device-resident constants as a real
+    jit argument — closing over them would embed/re-fetch them (CLAUDE.md)."""
     # host scalar, NOT jnp: a closed-over device array becomes an MLIR
     # constant that jit must fetch device→host — unimplemented on axon
     dt = np.float32(dt)
 
-    def body(_, carry):
-        st, acc = carry
-        st, fields = step_impl(st, dt)
-        return (st, acc + _consume(fields))
-
-    def run(state, k):
-        return lax.fori_loop(0, k, body,
-                             (state, jnp.zeros((), jnp.float32)))
+    if with_extra:
+        def run(state, k, extra):
+            def body(_, carry):
+                st, acc = carry
+                st, fields = step_impl(st, dt, extra)
+                return (st, acc + _consume(fields))
+            return lax.fori_loop(0, k, body,
+                                 (state, jnp.zeros((), jnp.float32)))
+    else:
+        def run(state, k):
+            def body(_, carry):
+                st, acc = carry
+                st, fields = step_impl(st, dt)
+                return (st, acc + _consume(fields))
+            return lax.fori_loop(0, k, body,
+                                 (state, jnp.zeros((), jnp.float32)))
 
     return jax.jit(run)
 
@@ -96,7 +108,7 @@ class TimingResult:
 
 def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
                     repeats: int = 2, pull_timeout_s: int = 60,
-                    method: str = "dispatch") -> TimingResult:
+                    method: str = "dispatch", extra=None) -> TimingResult:
     """TimingResult for the pure (state, dt) -> (state, fields) stepper.
 
     method='dispatch': chained per-step dispatches, block on the last output.
@@ -109,10 +121,15 @@ def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
       good.
     """
     if method == "dispatch":
-        return _time_steps_dispatch(step_impl, state, dt, k1, k2, repeats)
-    loop = make_loop_stepper(step_impl, dt)
-    f1 = lambda st: loop(st, jnp.int32(k1))
-    f2 = lambda st: loop(st, jnp.int32(k2))
+        return _time_steps_dispatch(step_impl, state, dt, k1, k2, repeats,
+                                    extra)
+    loop = make_loop_stepper(step_impl, dt, with_extra=extra is not None)
+    if extra is None:
+        f1 = lambda st: loop(st, jnp.int32(k1))
+        f2 = lambda st: loop(st, jnp.int32(k2))
+    else:
+        f1 = lambda st: loop(st, jnp.int32(k1), extra)
+        f2 = lambda st: loop(st, jnp.int32(k2), extra)
 
     # forcing strategy: demote pull → block on the FIRST failure anywhere
     # (pull support is flaky per-program on tunneled backends)
@@ -158,14 +175,15 @@ def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
 
 
 def _time_steps_dispatch(step_impl, state, dt: float, k1: int, k2: int,
-                         repeats: int) -> TimingResult:
+                         repeats: int, extra=None) -> TimingResult:
     step = jax.jit(step_impl)   # NO donation: we re-feed the same start state
     dtj = jnp.asarray(dt, jnp.float32)
+    args = () if extra is None else (extra,)
 
     def run_k(k):
         st, fields = state, None
         for _ in range(k):
-            st, fields = step(st, dtj)
+            st, fields = step(st, dtj, *args)
         jax.block_until_ready(fields)
 
     run_k(2)   # compile + warm

@@ -82,12 +82,15 @@ class CascadeSolver:
         self.display_length = (display_length if display_length is not None
                                else max(c.length for c in cfgs))
 
-        # stacked trace-time constants — host numpy (axon closure rule)
-        self._omega = np.stack([np.asarray(omega_grid(c), np.float32)
-                                for c in cfgs])                    # [B, N, N]
-        self._coeffs = np.stack([np.asarray(spectrum_coefficients(c),
-                                            np.complex64)
-                                 for c in cfgs])                   # [B, 5, N, N]
+        # stacked trace-time constants: device-put once, passed as step
+        # ARGUMENTS (closure-embedded numpy bloats programs past remote
+        # compiler limits at large N; closure device arrays are re-fetched)
+        self._omega = jax.device_put(
+            np.stack([np.asarray(omega_grid(c), np.float32)
+                      for c in cfgs]))                             # [B, N, N]
+        self._coeffs = jax.device_put(
+            np.stack([np.asarray(spectrum_coefficients(c).real, np.float32)
+                      for c in cfgs]))                             # [B, 5, N, N]
         self._chop = np.asarray([c.choppiness for c in cfgs], np.float32)
         self._dtmul = np.asarray([c.dt_multiplier for c in cfgs], np.float32)
         self._ifft2 = get_ifft2(fft_backend, n)
@@ -97,8 +100,10 @@ class CascadeSolver:
             espec = NamedSharding(mesh, P("expert"))
             state_shardings = CascadeState(h0=espec, h0_conj=espec,
                                            phase=espec, t=None, step=None)
-            self._step_jit = jax.jit(step, donate_argnums=(0,),
-                                     in_shardings=(state_shardings, None))
+            # omega/coeffs shard along their band axis like the state
+            self._step_jit = jax.jit(
+                step, donate_argnums=(0,),
+                in_shardings=(state_shardings, None, espec, espec))
         else:
             self._step_jit = jax.jit(step, donate_argnums=(0,))
 
@@ -133,11 +138,14 @@ class CascadeSolver:
     # ---------------------------------------------------------------- step
 
     def step(self, state: CascadeState, dt: float = 1.0 / 60.0):
-        return self._step_jit(state, jnp.asarray(dt, jnp.float32))
+        return self._step_jit(state, jnp.asarray(dt, jnp.float32),
+                              self._omega, self._coeffs)
 
-    def _step_impl(self, state: CascadeState, dt: jax.Array):
+    def _step_impl(self, state: CascadeState, dt: jax.Array,
+                   omega=None, coeffs=None):
         cfg0 = self.cfgs[0]
-        omega = self._omega
+        if omega is None:
+            omega, coeffs = self._omega, self._coeffs
         if cfg0.evolution_mode == "absolute":
             t_new = state.t + dt / cfg0.t_division
             phase = omega * t_new
@@ -151,7 +159,7 @@ class CascadeSolver:
 
         # [B, 5, N, N] band spectra, one batched IFFT over the trailing axes
         spectra = jax.vmap(assemble_spectra)(state.h0, state.h0_conj,
-                                             phase, jnp.asarray(self._coeffs))
+                                             phase, coeffs)
         f = self._ifft2(spectra)
 
         chop = self._chop[:, None, None]

@@ -48,9 +48,11 @@ class EnsembleOceanSolver:
 
         state_shardings = OceanState(
             h0=spec(), h0_conj=spec(), phase=spec(), t=spec(), step=spec())
-        vstep = jax.vmap(self._inner._step_impl, in_axes=(0, None))
+        # constants ride as a (replicated) jit argument — embedding them in
+        # the program bloats it and re-fetching closures is unreliable
+        vstep = jax.vmap(self._inner._step_impl, in_axes=(0, None, None))
         self._step_jit = jax.jit(vstep, donate_argnums=(0,),
-                                 in_shardings=(state_shardings, None))
+                                 in_shardings=(state_shardings, None, None))
 
     def init(self, key: Optional[jax.Array] = None) -> OceanState:
         """Member i draws its own h0 from fold_in(key, i)."""
@@ -64,4 +66,5 @@ class EnsembleOceanSolver:
 
     def step(self, state: OceanState, dt: float = 1.0 / 60.0):
         """[E, ...] state → ([E, ...] state, [E, ...] fields)."""
-        return self._step_jit(state, jnp.asarray(dt, jnp.float32))
+        return self._step_jit(state, jnp.asarray(dt, jnp.float32),
+                              self._inner._consts)

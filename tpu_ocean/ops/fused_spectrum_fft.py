@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ocean.fft.pallas_fft import (
-    _split_lanes, _tables_np, _dot_mid, _fft1d_transposed)
+    _tables_np, _dot_mid, _fft1d_transposed)
 
 NUM_CHANNELS = 5
 

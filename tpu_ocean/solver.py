@@ -96,20 +96,30 @@ class OceanSolver:
                 fft_backend = "matmul"
         self.fft_backend = fft_backend
 
-        # ---- trace-time constants (float64 numpy, embedded at lowering) ----
-        # Kept as HOST numpy arrays on purpose: closed-over device arrays are
-        # re-fetched (device→host) when jit lowers them as constants, which is
-        # slow — and unimplemented on some experimental TPU runtimes.
-        self._omega = np.asarray(omega_grid(cfg), dtype=np.float32)
-        self._coeffs = np.asarray(spectrum_coefficients(cfg), dtype=np.complex64)
+        # ---- trace-time constants ----
+        # Built as float64 numpy, then device_put ONCE and passed to the
+        # jitted step as ARGUMENTS. Neither alternative works at scale:
+        # closed-over device arrays are re-fetched (device→host) at jit
+        # lowering (slow/unimplemented on experimental TPU runtimes), and
+        # closed-over numpy arrays are EMBEDDED in the program body — at
+        # 4096² the coefficient grids alone exceed remote compilers' request
+        # limits (observed HTTP 413). All constants here are real-valued, so
+        # they travel as f32 (complex host→device transfers are unreliable
+        # on the same runtimes).
+        consts = {
+            "omega": np.asarray(omega_grid(cfg), dtype=np.float32),
+            # channel coefficients are REAL (evolve.spectrum_coefficients)
+            "coeffs": np.asarray(spectrum_coefficients(cfg).real,
+                                 dtype=np.float32),
+        }
 
         if cfg.spectrum_layout == "centered":
             x1d = grids.coordinate_1d(n, cfg.unit_width)
         else:
             x1d = np.arange(n, dtype=np.float64) * (cfg.length / n)
         x0, z0 = np.meshgrid(x1d, x1d, indexing="ij")
-        self._x0 = np.asarray(x0, dtype=np.float32)
-        self._z0 = np.asarray(z0, dtype=np.float32)
+        consts["x0"] = np.asarray(x0, dtype=np.float32)
+        consts["z0"] = np.asarray(z0, dtype=np.float32)
 
         # MXU dot precision for backends that honor cfg.precision
         self._mxu_precision = (jax.lax.Precision.DEFAULT
@@ -125,14 +135,14 @@ class OceanSolver:
                                      "spectrum_layout='fft'")
                 from tpu_ocean.config import EPSILON
                 kx, kz, k_mag = _wavevector_f32(n, cfg.length)
-                self._kx, self._kz = kx, kz
+                consts["kx"], consts["kz"] = kx, kz
                 with np.errstate(divide="ignore"):
-                    self._invk = np.where(
+                    consts["invk"] = np.where(
                         k_mag < EPSILON, 0.0,
                         1.0 / np.maximum(k_mag, np.float32(1e-30))
                     ).astype(np.float32)
                 self._ifft2 = None
-                self._pre = self._post = None
+                self._has_modulation = False
             elif (fft_backend in ("matmul", "pallas")
                   and cfg.precision == "bfloat16"):
                 if fft_backend == "matmul":
@@ -143,25 +153,34 @@ class OceanSolver:
                     from tpu_ocean.fft.pallas_fft import ifft2_pallas
                     self._ifft2 = functools.partial(
                         ifft2_pallas, precision=self._mxu_precision)
-                self._pre = self._post = None
+                self._has_modulation = False
                 if cfg.spectrum_layout == "centered":
-                    self._pre, self._post = centered_modulation(
-                        n, cfg.length, cfg.unit_width)
+                    self._add_modulation(consts, n)
             else:
                 self._ifft2 = get_ifft2(fft_backend, n)
+                self._has_modulation = False
                 if cfg.spectrum_layout == "centered":
-                    self._pre, self._post = centered_modulation(
-                        n, cfg.length, cfg.unit_width)
-                else:
-                    self._pre = self._post = None
+                    self._add_modulation(consts, n)
         else:
             # Direct DFT basis E[n, i] = e^{i k_n x_i} (oracle convention,
             # FFTMesh.cs:205-208) — valid for any length/unit_width pairing.
             k1d = grids.wavenumbers_1d(n, cfg.length, "centered")
             ex = np.exp(1j * np.outer(k1d, x1d))
-            self._ex = np.asarray(ex, dtype=np.complex64)
+            consts["ex_re"] = np.asarray(ex.real, np.float32)
+            consts["ex_im"] = np.asarray(ex.imag, np.float32)
+            self._has_modulation = False
 
+        self._consts = {k: jax.device_put(v) for k, v in consts.items()}
         self._step_jit = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def _add_modulation(self, consts, n):
+        pre, post = centered_modulation(n, self.cfg.length,
+                                        self.cfg.unit_width)
+        consts["pre_re"] = np.asarray(pre.real, np.float32)
+        consts["pre_im"] = np.asarray(pre.imag, np.float32)
+        consts["post_re"] = np.asarray(post.real, np.float32)
+        consts["post_im"] = np.asarray(post.imag, np.float32)
+        self._has_modulation = True
 
     # ------------------------------------------------------------------ init
 
@@ -217,10 +236,13 @@ class OceanSolver:
 
     def step(self, state: OceanState, dt: float = 1.0 / 60.0):
         """Advance one step and return (new_state, OceanFields)."""
-        return self._step_jit(state, jnp.asarray(dt, dtype=jnp.float32))
+        return self._step_jit(state, jnp.asarray(dt, dtype=jnp.float32),
+                              self._consts)
 
-    def _step_impl(self, state: OceanState, dt: jax.Array):
+    def _step_impl(self, state: OceanState, dt: jax.Array, c=None):
         cfg = self.cfg
+        if c is None:           # benchlib & friends call with two args
+            c = self._consts
 
         # named scopes mirror the reference's per-pass structure in profiler
         # traces (SURVEY.md §5.1): dispersion → spectrum → FFT → fields
@@ -229,19 +251,19 @@ class OceanSolver:
                 # timer += dt / tDivision, evaluate at new absolute time
                 # (FFTMesh.cs:70-72).
                 t_new = state.t + dt / cfg.t_division
-                phase = self._omega * t_new
+                phase = c["omega"] * t_new
                 phase_state = state.phase
             else:
                 # φ ← (φ + ω·dt·mult) mod 2π (Dispersion.shader:32-41,
                 # OceanRenderer.cs:223 dt·mult).
                 phase = evolve_phase_accumulate(
-                    state.phase, self._omega, dt * cfg.dt_multiplier)
+                    state.phase, c["omega"], dt * cfg.dt_multiplier)
                 phase_state = phase
                 t_new = state.t + dt
 
-        f = self._evolved_transform(state, phase)
+        f = self._evolved_transform(state, phase, c)
         with jax.named_scope("fields"):
-            out = self._extract_fields(f)
+            out = self._extract_fields(f, c)
 
         new_state = OceanState(h0=state.h0, h0_conj=state.h0_conj,
                                phase=phase_state, t=t_new,
@@ -251,12 +273,14 @@ class OceanSolver:
     def fields_at(self, state: OceanState, t: float) -> OceanFields:
         """Evaluate fields at an absolute time without advancing state
         (absolute mode only) — mirrors the oracle's stateless EvaluateWaves."""
-        phase = self._omega * jnp.asarray(t, dtype=jnp.float32)
-        return self._extract_fields(self._evolved_transform(state, phase))
+        c = self._consts
+        phase = c["omega"] * jnp.asarray(t, dtype=jnp.float32)
+        return self._extract_fields(self._evolved_transform(state, phase, c),
+                                    c)
 
     # ---------------------------------------------------------------- internals
 
-    def _evolved_transform(self, state: OceanState, phase) -> jax.Array:
+    def _evolved_transform(self, state: OceanState, phase, c) -> jax.Array:
         """phase [N, N] → [5, N, N] complex spatial fields (assembly + IFFT,
         fused into one Pallas pipeline on the 'pallas_fused' backend)."""
         if self.fft_backend == "pallas_fused" and self.eval_mode == "fft":
@@ -265,30 +289,31 @@ class OceanSolver:
                 pair = (jnp.real(state.h0), jnp.imag(state.h0),
                         jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
                 dz_sign = -1.0 if self.cfg.oracle_sign_quirk else 1.0
-                return ifft2_fused(pair, phase, self._kx, self._kz,
-                                   self._invk, dz_sign,
+                return ifft2_fused(pair, phase, c["kx"], c["kz"],
+                                   c["invk"], dz_sign,
                                    precision=self._mxu_precision)
         with jax.named_scope("spectrum_assembly"):
             spectra = assemble_spectra(state.h0, state.h0_conj, phase,
-                                       self._coeffs)
+                                       c["coeffs"])
         with jax.named_scope("ifft2"):
-            return self._transform(spectra)
+            return self._transform(spectra, c)
 
-    def _transform(self, spectra: jax.Array) -> jax.Array:
+    def _transform(self, spectra: jax.Array, c) -> jax.Array:
         """[5, N, N] spectra → [5, N, N] complex spatial fields."""
         if self.eval_mode == "direct":
             # F_c = Eᵀ @ C_c @ E — MXU path, exact at any unit_width.
+            ex = c["ex_re"] + 1j * c["ex_im"]
             return jnp.einsum(
-                "ni,cnm,mj->cij", self._ex, spectra, self._ex,
+                "ni,cnm,mj->cij", ex, spectra, ex,
                 precision=jax.lax.Precision.HIGHEST)
-        if self._pre is not None:
-            spectra = spectra * self._pre[None]
+        if self._has_modulation:
+            spectra = spectra * (c["pre_re"] + 1j * c["pre_im"])[None]
         f = self._ifft2(spectra)
-        if self._post is not None:
-            f = f * self._post[None]
+        if self._has_modulation:
+            f = f * (c["post_re"] + 1j * c["post_im"])[None]
         return f
 
-    def _extract_fields(self, f: jax.Array) -> OceanFields:
+    def _extract_fields(self, f: jax.Array, c) -> OceanFields:
         cfg = self.cfg
         height = jnp.real(f[0])
         disp_x = jnp.imag(f[1])
@@ -313,8 +338,8 @@ class OceanSolver:
             height=height,
             disp_x=disp_x,
             disp_z=disp_z,
-            pos_x=self._x0 - chop * disp_x,
-            pos_z=self._z0 - chop * disp_z,
+            pos_x=c["x0"] - chop * disp_x,
+            pos_z=c["z0"] - chop * disp_z,
             normal=normal,
             foam=foam,
             jacobian=jac,

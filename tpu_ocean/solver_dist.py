@@ -62,16 +62,24 @@ class DistributedOceanSolver:
         self.overlap_chunks = overlap_chunks
         self.n_local = n // n_dev
 
-        # trace-time constants (full-size; shard_map slices them via in_specs)
-        self._omega = jnp.asarray(omega_grid(cfg), dtype=jnp.float32)
-        self._coeffs = jnp.asarray(spectrum_coefficients(cfg), dtype=jnp.complex64)
+        # trace-time constants (full-size; shard_map slices them via
+        # in_specs). All REAL f32 device arrays passed as step arguments:
+        # complex host→device transfers are unreliable on experimental TPU
+        # runtimes and the modulation factors split into (re, im) pairs.
+        self._omega = jnp.asarray(np.asarray(omega_grid(cfg), np.float32))
+        self._coeffs = jnp.asarray(
+            np.asarray(spectrum_coefficients(cfg).real, np.float32))
         if cfg.spectrum_layout == "centered":
-            self._pre, self._post = centered_modulation(n, cfg.length, cfg.unit_width)
+            pre, post = centered_modulation(n, cfg.length, cfg.unit_width)
             x1d = grids.coordinate_1d(n, cfg.unit_width)
         else:
-            self._pre = jnp.ones((n, n), jnp.complex64)
-            self._post = jnp.ones((n, n), jnp.complex64)
+            pre = np.ones((n, n), np.complex64)
+            post = np.ones((n, n), np.complex64)
             x1d = np.arange(n, dtype=np.float64) * (cfg.length / n)
+        self._pre_re = jnp.asarray(np.asarray(pre.real, np.float32))
+        self._pre_im = jnp.asarray(np.asarray(pre.imag, np.float32))
+        self._post_re = jnp.asarray(np.asarray(post.real, np.float32))
+        self._post_im = jnp.asarray(np.asarray(post.imag, np.float32))
         x0, z0 = np.meshgrid(x1d, x1d, indexing="ij")
         self._x0 = jnp.asarray(x0, jnp.float32)
         self._z0 = jnp.asarray(z0, jnp.float32)
@@ -90,7 +98,8 @@ class DistributedOceanSolver:
             mesh=mesh,
             in_specs=(state_specs, P(),            # state, dt
                       x_spec, P(None, "shard", None),  # omega, coeffs [5,N,N]
-                      x_spec, z_spec,              # pre (X-sharded), post (Z-sharded)
+                      x_spec, x_spec,              # pre re/im (X-sharded)
+                      z_spec, z_spec,              # post re/im (Z-sharded)
                       z_spec, z_spec),             # x0, z0
             out_specs=(state_specs, field_specs),
             # pallas_call outputs carry no vma annotation for the checker
@@ -124,12 +133,15 @@ class DistributedOceanSolver:
 
     def step(self, state: OceanState, dt: float = 1.0 / 60.0):
         return self._step_jit(state, jnp.asarray(dt, jnp.float32),
-                              self._omega, self._coeffs, self._pre,
-                              self._post, self._x0, self._z0)
+                              self._omega, self._coeffs,
+                              self._pre_re, self._pre_im,
+                              self._post_re, self._post_im,
+                              self._x0, self._z0)
 
     # ------------------------------------------------------ per-shard body
 
-    def _step_local(self, state, dt, omega, coeffs, pre, post, x0, z0):
+    def _step_local(self, state, dt, omega, coeffs,
+                    pre_re, pre_im, post_re, post_im, x0, z0):
         cfg = self.cfg
 
         # --- evolution (X-sharded, pure elementwise: no comm) ---
@@ -147,11 +159,11 @@ class DistributedOceanSolver:
 
         # --- distributed transform: X-sharded in, Z-sharded out ---
         if cfg.spectrum_layout == "centered":
-            spectra = spectra * pre[None]
+            spectra = spectra * (pre_re + 1j * pre_im)[None]
         f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
                             overlap_chunks=self.overlap_chunks)
         if cfg.spectrum_layout == "centered":
-            f = f * post[None]
+            f = f * (post_re + 1j * post_im)[None]
 
         # --- field extraction (Z-sharded; stencils ride the halo ring) ---
         roll = make_roll_fn("shard", sharded_axes=(1,))
