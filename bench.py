@@ -98,6 +98,10 @@ def main():
     n = args.res
     gps = n * n / step_s
     baseline_gps = 1024 * 1024 * 60.0  # reference: 1024² @ 60 FPS implied
+    # physics bound: the step touches ≥ ~30 f32 planes of HBM traffic
+    # (state, spectra both directions, fields); an implied bandwidth beyond
+    # any shipping chip means the runtime deferred work past our forcing
+    implied_tbps = 30 * n * n * 4 / step_s / 1e12
     out = {
         "metric": f"heightfield grid-points/s/chip at {n}^2",
         "value": round(gps, 1),
@@ -107,10 +111,11 @@ def main():
         "ms_per_step": round(step_s * 1e3, 4),
         "updates_per_s": round(1.0 / step_s, 2),
         "forcing": meta.forcing,
+        "implied_hbm_tbps": round(implied_tbps, 2),
     }
-    if meta.suspect:
-        out["timing_suspect"] = True   # K-scaling self-check failed: the
-        # runtime deferred work past our forcing; treat value as upper bound
+    if meta.suspect or implied_tbps > 8.0:
+        out["timing_suspect"] = True   # validity self-check failed: treat
+        # the value as an upper bound, not a measurement
     print(json.dumps(out))
     return 0
 

@@ -143,12 +143,15 @@ def config5(backend="matmul"):
         return _emit({"config": 5, "desc": "4096^2 (skipped on CPU)",
                       "pass": None})
     dt = _ocean_throughput(n, backend, steps=20)
+    implied_tbps = 30 * n * n * 4 / dt / 1e12
     return _emit({"config": 5,
                   "desc": f"4096^2 ocean step, single chip ({backend}); "
                           "multi-host pending pod hardware",
                   "ms_per_step": round(dt * 1e3, 4),
                   "updates_per_s": round(1 / dt, 1),
                   "grid_points_per_s_chip": round(n * n / dt, 1),
+                  "implied_hbm_tbps": round(implied_tbps, 2),
+                  "timing_suspect": implied_tbps > 8.0,
                   "pass": 1 / dt > 60})
 
 
