@@ -11,7 +11,12 @@ exercises it.
 """
 
 import argparse
+import os
 import sys
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 

@@ -1,0 +1,35 @@
+"""The shipped examples must run end-to-end (tiny sizes)."""
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+
+def _run(args, timeout=240):
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, env=ENV, cwd=ROOT, timeout=timeout)
+
+
+def test_invert_sea_state_converges():
+    r = _run(["examples/invert_sea_state.py", "--n", "24", "--steps", "80",
+              "--snapshots", "3"])
+    assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
+    assert "loss reduced" in r.stdout
+
+
+def test_animate_writes_gif(tmp_path):
+    out = str(tmp_path / "o.gif")
+    r = _run(["examples/animate.py", "--res", "32", "--frames", "4",
+              "--out", out])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert os.path.getsize(out) > 500
+
+
+def test_run_multihost_fake_mesh():
+    r = _run(["examples/run_multihost.py", "--res", "64", "--steps", "2"])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "summary" in r.stderr
