@@ -121,3 +121,18 @@ def test_fused_requires_fft_layout():
                       amplitude=0.01, spectrum_layout="centered")
     with pytest.raises(ValueError, match="pallas_fused"):
         OceanSolver(cfg, fft_backend="pallas_fused")
+
+
+def test_tiled_large_n_variant_matches_plain():
+    from tpu_ocean.fft.pallas_fft import (
+        _fft1d_transposed, _fft1d_transposed_tiled)
+    rng = np.random.default_rng(4)
+    n = 64
+    x = (rng.standard_normal((3, n, n))
+         + 1j * rng.standard_normal((3, n, n))).astype(np.complex64)
+    re = jnp.asarray(x.real)
+    im = jnp.asarray(x.imag)
+    tr, ti = _fft1d_transposed_tiled(re, im, True, ktile=4)
+    rr, ri = _fft1d_transposed(re, im, True)
+    np.testing.assert_allclose(np.asarray(tr), np.asarray(rr), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ti), np.asarray(ri), atol=1e-3)

@@ -202,3 +202,104 @@ def ifft2_pallas(x: jnp.ndarray, inverse: bool = True,
 
 def fft2_pallas(x: jnp.ndarray) -> jnp.ndarray:
     return ifft2_pallas(x, inverse=False)
+
+
+# ---------------------------------------------------------------------------
+# Large-N variant: k1-tiled stores. The transposed store of a full row
+# (N × 128-lane block) pressures VMEM; here the output is tiled along k1
+# (contiguous n-ranges since n = k1·N2 + k2): stage 1 + twiddle run once per
+# row block into persistent VMEM scratch (grid revisits reuse it), and each
+# inner grid step emits one k1 tile via a small MXU dot against the matching
+# F1 row slice.
+#
+# Hardware envelope (measured on v5e, 16 MB VMEM): compiles+runs at N = 2048
+# with r = 128; at N = 4096 the resident input block values plus the
+# double-buffered input refs alone need ~20 MB — a physical VMEM bound of
+# the transposed-store four-step, not a software limit. N ≥ 4096 stays on
+# the einsum (matmul) path, which XLA tiles through HBM.
+# ---------------------------------------------------------------------------
+
+def _fft_block_kernel_tiled(f2r_ref, f2i_ref, twr_ref, twi_ref,
+                            f1r_ref, f1i_ref, re_ref, im_ref,
+                            ore_ref, oim_ref, cr_s, ci_s,
+                            *, n1, n2, ktile, precision):
+    _, r, _, _ = re_ref.shape
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        # stage 1 one k2-row at a time: a full [n2, r, n1] intermediate plus
+        # its transpose would add ~8 MB of transient VMEM at N=4096; the
+        # per-row loop keeps temps at one [r, n1] tile
+        ar = re_ref[:].reshape(r, n2, n1)
+        ai = im_ref[:].reshape(r, n2, n1)
+
+        def k2_row(s2, _):
+            f2r = f2r_ref[pl.ds(s2, 1)]          # [1, s]
+            f2i = f2i_ref[pl.ds(s2, 1)]
+            cr = (_dot_mid(f2r, ar, precision)
+                  - _dot_mid(f2i, ai, precision))  # [1, r, t]
+            ci = (_dot_mid(f2r, ai, precision)
+                  + _dot_mid(f2i, ar, precision))
+            twr = twr_ref[pl.ds(s2, 1)][:, None, :]
+            twi = twi_ref[pl.ds(s2, 1)][:, None, :]
+            cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
+            cr_s[pl.ds(s2, 1)] = cr.transpose(0, 2, 1)   # [1, t, r]
+            ci_s[pl.ds(s2, 1)] = ci.transpose(0, 2, 1)
+            return 0
+
+        lax.fori_loop(0, n2, k2_row, 0)
+
+    f1r, f1i = f1r_ref[:], f1i_ref[:]     # [ktile, t] row slice
+    cr = cr_s[:]
+    ci = ci_s[:]
+    # D[k1_tile, k2, r] = Σ_t F1[k1, t] C[k2, t, r]
+    dr = _dot_mid(f1r, cr, precision) - _dot_mid(f1i, ci, precision)
+    di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
+    ore_ref[:] = dr.reshape(1, ktile * n2, r)
+    oim_ref[:] = di.reshape(1, ktile * n2, r)
+
+
+def _fft1d_transposed_tiled(re, im, inverse: bool,
+                            precision=lax.Precision.HIGHEST,
+                            ktile: int = 16):
+    """Large-N twin of _fft1d_transposed (same contract: [C, M, N] →
+    transposed [C, N, M])."""
+    c, m, n = re.shape
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
+    while n1 % ktile != 0 and ktile > 1:
+        ktile //= 2
+    r = 128 if m % 128 == 0 else _pick_block_rows(m, n)
+
+    re = re.reshape(c, m, n2, n1)
+    im = im.reshape(c, m, n2, n1)
+
+    kernel = functools.partial(_fft_block_kernel_tiled, n1=n1, n2=n2,
+                               ktile=ktile, precision=precision)
+    table = lambda shape: pl.BlockSpec(shape, lambda ci, bi, kt: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    f1_block = pl.BlockSpec((ktile, n1), lambda ci, bi, kt: (kt, 0),
+                            memory_space=pltpu.VMEM)
+    in_block = pl.BlockSpec((1, r, n2, n1), lambda ci, bi, kt: (ci, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, ktile * n2, r),
+                             lambda ci, bi, kt: (ci, kt, bi),
+                             memory_space=pltpu.VMEM)
+
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid=(c, m // r, n1 // ktile),
+        in_specs=[table((n2, n2)), table((n2, n2)),
+                  table((n2, n1)), table((n2, n1)),
+                  f1_block, f1_block,
+                  in_block, in_block],
+        out_specs=[out_block, out_block],
+        out_shape=[jax.ShapeDtypeStruct((c, n, m), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((n2, n1, r), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * c * m * n * (n1 + n2)),
+            bytes_accessed=int(2 * 2 * c * m * n * 4),
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )(f2r, f2i, twr, twi, f1r, f1i, re, im)
+    return ore, oim
