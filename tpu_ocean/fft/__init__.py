@@ -10,6 +10,11 @@ F[i,j] = Σ_{n,m} X[n,m] e^{+2πi(ni+mj)/N} over the trailing two axes:
 * ``matmul``     — DFT-as-matmul on the MXU (often fastest on TPU for N ≤ 2k).
 * ``pallas``     — hand-tuned fused Pallas kernel.
 * ``distributed``— shard_map row/col decomposition with all_to_all transpose.
+
+A fifth solver-level backend, ``pallas_fused`` (ops/fused_spectrum_fft),
+fuses the spectrum assembly INTO the row-FFT pass; it consumes raw
+(h0, phase) rather than assembled spectra, so it is selected on OceanSolver
+rather than through get_ifft2.
 """
 
 from tpu_ocean.fft.reference import ifft2_unnorm, centered_modulation
