@@ -35,9 +35,9 @@ def main():
     for backend in ("reference", "stockham", "matmul", "pallas"):
         try:
             ifft2 = get_ifft2(backend, n)
-            # adapt to the (state, dt) stepper contract: state is the array,
-            # dt re-perturbs it so iterations can't be collapsed
-            step = lambda st, dt: (st * (1.0 + 0j) + dt * 0j, ifft2(st))
+            # adapt to the (state, dt) stepper contract: state drifts by a
+            # real dt each iteration so the loop body cannot be hoisted
+            step = lambda st, dt: (st + (dt + 0j), ifft2(st))
             meta = time_steps_meta(step, x, 1e-6, k1=4, k2=32)
             print(json.dumps({
                 "kernel": f"ifft2_{backend}", "n": n,

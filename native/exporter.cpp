@@ -121,6 +121,13 @@ int32_t exporter_submit(void* handle, const char* name, int64_t step,
     count *= dims[i];
   }
   const size_t bytes = static_cast<size_t>(count) * sizeof(double);
+  {
+    // capacity check BEFORE the copy: a rejected submission must not cost
+    // the step loop a multi-MB memcpy
+    std::lock_guard<std::mutex> lock(e->mu);
+    if (e->queued_bytes + bytes > e->capacity) return 0;
+    e->queued_bytes += bytes;  // reserve
+  }
   char fname[512];
   std::snprintf(fname, sizeof(fname), "%s/%s_%08lld.npy", e->dir.c_str(), name,
                 static_cast<long long>(step));
@@ -128,8 +135,6 @@ int32_t exporter_submit(void* handle, const char* name, int64_t step,
   job.data.assign(data, data + count);
   {
     std::lock_guard<std::mutex> lock(e->mu);
-    if (e->queued_bytes + bytes > e->capacity) return 0;
-    e->queued_bytes += bytes;
     e->queue.push_back(std::move(job));
   }
   e->cv_push.notify_one();

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_ocean.config import OceanConfig
-from tpu_ocean.evolve import omega_grid, spectrum_coefficients, assemble_spectra
+from tpu_ocean.evolve import (omega_grid, spectrum_coefficients,
+                              assemble_spectra, evolve_phase_accumulate)
 from tpu_ocean.spectra import h0_pair_fft, h0_pair_centered
 from tpu_ocean.fft import get_ifft2
 from tpu_ocean import fields as field_ops
@@ -93,6 +94,11 @@ class CascadeSolver:
                       for c in cfgs]))                             # [B, 5, N, N]
         self._chop = np.asarray([c.choppiness for c in cfgs], np.float32)
         self._dtmul = np.asarray([c.dt_multiplier for c in cfgs], np.float32)
+        x1d = (np.arange(n, dtype=np.float32)
+               * np.float32(self.display_length / n))
+        x0, z0 = np.meshgrid(x1d, x1d, indexing="ij")
+        self._x0 = jax.device_put(np.ascontiguousarray(x0))
+        self._z0 = jax.device_put(np.ascontiguousarray(z0))
         self._ifft2 = get_ifft2(fft_backend, n)
 
         step = self._step_impl
@@ -103,7 +109,8 @@ class CascadeSolver:
             # omega/coeffs shard along their band axis like the state
             self._step_jit = jax.jit(
                 step, donate_argnums=(0,),
-                in_shardings=(state_shardings, None, espec, espec))
+                in_shardings=(state_shardings, None, espec, espec,
+                              None, None))
         else:
             self._step_jit = jax.jit(step, donate_argnums=(0,))
 
@@ -139,21 +146,23 @@ class CascadeSolver:
 
     def step(self, state: CascadeState, dt: float = 1.0 / 60.0):
         return self._step_jit(state, jnp.asarray(dt, jnp.float32),
-                              self._omega, self._coeffs)
+                              self._omega, self._coeffs,
+                              self._x0, self._z0)
 
     def _step_impl(self, state: CascadeState, dt: jax.Array,
-                   omega=None, coeffs=None):
+                   omega=None, coeffs=None, x0=None, z0=None):
         cfg0 = self.cfgs[0]
         if omega is None:
             omega, coeffs = self._omega, self._coeffs
+        if x0 is None:
+            x0, z0 = self._x0, self._z0
         if cfg0.evolution_mode == "absolute":
             t_new = state.t + dt / cfg0.t_division
             phase = omega * t_new
             phase_state = state.phase
         else:
-            phase = jnp.mod(state.phase
-                            + omega * (dt * self._dtmul[:, None, None]),
-                            np.float32(2 * np.pi))
+            phase = evolve_phase_accumulate(
+                state.phase, omega, dt * self._dtmul[:, None, None])
             phase_state = phase
             t_new = state.t + dt
 
@@ -177,9 +186,6 @@ class CascadeSolver:
             normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
         foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
 
-        x1d = (np.arange(self.n, dtype=np.float32)
-               * np.float32(self.display_length / self.n))
-        x0, z0 = np.meshgrid(x1d, x1d, indexing="ij")
         out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
                           pos_x=x0 - disp_x, pos_z=z0 - disp_z,
                           normal=normal, foam=foam, jacobian=jac)

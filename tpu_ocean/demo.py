@@ -54,7 +54,8 @@ def run_ocean(args) -> int:
             state, fields = solver.step(state, 1.0 / 60.0)
             jax.block_until_ready(fields.height)
         if mgr is not None:
-            mgr.maybe_save(state, cfg)
+            # host-tracked step: pulling state.step would sync every frame
+            mgr.maybe_save(state, cfg, step=k + 1)
         if args.dump_every and (k + 1) % args.dump_every == 0:
             viz.save_render_png(
                 os.path.join(args.out, f"ocean_render_{k + 1:06d}.png"), fields)

@@ -46,12 +46,7 @@ class Simulation:
                                            interval=checkpoint_every)
         self._exporter = None
         self._export_every = export_every
-        if out_dir and export_every:
-            try:
-                from tpu_ocean.native import AsyncExporter
-                self._exporter = AsyncExporter(os.path.join(out_dir, "fields"))
-            except Exception:   # no native toolchain: fall back to sync viz
-                self._exporter = None
+        self._dropped_exports = 0
 
         restored = self._ckpt.restore_latest() if self._ckpt else (None, None)
         if restored[0] is not None:
@@ -69,6 +64,15 @@ class Simulation:
         else:
             self.state = self.solver.init(seed_key)
             self._steps_done = 0
+
+        # exporter constructed AFTER the config-mismatch check above: raising
+        # with a live native worker thread would leak it
+        if out_dir and export_every:
+            try:
+                from tpu_ocean.native import AsyncExporter
+                self._exporter = AsyncExporter(os.path.join(out_dir, "fields"))
+            except Exception:   # no native toolchain: fall back to sync viz
+                self._exporter = None
 
     @property
     def step_count(self) -> int:
@@ -96,9 +100,15 @@ class Simulation:
         import numpy as np
         if self._exporter is not None:
             for name in ("height", "foam"):
-                self._exporter.submit(
+                ok = self._exporter.submit(
                     name, k, np.asarray(jax.device_get(
                         getattr(self.fields, name))))
+                if not ok:
+                    self._dropped_exports += 1
+                    if self._dropped_exports in (1, 10, 100, 1000):
+                        import sys
+                        print(f"# exporter ring full: {self._dropped_exports}"
+                              f" snapshot(s) dropped so far", file=sys.stderr)
         elif self.out_dir:
             from tpu_ocean import viz
             viz.save_fields(os.path.join(self.out_dir, "fields"),

@@ -43,6 +43,16 @@ class DistributedOceanSolver:
                  fft_backend: str = "reference", overlap_chunks: int = 1):
         if "shard" not in mesh.axis_names:
             raise ValueError("mesh needs a 'shard' axis (parallel.make_mesh)")
+        if fft_backend not in ("reference", "stockham", "matmul", "pallas"):
+            raise ValueError(f"unknown distributed fft backend "
+                             f"{fft_backend!r}")
+        if fft_backend == "pallas":
+            from tpu_ocean.fft.pallas_fft import pallas_supported
+            if not pallas_supported(cfg.resolution):
+                import warnings
+                warnings.warn(f"pallas exceeds its VMEM cap at "
+                              f"N={cfg.resolution}; falling back to 'matmul'")
+                fft_backend = "matmul"
         n = cfg.resolution
         n_dev = mesh.shape["shard"]
         if n % n_dev != 0:
@@ -150,8 +160,9 @@ class DistributedOceanSolver:
             phase = omega * t_new
             phase_state = state.phase
         else:
-            phase = jnp.mod(state.phase + omega * dt * cfg.dt_multiplier,
-                            2.0 * np.pi)
+            from tpu_ocean.evolve import evolve_phase_accumulate
+            phase = evolve_phase_accumulate(state.phase, omega,
+                                            dt * cfg.dt_multiplier)
             phase_state = phase
             t_new = state.t + dt
 
