@@ -93,3 +93,41 @@ def test_uv_random_matches_hlsl_frac_sin_hash():
     expected = np.mod(
         np.sin((u + s) * 12.9898 + (v + r) * 78.233) * 43758.5453, 1.0)
     np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_gpu_hash_h0_deterministic_and_shaped():
+    """The shader-hash path (FFTCommon.cginc:37-41,87-99,
+    InitialSpectrum.shader:42-54) — float32-faithful reimplementation."""
+    from tpu_ocean.spectra import h0_pair_gpu_hash, uv_random
+    h0, h0c = h0_pair_gpu_hash(32, 32.0, 0.001, (14.0, 12.0), 0.37, 0.81)
+    h0b, h0cb = h0_pair_gpu_hash(32, 32.0, 0.001, (14.0, 12.0), 0.37, 0.81)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h0b))
+    np.testing.assert_array_equal(np.asarray(h0c), np.asarray(h0cb))
+    assert h0.dtype == np.complex64
+    assert np.isfinite(h0).all() and np.isfinite(h0c).all()
+    # different seeds decorrelate
+    h0d, _ = h0_pair_gpu_hash(32, 32.0, 0.001, (14.0, 12.0), 0.11, 0.93)
+    assert not np.allclose(h0, h0d)
+    # the hash stays in [0, 1)
+    from tpu_ocean.spectra import uv_random_f32
+    u = uv_random_f32(np.linspace(0, 1, 257), np.linspace(0, 1, 257),
+                      10.612, 0.4)
+    assert float(u.min()) >= 0.0 and float(u.max()) < 1.0
+
+
+def test_gpu_hash_h0_energy_tracks_phillips():
+    """E|h̃₀|² = P·E[ξ₁²+ξ₂²]/2 ≈ P: the hash-drawn spectrum's band energy
+    must track the Phillips input (the hash RNG's Box–Muller is clamped, so
+    its second moment is slightly below 1 — allow 0.7..1.3)."""
+    from tpu_ocean.spectra import h0_pair_gpu_hash, phillips
+    from tpu_ocean import grids
+    n, length = 64, 512.0
+    h0, _ = h0_pair_gpu_hash(n, length, 0.01, (20.0, 0.0), 0.5, 0.5)
+    kx, kz, _ = grids.wavevector_grid(n, length, "fft")
+    P = np.asarray(phillips(kx, kz, 0.01, (20.0, 0.0), 0.01))
+    e = np.abs(np.asarray(h0)) ** 2
+    mask = P > 1e-6 * P.max()
+    ratio = (e[mask] / P[mask]).mean()
+    assert 0.7 < ratio < 1.3, ratio
+    # and exactly zero where Phillips is zero (the |k| < EPSILON cutoff)
+    assert np.abs(np.asarray(h0))[P == 0].max() == 0.0

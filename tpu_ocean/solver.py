@@ -186,12 +186,20 @@ class OceanSolver:
 
     def init(self, key: Optional[jax.Array] = None,
              h0: Optional[jax.Array] = None,
-             h0_conj: Optional[jax.Array] = None) -> OceanState:
-        """Create the initial state: either sample h0 from ``key`` (the
-        InitialSpectrum pass, InitialSpectrum.shader:42-54) or inject given
-        spectra (parity tests share one h0 with the oracle)."""
+             h0_conj: Optional[jax.Array] = None,
+             gpu_hash_seeds: Optional[tuple] = None) -> OceanState:
+        """Create the initial state: sample h0 from ``key`` (the
+        InitialSpectrum pass, InitialSpectrum.shader:42-54), inject given
+        spectra (parity tests share one h0 with the oracle), or pass
+        ``gpu_hash_seeds=(s1, s2)`` to replay the Unity demo's shader-hash
+        spectrum texel-exactly (spectra.h0_pair_gpu_hash)."""
         cfg = self.cfg
         n = cfg.resolution
+        if h0 is None and gpu_hash_seeds is not None:
+            from tpu_ocean.spectra import h0_pair_gpu_hash
+            h0, h0_conj = h0_pair_gpu_hash(
+                n, cfg.length, cfg.phillips_amplitude, cfg.wind,
+                gpu_hash_seeds[0], gpu_hash_seeds[1], cfg.damping)
         if h0 is None:
             if key is None:
                 key = jax.random.PRNGKey(cfg.seed)

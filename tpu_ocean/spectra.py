@@ -176,3 +176,75 @@ def dispersion(k_mag, mode: str, length: float, g: float = G):
     if mode == "quantized":
         return dispersion_quantized(k_mag, length, g)
     raise ValueError(f"bad dispersion mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# GPU shader-hash h0 (bit-faithful reimplementation of the HLSL path)
+# ---------------------------------------------------------------------------
+
+def uv_random_f32(uv_x, uv_y, salt: float, random: float):
+    """Strict-float32 twin of :func:`uv_random` (every intermediate held in
+    f32, like the shader ALU) — used by the texel-exact
+    :func:`h0_pair_gpu_hash` path. Same caveat as the reference: a
+    screen-space hash, uniform-ish on [0,1), not statistically clean.
+    """
+    f32 = np.float32
+    x = (np.asarray(uv_x, f32) + f32(salt))
+    y = (np.asarray(uv_y, f32) + f32(random))
+    d = (x * f32(12.9898) + y * f32(78.233)).astype(f32)
+    v = (np.sin(d, dtype=f32) * f32(43758.5453)).astype(f32)
+    return (v - np.floor(v)).astype(f32)
+
+
+def h0_pair_gpu_hash(n: int, length: float, amplitude: float, wind,
+                     seed1: float, seed2: float, damping: float = 0.01):
+    """(h0, h0_conj) exactly as the InitialSpectrum pass computes them
+    (InitialSpectrum.shader:42-54 + hTilde0, FFTCommon.cginc:87-99), in
+    float32 numpy:
+
+      * texel-center uv = (i + 0.5)/N per axis; the shader's n = uv·N = i+0.5
+        feeds GetWave's −0.5 offset (the fft layout in grids.py)
+      * h0     = hTilde0(uv, seed1/2, seed2·2, Phillips(n, m))
+      * h0conj = conj(hTilde0(uv, seed1, seed2, Phillips(N−n, N−m)))
+      * hTilde0 draws rand1/rand2 from uv_random with salts 10.612 / 11.899,
+        clamps to [0.01, 1], then Box–Muller × sqrt(P/2)
+
+    The reference binds seed1/seed2 from Unity's Random.value
+    (OceanRenderer.cs:147-148); pass any floats here for reproducibility.
+    """
+    f32 = np.float32
+    idx = np.arange(n, dtype=f32)
+    uv1 = (idx + f32(0.5)) / f32(n)
+    ux, uy = np.meshgrid(uv1, uv1, indexing="ij")
+    nn = ux * f32(n)      # = i + 0.5, the shader's n
+    mm = uy * f32(n)
+
+    def _phillips_shader(pn, pm):
+        # Phillips via GetWave's wrapped k (FFTCommon.cginc:58-85), float32
+        a = pn - f32(0.5)
+        b = pm - f32(0.5)
+        a = np.where(a < n * 0.5, a, a - f32(n)).astype(f32)
+        b = np.where(b < n * 0.5, b, b - f32(n)).astype(f32)
+        kx = f32(2 * PI) * a / f32(length)
+        kz = f32(2 * PI) * b / f32(length)
+        return np.asarray(phillips(kx.astype(np.float64),
+                                   kz.astype(np.float64),
+                                   amplitude, wind, damping), f32)
+
+    def _htilde0(r1, r2, phi):
+        rand1 = np.clip(uv_random_f32(ux, uy, 10.612, r1),
+                        0.01, 1.0).astype(f32)
+        rand2 = np.clip(uv_random_f32(ux, uy, 11.899, r2),
+                        0.01, 1.0).astype(f32)
+        x = np.sqrt(f32(-2.0) * np.log(rand1, dtype=f32)).astype(f32)
+        y = (f32(2 * PI) * rand2).astype(f32)
+        scale = np.sqrt(phi / f32(2.0)).astype(f32)
+        return ((x * np.cos(y, dtype=f32)) * scale
+                + 1j * (x * np.sin(y, dtype=f32)) * scale
+                ).astype(np.complex64)
+
+    phi1 = _phillips_shader(nn, mm)
+    phi2 = _phillips_shader(f32(n) - nn, f32(n) - mm)
+    h0 = _htilde0(f32(seed1) / 2, f32(seed2) * 2, phi1)
+    h0_conj = np.conj(_htilde0(f32(seed1), f32(seed2), phi2))
+    return h0, h0_conj
