@@ -73,3 +73,18 @@ def test_manager_interval_and_retention(tmp_path):
     assert latest is not None and latest.endswith("state_0000000008.npz")
     st, _ = mgr.restore_latest()
     assert int(np.asarray(st.step)) == 8
+
+
+def test_orbax_roundtrip(tmp_path):
+    from tpu_ocean.checkpoint import (save_checkpoint_orbax,
+                                      load_checkpoint_orbax)
+    cfg = _cfg()
+    solver = OceanSolver(cfg)
+    state = solver.init(jax.random.PRNGKey(1))
+    for _ in range(2):
+        state, _ = solver.step(state, 1 / 60)
+    d = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(d, state)
+    restored = load_checkpoint_orbax(d)
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

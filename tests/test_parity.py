@@ -142,3 +142,29 @@ def test_phase_mode_matches_absolute_with_constant_dt():
         sp, fp = ph_solver.step(sp, dt)
     np.testing.assert_allclose(np.asarray(fp.height), np.asarray(fa.height),
                                rtol=1e-3, atol=1e-4 * np.abs(fa.height).max())
+
+
+def test_quantized_dispersion_exact_time_periodicity():
+    """The whole point of the quantized dispersion (FFTMesh.cs:141-147):
+    every ω is an integer multiple of ω₀ = 2π/L, so the ocean repeats
+    EXACTLY with period T = L. fields_at(t) must equal fields_at(t + L)."""
+    cfg, h0, h0c = _make_case(32)
+    solver = OceanSolver(cfg)
+    state = solver.init(h0=h0, h0_conj=h0c)
+    t = 0.73
+    a = solver.fields_at(state, t)
+    b = solver.fields_at(state, t + cfg.length)
+    np.testing.assert_allclose(np.asarray(b.height), np.asarray(a.height),
+                               atol=2e-3 * np.abs(np.asarray(a.height)).max())
+
+
+def test_capillary_dispersion_not_periodic():
+    """Sanity inverse: the continuous capillary mode must NOT repeat at L."""
+    cfg, h0, h0c = _make_case(32)
+    cfg = cfg.replace(dispersion_mode="capillary")
+    solver = OceanSolver(cfg)
+    state = solver.init(h0=h0, h0_conj=h0c)
+    a = solver.fields_at(state, 0.73)
+    b = solver.fields_at(state, 0.73 + cfg.length)
+    assert not np.allclose(np.asarray(b.height), np.asarray(a.height),
+                           atol=1e-3 * np.abs(np.asarray(a.height)).max())

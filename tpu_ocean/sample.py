@@ -1,0 +1,59 @@
+"""Field probing — the texture-sampler analogue.
+
+Every consumer in the reference reads the solver's output textures with
+bilinear repeat-mode sampling (tex2Dlod in the pond vertex stage,
+MistralWaterCommon.cginc:21-23; the ocean material's height/displacement
+fetches, TestOcean.shader:65-66). On TPU the fields are arrays; this module
+is that sampler: periodic bilinear interpolation at arbitrary world
+positions, jit/vmap/grad-safe — the API a physics or gameplay consumer uses
+to put buoys, boats, or probes on the surface.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_bilinear(field: jax.Array, x, z, length: float) -> jax.Array:
+    """Periodic bilinear sample of ``field`` [N, N] at world (x, z).
+
+    Axis 0 = x, axis 1 = z (the package-wide convention); the patch tiles
+    with period ``length`` exactly like the reference's repeat-mode textures.
+    ``x``/``z`` may be scalars or arrays of any matching shape.
+    """
+    n = field.shape[0]
+    fx = jnp.asarray(x, jnp.float32) / jnp.float32(length) * n
+    fz = jnp.asarray(z, jnp.float32) / jnp.float32(length) * n
+    i0 = jnp.floor(fx).astype(jnp.int32)
+    j0 = jnp.floor(fz).astype(jnp.int32)
+    tx = fx - i0
+    tz = fz - j0
+    i0 = jnp.mod(i0, n)
+    j0 = jnp.mod(j0, n)
+    i1 = jnp.mod(i0 + 1, n)
+    j1 = jnp.mod(j0 + 1, n)
+    f00 = field[i0, j0]
+    f10 = field[i1, j0]
+    f01 = field[i0, j1]
+    f11 = field[i1, j1]
+    return ((1 - tx) * (1 - tz) * f00 + tx * (1 - tz) * f10
+            + (1 - tx) * tz * f01 + tx * tz * f11)
+
+
+def surface_at(fields, x, z, length: float, choppiness: float = 1.0):
+    """Displaced surface point(s) for probes at rest position (x, z):
+    returns (world_x, height, world_z) after the choppy horizontal
+    displacement — the vertex-stage math (TestOcean.shader:65-66,
+    FFTMesh.cs:243-245) for arbitrary query points."""
+    h = sample_bilinear(fields.height, x, z, length)
+    dx = sample_bilinear(fields.disp_x, x, z, length)
+    dz = sample_bilinear(fields.disp_z, x, z, length)
+    return (jnp.asarray(x, jnp.float32) - choppiness * dx, h,
+            jnp.asarray(z, jnp.float32) - choppiness * dz)
+
+
+def buoy_heights(fields, positions, length: float) -> jax.Array:
+    """Heights under a [K, 2] array of (x, z) probe positions."""
+    p = jnp.asarray(positions, jnp.float32)
+    return sample_bilinear(fields.height, p[:, 0], p[:, 1], length)
