@@ -8,8 +8,9 @@ import jax
 from tpu_ocean import OceanConfig, Simulation
 
 
-def _cfg(**kw):
-    base = dict(resolution=32, length=32.0, wind=(6.0, 4.0), amplitude=0.1,
+def _cfg(resolution=32, **kw):
+    base = dict(resolution=resolution, length=float(resolution),
+                wind=(6.0, 4.0), amplitude=0.1,
                 evolution_mode="phase", dispersion_mode="capillary",
                 spectrum_layout="fft", normals_mode="stencil")
     base.update(kw)
@@ -71,3 +72,16 @@ def test_resume_refuses_config_mismatch(tmp_path):
     with pytest.raises(ValueError, match="different config"):
         Simulation(_cfg(amplitude=0.9), fft_backend="reference",
                    out_dir=out, checkpoint_every=1)
+
+
+def test_simulation_with_mesh():
+    from tpu_ocean.parallel import make_mesh
+    mesh = make_mesh(shard=8)
+    with Simulation(_cfg(64), fft_backend="reference", mesh=mesh) as sim:
+        f = sim.run(3)
+        assert sim.step_count == 3
+        assert f.height.shape == (64, 64)
+        assert np.all(np.isfinite(np.asarray(f.height)))
+        sim.reconfigure(_cfg(64, amplitude=0.5))
+        sim.run(1)
+        assert sim.step_count == 4

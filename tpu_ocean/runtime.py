@@ -31,10 +31,17 @@ class Simulation:
     def __init__(self, cfg: OceanConfig, fft_backend: str = "matmul",
                  out_dir: Optional[str] = None, dt: float = 1.0 / 60.0,
                  checkpoint_every: int = 0, export_every: int = 0,
-                 metrics_stream=None, seed_key: Optional[jax.Array] = None):
+                 metrics_stream=None, seed_key: Optional[jax.Array] = None,
+                 mesh=None):
         self.cfg = cfg
         self.dt = dt
-        self.solver = OceanSolver(cfg, fft_backend=fft_backend)
+        if mesh is not None:
+            # domain-decomposed runtime: same lifecycle, sharded solver
+            from tpu_ocean.solver_dist import DistributedOceanSolver
+            self.solver = DistributedOceanSolver(cfg, mesh,
+                                                 fft_backend=fft_backend)
+        else:
+            self.solver = OceanSolver(cfg, fft_backend=fft_backend)
         self.out_dir = out_dir
         self.metrics = Metrics(grid_points=cfg.resolution ** 2,
                                emit=metrics_stream)

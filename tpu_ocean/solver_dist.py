@@ -141,6 +141,21 @@ class DistributedOceanSolver:
             step=jax.device_put(jnp.zeros((), jnp.int32), rep),
         )
 
+    def reconfigure(self, state: OceanState, new_cfg: OceanConfig,
+                    key=None):
+        """Live parameter change (mirrors OceanSolver.reconfigure): new
+        spectrum, phase preserved when the grid/layout is unchanged."""
+        solver = DistributedOceanSolver(new_cfg, self.mesh,
+                                        fft_backend=self.fft_backend,
+                                        overlap_chunks=self.overlap_chunks)
+        fresh = solver.init(key if key is not None
+                            else jax.random.PRNGKey(new_cfg.seed))
+        if (new_cfg.resolution == self.cfg.resolution
+                and new_cfg.spectrum_layout == self.cfg.spectrum_layout):
+            fresh = fresh._replace(phase=state.phase, t=state.t,
+                                   step=state.step)
+        return solver, fresh
+
     def step(self, state: OceanState, dt: float = 1.0 / 60.0):
         return self._step_jit(state, jnp.asarray(dt, jnp.float32),
                               self._omega, self._coeffs,
