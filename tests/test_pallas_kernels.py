@@ -136,3 +136,42 @@ def test_tiled_large_n_variant_matches_plain():
     rr, ri = _fft1d_transposed(re, im, True)
     np.testing.assert_allclose(np.asarray(tr), np.asarray(rr), atol=1e-3)
     np.testing.assert_allclose(np.asarray(ti), np.asarray(ri), atol=1e-3)
+
+
+def test_fields_pallas_matches_jnp_twins():
+    from tpu_ocean.ops.fields_pallas import fields_pallas
+    from tpu_ocean import fields as field_ops
+    rng = np.random.default_rng(1)
+    n = 64
+    dx = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    dz = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    normal, foam, jac = fields_pallas(dx, h, dz, 0.5)
+    ref_n = field_ops.normals_stencil(dx, h, dz, 0.5)
+    ref_f, ref_j = field_ops.whitecap_gpu(dx, dz, ref_n)
+    np.testing.assert_allclose(np.asarray(normal), np.asarray(ref_n),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(foam), np.asarray(ref_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(ref_j), atol=1e-5)
+
+
+def test_solver_pallas_fields_matches_default():
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    cfg = OceanConfig(resolution=64, length=64.0, wind=(7.0, 4.0),
+                      amplitude=0.3, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    key = jax.random.PRNGKey(3)
+    a = OceanSolver(cfg)
+    b = OceanSolver(cfg, pallas_fields=True)
+    sa, sb = a.init(key), b.init(key)
+    for _ in range(2):
+        sa, fa = a.step(sa, 1 / 60)
+        sb, fb = b.step(sb, 1 / 60)
+    np.testing.assert_allclose(np.asarray(fb.normal), np.asarray(fa.normal),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fb.foam), np.asarray(fa.foam),
+                               atol=1e-5)
+    with pytest.raises(ValueError, match="pallas_fields"):
+        OceanSolver(cfg.replace(normals_mode="spectral"), pallas_fields=True)

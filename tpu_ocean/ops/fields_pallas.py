@@ -1,0 +1,176 @@
+"""Fused surface-fields stencil kernel: normals + Jacobian whitecaps (C10+C11).
+
+The reference runs these as two separate full-screen passes
+(OceanNormal.shader:39-56, WhiteCap.shader:33-45), each re-reading the
+displacement/height textures with periodic wrap sampling. Here both stencils
+run in ONE Pallas pass over row blocks:
+
+  * row (x-axis) neighbors come from HALO reads: inputs stay in HBM
+    (pl.ANY) and the kernel DMAs an 8-row halo band on each side of the
+    block into VMEM scratch (Mosaic requires 8-sublane-aligned memory
+    slices; only one halo row is consumed), with modular start indices for
+    the periodic wraparound — the reference's repeat-mode texture
+    addressing, hand-rolled;
+  * column (z-axis) neighbors are lane rolls (pltpu.roll) of the resident
+    block — periodic by construction since a full row is lane-resident.
+
+Inputs: disp_x·chop, height, disp_z·chop (the displaced-position components,
+OceanNormal's GetVec). Outputs: normal xyz, foam, jacobian — five planes,
+one HBM read per input plane + halo rows, one write per output.
+
+Pure-jnp twins: fields.normals_stencil + fields.whitecap_gpu (the parity
+targets in tests/test_pallas_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _smoothstep01(t):
+    t = jnp.clip(t, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+HALO = 8  # Mosaic memory slices must be 8-sublane aligned; 1 row is used
+
+
+def _fields_kernel(dx_hbm, h_hbm, dz_hbm,
+                   nx_ref, ny_ref, nz_ref, foam_ref, jac_ref,
+                   dx_s, h_s, dz_s, sem,
+                   *, r, n, m, texel):
+    bi = pl.program_id(0)
+    row0 = bi * r
+
+    # Three 8-aligned copies per plane — body (r rows) plus an 8-row halo
+    # band on each side, with modular (wrapped) start indices: DMA shapes
+    # must be static and 8-row aligned, starts may be traced.
+    def load3(plane_hbm, scratch, s0, s1, s2):
+        # mod obscures divisibility from the compiler; all three starts are
+        # multiples of 8 by construction (r and m are)
+        up = pl.multiple_of(jnp.mod(row0 - HALO, m), HALO)
+        dn = pl.multiple_of(jnp.mod(row0 + r, m), HALO)
+        c0 = pltpu.make_async_copy(plane_hbm.at[pl.ds(up, HALO)],
+                                   scratch.at[pl.ds(0, HALO)], sem.at[s0])
+        c1 = pltpu.make_async_copy(plane_hbm.at[pl.ds(row0, r)],
+                                   scratch.at[pl.ds(HALO, r)], sem.at[s1])
+        c2 = pltpu.make_async_copy(plane_hbm.at[pl.ds(dn, HALO)],
+                                   scratch.at[pl.ds(HALO + r, HALO)],
+                                   sem.at[s2])
+        c0.start()
+        c1.start()
+        c2.start()
+        return c0, c1, c2
+
+    copies = (load3(dx_hbm, dx_s, 0, 1, 2)
+              + load3(h_hbm, h_s, 3, 4, 5)
+              + load3(dz_hbm, dz_s, 6, 7, 8))
+    for c in copies:
+        c.wait()
+
+    # full aligned loads; shifted row views are VALUE slices (sublane
+    # rotations), not memory slices, so odd offsets are fine
+    dx = dx_s[:]
+    h = h_s[:]
+    dz = dz_s[:]
+
+    def mid(a):
+        return a[HALO:HALO + r, :]
+
+    def xm(a):   # row i-1
+        return a[HALO - 1:HALO - 1 + r, :]
+
+    def xp(a):   # row i+1
+        return a[HALO + 1:HALO + 1 + r, :]
+
+    # z-axis neighbors: lane roll of the interior (full row resident)
+    def zm(a):
+        return pltpu.roll(mid(a), 1, 1)
+
+    def zp(a):   # pltpu.roll wants non-negative shifts: −1 ≡ n−1 (mod n)
+        return pltpu.roll(mid(a), n - 1, 1)
+
+    p = (mid(dx), mid(h), mid(dz))
+
+    # ---- normals: 4 cross products of displaced-edge vectors
+    # (OceanNormal.shader:39-56); "right" = +x neighbor, "top" = −z neighbor
+    def edge(nb_dx, nb_h, nb_dz, ox, oz):
+        return (nb_dx - p[0] + ox, nb_h - p[1], nb_dz - p[2] + oz)
+
+    right = edge(xp(dx), xp(h), xp(dz), texel, 0.0)
+    left = edge(xm(dx), xm(h), xm(dz), -texel, 0.0)
+    top = edge(zm(dx), zm(h), zm(dz), 0.0, -texel)
+    bottom = edge(zp(dx), zp(h), zp(dz), 0.0, texel)
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    c1 = cross(right, top)
+    c2 = cross(top, left)
+    c3 = cross(left, bottom)
+    c4 = cross(bottom, right)
+    nx = c1[0] + c2[0] + c3[0] + c4[0]
+    ny = c1[1] + c2[1] + c3[1] + c4[1]
+    nz = c1[2] + c2[2] + c3[2] + c4[2]
+    inv = lax.rsqrt(nx * nx + ny * ny + nz * nz)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+
+    # ---- whitecap (WhiteCap.shader:33-45): central diffs ÷8, J determinant
+    ddx_x = -0.5 * (xm(dx) - xp(dx)) / 8.0
+    ddx_z = -0.5 * (xm(dz) - xp(dz)) / 8.0
+    ddy_x = -0.5 * (zm(dx) - zp(dx)) / 8.0
+    ddy_z = -0.5 * (zm(dz) - zp(dz)) / 8.0
+    jac = (1.0 + ddx_x) * (1.0 + ddy_z) - ddx_z * ddy_x
+    noise = 0.3 * jnp.sqrt(nx * nx + nz * nz)
+    turb = jnp.maximum(1.0 - jac + noise, 0.0)
+
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
+    foam_ref[:] = _smoothstep01(turb)
+    jac_ref[:] = jac
+
+
+def fields_pallas(disp_x, height, disp_z, texel_size: float):
+    """(normal [N,N,3], foam, jacobian) from chop-scaled displacements —
+    fused twin of fields.normals_stencil + fields.whitecap_gpu."""
+    m, n = height.shape
+    # VMEM budget: 3 halo scratch planes + their loaded values + 5 double-
+    # buffered out blocks + ~15 live stencil temps ≈ 30·r·n·4 bytes
+    # (measured: 17 MB at r=32, n=4096 with the previous 16× estimate)
+    r = 128
+    while r > 8 and (30 * r * n * 4 > 8 * 1024 * 1024 or m % r != 0):
+        r //= 2
+    while m % r != 0 and r > 8:
+        r //= 2
+
+    kernel = functools.partial(_fields_kernel, r=r, n=n, m=m,
+                               texel=np.float32(texel_size))
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    out_block = pl.BlockSpec((r, n), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(m // r,),
+        in_specs=[hbm, hbm, hbm],
+        out_specs=[out_block] * 5,
+        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.float32)] * 5,
+        scratch_shapes=[pltpu.VMEM((r + 2 * 8, n), jnp.float32)] * 3
+                       + [pltpu.SemaphoreType.DMA((9,))],
+        cost_estimate=pl.CostEstimate(
+            flops=int(60 * m * n), bytes_accessed=int(8 * m * n * 4),
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )(disp_x.astype(jnp.float32), height.astype(jnp.float32),
+      disp_z.astype(jnp.float32))
+    nx, ny, nz, foam, jac = outs
+    return jnp.stack([nx, ny, nz], axis=-1), foam, jac

@@ -44,6 +44,11 @@ from tpu_ocean.fft.reference import centered_modulation
 from tpu_ocean import fields as field_ops
 
 
+def _pallas_fields(disp_x, height, disp_z, texel: float):
+    from tpu_ocean.ops.fields_pallas import fields_pallas
+    return fields_pallas(disp_x, height, disp_z, texel)
+
+
 def _wavevector_f32(n: int, length: float):
     """(kx, kz, |k|) float32 [N, N] fft-layout grids (trace-time, shares the
     canonical convention in grids.wavevector_grid)."""
@@ -76,9 +81,16 @@ class OceanSolver:
     """Builds and owns the jitted step for a fixed OceanConfig."""
 
     def __init__(self, cfg: OceanConfig, fft_backend: str = "reference",
-                 eval_mode: str = "fft"):
+                 eval_mode: str = "fft", pallas_fields: bool = False):
         if eval_mode not in ("fft", "direct"):
             raise ValueError(f"bad eval_mode {eval_mode!r}")
+        # fused normals+whitecap stencil kernel (ops/fields_pallas): valid
+        # for the GPU-convention field set only
+        if pallas_fields and (cfg.normals_mode != "stencil"
+                              or cfg.spectrum_layout != "fft"):
+            raise ValueError("pallas_fields requires normals_mode='stencil' "
+                             "and spectrum_layout='fft'")
+        self.pallas_fields = pallas_fields
         if eval_mode == "direct" and cfg.spectrum_layout != "centered":
             raise ValueError("direct evaluation implements the centered "
                              "(oracle) layout only")
@@ -330,17 +342,26 @@ class OceanSolver:
         slope_z = jnp.imag(f[4])
         chop = cfg.choppiness
 
-        if cfg.normals_mode == "spectral":
+        if self.pallas_fields:
+            normal, foam, jac = _pallas_fields(
+                chop * disp_x, height, chop * disp_z,
+                cfg.length / cfg.resolution)
+        elif cfg.normals_mode == "spectral":
             normal = field_ops.normals_spectral(slope_x, slope_z)
+            if cfg.spectrum_layout == "centered":
+                foam, jac = field_ops.whitecap_oracle(disp_x, disp_z, normal)
+            else:
+                foam, jac = field_ops.whitecap_gpu(chop * disp_x,
+                                                   chop * disp_z, normal)
         else:
             texel_size = cfg.length / cfg.resolution
             normal = field_ops.normals_stencil(
                 chop * disp_x, height, chop * disp_z, texel_size)
-
-        if cfg.spectrum_layout == "centered":
-            foam, jac = field_ops.whitecap_oracle(disp_x, disp_z, normal)
-        else:
-            foam, jac = field_ops.whitecap_gpu(chop * disp_x, chop * disp_z, normal)
+            if cfg.spectrum_layout == "centered":
+                foam, jac = field_ops.whitecap_oracle(disp_x, disp_z, normal)
+            else:
+                foam, jac = field_ops.whitecap_gpu(chop * disp_x,
+                                                   chop * disp_z, normal)
 
         return OceanFields(
             height=height,
