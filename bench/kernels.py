@@ -48,6 +48,23 @@ def main():
                               "error": repr(e)[:120]}))
         sys.stdout.flush()
 
+    # fused stencil kernel
+    try:
+        from tpu_ocean.ops.fields_pallas import fields_pallas
+        key = jax.random.PRNGKey(1)
+        ks = jax.random.split(key, 3)
+        planes = [jax.random.normal(k, (n, n)) for k in ks]
+        def fstep(st, dt):
+            out = fields_pallas(st[0] + dt, st[1], st[2], 1.0)
+            return (st[0] + dt, st[1], st[2]), out
+        meta = time_steps_meta(fstep, tuple(planes), 1e-3, k1=4, k2=32)
+        print(json.dumps({"kernel": "fields_pallas", "n": n,
+                          "ms": round(meta.per_step_s * 1e3, 4),
+                          "forcing": meta.forcing, "suspect": meta.suspect}))
+    except Exception as e:
+        print(json.dumps({"kernel": "fields_pallas", "error": repr(e)[:120]}))
+    sys.stdout.flush()
+
     # Gerstner wave bank
     from tpu_ocean.gerstner import WaveBank, gerstner_eval
     from tpu_ocean.ops.gerstner_pallas import gerstner_pallas

@@ -69,3 +69,18 @@ def test_shade_ocean_shapes():
     rgb = viz.shade_ocean(F)
     assert rgb.shape == (8, 8, 3)
     assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+def test_profile_trace_writes_artifacts(tmp_path):
+    from tpu_ocean.observe import profile_trace
+    from tpu_ocean import OceanConfig, OceanSolver
+    s = OceanSolver(OceanConfig(resolution=16, length=16.0, wind=(5.0, 3.0),
+                                amplitude=0.1))
+    st = s.init()
+    with profile_trace(str(tmp_path)):
+        st, f = s.step(st, 1 / 60)
+        jax.block_until_ready(f.height)
+    found = []
+    for root, _, files in os.walk(str(tmp_path)):
+        found += files
+    assert found, "profiler wrote nothing"
