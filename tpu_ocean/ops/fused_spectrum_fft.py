@@ -27,10 +27,10 @@ wavevector tiles by arithmetic selection on the channel id — no coefficient
 planes stream from HBM and no scratch staging is needed.
 
 HBM traffic per step for the whole 2-D transform becomes:
-  pass 1 (this kernel): read 8 f32 planes (h0 pair, φ, k tiles) + write 10
+  pass 1 (this kernel): read 5 f32 planes (h0 pair, φ) + write 10
   pass 2 (pallas_fft._fft1d_transposed): read 10 + write 10
 vs the unfused chain's read 5 + write 10 + read 10 + write 10 + read 10 +
-write 10 — a ~30% cut, plus one fewer kernel launch boundary.
+write 10 — a ~36% cut, plus one fewer kernel launch boundary.
 """
 
 from __future__ import annotations
@@ -51,13 +51,15 @@ NUM_CHANNELS = 5
 
 
 def _fused_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
+                  kz_tile_ref,
                   h0r_ref, h0i_ref, h0cr_ref, h0ci_ref, ph_ref,
-                  kx_ref, kz_ref, invk_ref,
-                  ore_ref, oim_ref, *, n1, n2, dz_sign, precision):
+                  ore_ref, oim_ref, *, n1, n2, m, length, dz_sign, epsilon,
+                  precision):
     r, _, _ = h0r_ref.shape
     n = n1 * n2
     shape3 = (r, n2, n1)
     ch = pl.program_id(1)
+    bi = pl.program_id(0)
 
     ph = ph_ref[:].reshape(shape3)
     c = jnp.cos(ph)
@@ -70,9 +72,17 @@ def _fused_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
     htr = (h0r + h0cr) * c + (h0ci - h0i) * s
     hti = (h0i + h0ci) * c + (h0r - h0cr) * s
 
-    kx = kx_ref[:].reshape(shape3)
-    kz = kz_ref[:].reshape(shape3)
-    invk = invk_ref[:].reshape(shape3)
+    # wavevectors rebuilt on the VPU (fft layout, grids.wavenumbers_1d):
+    # kx varies only with the GLOBAL row index; kz only within the row
+    two_pi_over_l = np.float32(2.0 * np.pi / length)
+    row = (bi * r
+           + lax.broadcasted_iota(jnp.int32, shape3, 0)).astype(jnp.float32)
+    wrapped = jnp.where(row < m * 0.5, row, row - m)
+    kx = two_pi_over_l * wrapped
+    kz = kz_tile_ref[:][None, :, :]          # (1, n2, n1) broadcast over rows
+    kz = jnp.broadcast_to(kz, shape3)
+    kmag2 = kx * kx + kz * kz
+    invk = jnp.where(kmag2 < epsilon * epsilon, 0.0, lax.rsqrt(kmag2))
 
     # channel coefficient by arithmetic selection on the (traced) channel id —
     # all five are cheap VPU expressions (evolve.spectrum_coefficients)
@@ -112,10 +122,12 @@ def _pick_rows_fused(m: int, n: int):
     return r
 
 
-def assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign: float,
-                    inverse: bool = True, precision=None):
-    """(h0r, h0i, h0cr, h0ci) f32 [M, N] each + phase/k tiles → row-FFT'd
-    spectra stored TRANSPOSED: (re, im) [5, N, M] f32. Feed the result to
+def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
+                    inverse: bool = True, precision=None,
+                    epsilon: float = 1e-4):
+    """(h0r, h0i, h0cr, h0ci) f32 [M, N] each + phase [M, N] → row-FFT'd
+    spectra stored TRANSPOSED: (re, im) [5, N, M] f32. Wavevectors are
+    derived in-kernel from ``length`` (fft layout). Feed the result to
     pallas_fft._fft1d_transposed for the column pass."""
     if precision is None:
         precision = lax.Precision.HIGHEST
@@ -124,10 +136,16 @@ def assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign: float,
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     r = _pick_rows_fused(m, n)
 
+    # kz's within-row pattern, as one (N2, N1) table (float64 build)
+    idx = np.arange(n, dtype=np.float64)
+    wrapped = np.where(idx < n / 2.0, idx, idx - n)
+    kz_tile = (2.0 * np.pi * wrapped / length).astype(np.float32
+                                                      ).reshape(n2, n1)
+
     def shaped(x):
         return x.reshape(m, n2, n1)
 
-    ins = [shaped(x) for x in (h0r, h0i, h0cr, h0ci, phase, kx, kz, invk)]
+    ins = [shaped(x) for x in (h0r, h0i, h0cr, h0ci, phase)]
 
     table = lambda shape: pl.BlockSpec(shape, lambda bi, ch: (0, 0),
                                        memory_space=pltpu.VMEM)
@@ -138,36 +156,39 @@ def assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign: float,
     out_block = pl.BlockSpec((1, n, r), lambda bi, ch: (ch, 0, bi),
                              memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_fused_kernel, n1=n1, n2=n2,
+    kernel = functools.partial(_fused_kernel, n1=n1, n2=n2, m=m,
+                               length=float(length),
                                dz_sign=np.float32(dz_sign),
+                               epsilon=np.float32(epsilon),
                                precision=precision)
     ore, oim = pl.pallas_call(
         kernel,
         grid=(m // r, NUM_CHANNELS),
         in_specs=[table((n2, n2)), table((n2, n2)),
                   table((n2, n1)), table((n2, n1)),
-                  table((n1, n1)), table((n1, n1))] + [in_block] * 8,
+                  table((n1, n1)), table((n1, n1)),
+                  table((n2, n1))] + [in_block] * 5,
         out_specs=[out_block, out_block],
         out_shape=[jax.ShapeDtypeStruct((NUM_CHANNELS, n, m),
                                         jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=int(NUM_CHANNELS * 8 * m * n * (n1 + n2)),
-            bytes_accessed=int((8 + 2 * NUM_CHANNELS) * m * n * 4),
+            bytes_accessed=int((5 + 2 * NUM_CHANNELS) * m * n * 4),
             transcendentals=int(2 * NUM_CHANNELS * m * n)),
         interpret=jax.default_backend() == "cpu",
-    )(f2r, f2i, twr, twi, f1r, f1i, *ins)
+    )(f2r, f2i, twr, twi, f1r, f1i, kz_tile, *ins)
     return ore, oim     # [5, N, M]
 
 
-def ifft2_fused(h0_pair, phase, kx, kz, invk, dz_sign: float,
-                precision=None) -> jnp.ndarray:
+def ifft2_fused(h0_pair, phase, length: float, dz_sign: float,
+                precision=None, epsilon: float = 1e-4) -> jnp.ndarray:
     """Full fused 2-D unnormalized inverse transform of the five evolved
     spectra: returns complex [5, N, N] spatial fields (matches
     ifft2(assemble_spectra(...)) to fp32)."""
     if precision is None:
         precision = lax.Precision.HIGHEST
-    re, im = assemble_rowfft(h0_pair, phase, kx, kz, invk, dz_sign,
-                             precision=precision)
+    re, im = assemble_rowfft(h0_pair, phase, length, dz_sign,
+                             precision=precision, epsilon=epsilon)
     re, im = _fft1d_transposed(re, im, inverse=True,
                                precision=precision)   # column pass
     return re + 1j * im

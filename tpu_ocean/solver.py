@@ -141,18 +141,11 @@ class OceanSolver:
         if eval_mode == "fft":
             if fft_backend == "pallas_fused":
                 # fully fused assembly+FFT pipeline (ops/fused_spectrum_fft):
-                # needs the real-coefficient fft-layout channel set
+                # needs the real-coefficient fft-layout channel set;
+                # wavevectors are rebuilt in-kernel, no extra planes
                 if cfg.spectrum_layout != "fft":
                     raise ValueError("pallas_fused requires "
                                      "spectrum_layout='fft'")
-                from tpu_ocean.config import EPSILON
-                kx, kz, k_mag = _wavevector_f32(n, cfg.length)
-                consts["kx"], consts["kz"] = kx, kz
-                with np.errstate(divide="ignore"):
-                    consts["invk"] = np.where(
-                        k_mag < EPSILON, 0.0,
-                        1.0 / np.maximum(k_mag, np.float32(1e-30))
-                    ).astype(np.float32)
                 self._ifft2 = None
                 self._has_modulation = False
             elif (fft_backend in ("matmul", "pallas")
@@ -305,13 +298,14 @@ class OceanSolver:
         fused into one Pallas pipeline on the 'pallas_fused' backend)."""
         if self.fft_backend == "pallas_fused" and self.eval_mode == "fft":
             with jax.named_scope("fused_assembly_ifft2"):
+                from tpu_ocean.config import EPSILON
                 from tpu_ocean.ops.fused_spectrum_fft import ifft2_fused
                 pair = (jnp.real(state.h0), jnp.imag(state.h0),
                         jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
                 dz_sign = -1.0 if self.cfg.oracle_sign_quirk else 1.0
-                return ifft2_fused(pair, phase, c["kx"], c["kz"],
-                                   c["invk"], dz_sign,
-                                   precision=self._mxu_precision)
+                return ifft2_fused(pair, phase, self.cfg.length, dz_sign,
+                                   precision=self._mxu_precision,
+                                   epsilon=EPSILON)
         with jax.named_scope("spectrum_assembly"):
             spectra = assemble_spectra(state.h0, state.h0_conj, phase,
                                        c["coeffs"])
