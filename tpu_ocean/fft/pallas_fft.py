@@ -112,13 +112,14 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
     oim_ref[:] = di.reshape(1, n, r)
 
 
-# Transposed-store VMEM ceilings (see _pick_block_rows): the pure FFT pass
-# streams 2 planes per block; the fused assembly pass streams 8 (h0 pair,
-# phase, wavevector tiles), so its 128-row lane-aligned block stops fitting
-# one N-doubling earlier. Verified on hardware: pallas OK at 2048, fused OK
-# at 1024, both VMEM-OOM one doubling later.
+# Transposed-store VMEM ceilings (see _pick_block_rows). Verified on
+# hardware (v5e, 16 MB VMEM): both the pure FFT pass (2 input planes per
+# block) and the fused assembly pass (5 planes after the in-kernel
+# wavevector rebuild) compile+run at 2048 with the 128-row lane-aligned
+# block, and OOM at 4096. Beyond the cap the solver falls back to the
+# einsum path, which XLA tiles through HBM.
 MAX_PALLAS_N = 2048
-MAX_FUSED_N = 1024
+MAX_FUSED_N = 2048
 
 
 def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
