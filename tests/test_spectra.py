@@ -131,3 +131,39 @@ def test_gpu_hash_h0_energy_tracks_phillips():
     assert 0.7 < ratio < 1.3, ratio
     # and exactly zero where Phillips is zero (the |k| < EPSILON cutoff)
     assert np.abs(np.asarray(h0))[P == 0].max() == 0.0
+
+
+def test_jonswap_physical_sea_state():
+    """JONSWAP at U=12 m/s, F=100 km must synthesize a sea with realistic
+    Hs (1–5 m) and peak period (4–10 s), with energy zero upwind."""
+    import jax
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.diagnostics import significant_wave_height, peak_period
+    from tpu_ocean.spectra import jonswap
+    from tpu_ocean import grids
+
+    cfg = OceanConfig(resolution=128, length=1000.0, wind=(12.0, 0.0),
+                      amplitude=1.0, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil", spectrum_model="jonswap")
+    s = OceanSolver(cfg)
+    st = s.init(jax.random.PRNGKey(0))
+    st, f = s.step(st, 1 / 60)
+    hs = float(significant_wave_height(f.height))
+    tp = peak_period(f.height, cfg.length)
+    assert 1.0 < hs < 5.0, hs
+    assert 4.0 < tp < 10.0, tp
+
+    # upwind lobe is zero (cos² spreading clipped at 90°)
+    kx, kz, _ = grids.wavevector_grid(64, 500.0, "fft")
+    p = np.asarray(jonswap(kx, kz, 1.0, (10.0, 0.0), length=500.0))
+    assert p[kx < 0].max() == 0.0
+    assert p[(kx > 0) & (np.abs(kz) < 0.01)].max() > 0.0
+
+
+def test_bad_spectrum_model_rejected():
+    import pytest
+    from tpu_ocean.config import OceanConfig
+    with pytest.raises(ValueError, match="spectrum_model"):
+        OceanConfig(spectrum_model="pierson")

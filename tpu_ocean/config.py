@@ -63,6 +63,9 @@ class OceanConfig:
     # 'stencil':  finite-difference of displaced neighbors (OceanNormal.shader:39-56).
     normals_mode: str = "spectral"
     damping: float = DAMPING_CPU
+    # 'phillips' (the reference's spectrum) or 'jonswap' (beyond-reference
+    # fetch-limited sea states; see spectra.jonswap)
+    spectrum_model: str = "phillips"
 
     # Replicate the oracle's sign quirk: displacement z accumulates
     # −kz/|k|·Im (FFTMesh.cs:215) while x accumulates +kx/|k|·Im. Both are then
@@ -95,6 +98,8 @@ class OceanConfig:
             raise ValueError(f"bad normals_mode {self.normals_mode!r}")
         if self.precision not in ("float32", "bfloat16"):
             raise ValueError(f"bad precision {self.precision!r}")
+        if self.spectrum_model not in ("phillips", "jonswap"):
+            raise ValueError(f"bad spectrum_model {self.spectrum_model!r}")
 
     @property
     def phillips_amplitude(self) -> float:

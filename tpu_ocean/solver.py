@@ -211,7 +211,8 @@ class OceanSolver:
             pair_fn = (h0_pair_centered if cfg.spectrum_layout == "centered"
                        else h0_pair_fft)
             h0, h0_conj = pair_fn(key, n, cfg.length, cfg.phillips_amplitude,
-                                  cfg.wind, cfg.damping)
+                                  cfg.wind, cfg.damping,
+                                  model=cfg.spectrum_model)
         h0 = jnp.asarray(h0, dtype=jnp.complex64)
         h0_conj = jnp.asarray(h0_conj, dtype=jnp.complex64)
         # Initial phase = 0: the reference's phase textures start black

@@ -62,6 +62,60 @@ def phillips(kx, kz, amplitude: float, wind, damping: float, g: float = G):
     return xp.where(k_mag < EPSILON, xp.zeros_like(p), p)
 
 
+def jonswap(kx, kz, amplitude: float, wind, fetch: float = 100e3,
+            gamma: float = 3.3, g: float = G, length: float = None):
+    """JONSWAP directional wavenumber spectrum (beyond the reference — see
+    docs/roadmap.md #8; Hasselmann et al. 1973).
+
+    Converted from the frequency form via deep-water dispersion ω = √(gk):
+        Ψ(k) = S(ω(k)) · (dω/dk) / k · D(θ),   dω/dk = g/(2ω)
+    with the cos² directional spreading D(θ) = (2/π)·cos²(θ−θ_wind) for
+    downwind directions (zero upwind), peak frequency from the fetch-limited
+    relation ω_p = 22·(g²/(U·F))^{1/3}, and α = 0.076·(U²/(F·g))^{0.22}.
+    With ``length`` given, the per-mode variance includes the mode area
+    Δk² = (2π/L)² so the synthesized surface has the PHYSICAL variance of
+    the JONSWAP sea state (Hs ≈ 4σ in meters) at amplitude = 1; without it
+    the raw density is returned (unit-agnostic gain, like the Phillips
+    path).
+    """
+    xp = jnp if isinstance(kx, jnp.ndarray) else np
+    wx, wz = float(wind[0]), float(wind[1])
+    u = float(np.hypot(wx, wz)) or 1e-6
+    f = max(float(fetch), 1.0)
+    alpha = 0.076 * (u * u / (f * g)) ** 0.22
+    omega_p = 22.0 * (g * g / (u * f)) ** (1.0 / 3.0)
+
+    k_mag = xp.sqrt(kx * kx + kz * kz)
+    safe_k = xp.maximum(k_mag, 1e-12)
+    omega = xp.sqrt(g * safe_k)
+    sigma = xp.where(omega <= omega_p, 0.07, 0.09)
+    rr = xp.exp(-((omega - omega_p) ** 2)
+                / (2.0 * sigma * sigma * omega_p * omega_p))
+    s_w = (alpha * g * g / xp.maximum(omega, 1e-12) ** 5
+           * xp.exp(-1.25 * (omega_p / xp.maximum(omega, 1e-12)) ** 4)
+           * gamma ** rr)
+    # polar→cartesian wavenumber density with dω/dk = g/(2ω)
+    psi = s_w * (g / (2.0 * xp.maximum(omega, 1e-12))) / safe_k
+
+    cos_t = (kx * wx + kz * wz) / (safe_k * u)
+    spread = xp.where(cos_t > 0.0, (2.0 / PI) * cos_t * cos_t, 0.0)
+
+    p = amplitude * psi * spread
+    if length is not None:
+        dk = 2.0 * PI / float(length)
+        p = p * (dk * dk)
+    return xp.where(k_mag < EPSILON, xp.zeros_like(p), p)
+
+
+def spectrum_fn(model: str):
+    """'phillips' (the reference's, default) or 'jonswap'."""
+    if model == "phillips":
+        return phillips
+    if model == "jonswap":
+        return jonswap
+    raise ValueError(f"bad spectrum model {model!r}")
+
+
 # ---------------------------------------------------------------------------
 # h0 sampling (C3)
 # ---------------------------------------------------------------------------
@@ -80,7 +134,7 @@ def sample_h0(key: jax.Array, phillips_spec) -> jax.Array:
 
 
 def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
-                     wind, damping: float):
+                     wind, damping: float, model: str = "phillips"):
     """(h0, h0conj) in the oracle's centered layout (FFTMesh.cs:114-116).
 
     h0 is drawn at P(k_{n,m}); the conjugate partner is drawn INDEPENDENTLY at
@@ -93,9 +147,14 @@ def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
     from tpu_ocean.grids import wavevector_grid
 
     kx, kz, _ = wavevector_grid(n, length, "centered")
-    p_pos = phillips(kx, kz, amplitude, wind, damping)
-    # k at index (N−n, N−m): π(2(N−n)−N)/L = −k_n exactly.
-    p_neg = phillips(-kx, -kz, amplitude, wind, damping)
+    spec = spectrum_fn(model)
+    if model == "phillips":
+        p_pos = spec(kx, kz, amplitude, wind, damping)
+        # k at index (N−n, N−m): π(2(N−n)−N)/L = −k_n exactly.
+        p_neg = spec(-kx, -kz, amplitude, wind, damping)
+    else:
+        p_pos = spec(kx, kz, amplitude, wind, length=length)
+        p_neg = spec(-kx, -kz, amplitude, wind, length=length)
     k1, k2 = jax.random.split(key)
     h0 = sample_h0(k1, p_pos)
     h0_conj = jnp.conj(sample_h0(k2, p_neg))
@@ -103,7 +162,7 @@ def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
 
 
 def h0_pair_fft(key: jax.Array, n: int, length: float, amplitude: float,
-                wind, damping: float):
+                wind, damping: float, model: str = "phillips"):
     """(h0, h0conj) in the GPU shaders' FFT-ordered layout.
 
     InitialSpectrum.shader:42-53 evaluates Phillips at texel coordinate
@@ -116,8 +175,13 @@ def h0_pair_fft(key: jax.Array, n: int, length: float, amplitude: float,
     from tpu_ocean.grids import wavevector_grid
 
     kx, kz, _ = wavevector_grid(n, length, "fft")
-    p_pos = phillips(kx, kz, amplitude, wind, damping)
-    p_neg = phillips(-kx, -kz, amplitude, wind, damping)
+    spec = spectrum_fn(model)
+    if model == "phillips":
+        p_pos = spec(kx, kz, amplitude, wind, damping)
+        p_neg = spec(-kx, -kz, amplitude, wind, damping)
+    else:
+        p_pos = spec(kx, kz, amplitude, wind, length=length)
+        p_neg = spec(-kx, -kz, amplitude, wind, length=length)
     k1, k2 = jax.random.split(key)
     h0 = sample_h0(k1, p_pos)
     h0_conj = jnp.conj(sample_h0(k2, p_neg))
