@@ -69,3 +69,52 @@ def test_reconfigure_resolution_change_resets():
     s2, st2 = s.reconfigure(st, _cfg(resolution=32, length=32.0))
     assert st2.phase.shape == (32, 32)
     assert int(np.asarray(st2.step)) == 0
+
+
+def test_foam_accumulation_and_decay():
+    """foam_decay > 0: persistent foam ≥ instantaneous foam, monotone decay
+    between refresh events, and frame-rate-consistent e-folding."""
+    base = _cfg(amplitude=0.8)
+    inst = OceanSolver(base)                      # foam_decay = 0 (reference)
+    acc = OceanSolver(base.replace(foam_decay=0.5))
+    key = jax.random.PRNGKey(4)
+    si = inst.init(key)
+    sa = acc.init(key)
+    for _ in range(10):
+        si, fi = inst.step(si, 1 / 60)
+        sa, fa = acc.step(sa, 1 / 60)
+    # persistent foam dominates the instantaneous field
+    assert np.all(np.asarray(fa.foam) >= np.asarray(fi.foam) - 1e-6)
+    assert float(jnp.mean(fa.foam)) > float(jnp.mean(fi.foam))
+    # the instantaneous path keeps foam_accum at zero (bit-compatible with
+    # pre-accumulation checkpoints)
+    assert float(jnp.max(si.foam_accum)) == 0.0
+    # decay: with a huge decay rate it collapses back to the instantaneous
+    fast = OceanSolver(base.replace(foam_decay=1e6))
+    sf = fast.init(key)
+    for _ in range(10):
+        sf, ff = fast.step(sf, 1 / 60)
+    np.testing.assert_allclose(np.asarray(ff.foam), np.asarray(fi.foam),
+                               atol=1e-6)
+
+
+def test_foam_accumulation_distributed_matches_single():
+    from tpu_ocean.parallel import make_mesh
+    from tpu_ocean.solver_dist import DistributedOceanSolver
+    import jax.numpy as jnp
+    cfg = _cfg(resolution=64, length=64.0, amplitude=0.5, foam_decay=0.7)
+    mesh = make_mesh(shard=8)
+    single = OceanSolver(cfg)
+    dist = DistributedOceanSolver(cfg, mesh)
+    key = jax.random.PRNGKey(5)
+    # share one h0 so trajectories are identical
+    st = single.init(key)
+    sd = dist.init(h0=np.asarray(jax.device_get(jnp.real(st.h0)))
+                   + 1j * np.asarray(jax.device_get(jnp.imag(st.h0))),
+                   h0_conj=np.asarray(jax.device_get(jnp.real(st.h0_conj)))
+                   + 1j * np.asarray(jax.device_get(jnp.imag(st.h0_conj))))
+    for _ in range(4):
+        st, f1 = single.step(st, 1 / 60)
+        sd, f2 = dist.step(sd, 1 / 60)
+    np.testing.assert_allclose(np.asarray(f2.foam), np.asarray(f1.foam),
+                               atol=1e-5)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from tpu_ocean.config import OceanConfig
 from tpu_ocean.solver import OceanState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def _pull(x) -> np.ndarray:
@@ -52,6 +52,7 @@ def save_checkpoint(path: str, state: OceanState,
         "phase": _pull(state.phase),
         "t": _pull(state.t),
         "step": _pull(state.step),
+        "foam_accum": _pull(state.foam_accum),
     }
     if cfg is not None:
         payload["config_json"] = np.bytes_(
@@ -87,12 +88,18 @@ def load_checkpoint(path: str) -> Tuple[OceanState, Optional[OceanConfig]]:
             im = jnp.asarray(pair[1], jnp.float32)
             return (re + 1j * im).astype(jnp.complex64)
 
+        phase = jnp.asarray(z["phase"], jnp.float32)
+        # v1 checkpoints predate foam accumulation: restore zeros
+        foam_accum = (jnp.asarray(z["foam_accum"], jnp.float32)
+                      if "foam_accum" in z.files
+                      else jnp.zeros_like(phase))
         state = OceanState(
             h0=push(z["h0_pair"]),
             h0_conj=push(z["h0_conj_pair"]),
-            phase=jnp.asarray(z["phase"], jnp.float32),
+            phase=phase,
             t=jnp.asarray(z["t"], jnp.float32),
             step=jnp.asarray(z["step"], jnp.int32),
+            foam_accum=foam_accum,
         )
         cfg = None
         if "config_json" in z.files:
@@ -160,7 +167,8 @@ def save_checkpoint_orbax(directory: str, state: OceanState) -> None:
                {"h0_re": jnp.real(state.h0), "h0_im": jnp.imag(state.h0),
                 "h0c_re": jnp.real(state.h0_conj),
                 "h0c_im": jnp.imag(state.h0_conj),
-                "phase": state.phase, "t": state.t, "step": state.step},
+                "phase": state.phase, "t": state.t, "step": state.step,
+                "foam_accum": state.foam_accum},
                force=True)
     ckptr.wait_until_finished()
 
@@ -174,10 +182,13 @@ def load_checkpoint_orbax(directory: str) -> OceanState:
         return (jnp.asarray(re, jnp.float32)
                 + 1j * jnp.asarray(im, jnp.float32)).astype(jnp.complex64)
 
+    phase = jnp.asarray(d["phase"], jnp.float32)
     return OceanState(
         h0=push(d["h0_re"], d["h0_im"]),
         h0_conj=push(d["h0c_re"], d["h0c_im"]),
-        phase=jnp.asarray(d["phase"], jnp.float32),
+        phase=phase,
         t=jnp.asarray(d["t"], jnp.float32),
         step=jnp.asarray(d["step"], jnp.int32),
+        foam_accum=(jnp.asarray(d["foam_accum"], jnp.float32)
+                    if "foam_accum" in d else jnp.zeros_like(phase)),
     )

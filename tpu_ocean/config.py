@@ -66,6 +66,10 @@ class OceanConfig:
     # 'phillips' (the reference's spectrum) or 'jonswap' (beyond-reference
     # fetch-limited sea states; see spectra.jonswap)
     spectrum_model: str = "phillips"
+    # Temporal foam persistence (beyond the reference, docs/roadmap.md #7):
+    # 0 disables (instantaneous foam, reference behavior); >0 is the e-fold
+    # DECAY RATE in 1/s — foam' = max(instantaneous, foam·exp(−rate·dt)).
+    foam_decay: float = 0.0
 
     # Replicate the oracle's sign quirk: displacement z accumulates
     # −kz/|k|·Im (FFTMesh.cs:215) while x accumulates +kx/|k|·Im. Both are then

@@ -47,7 +47,8 @@ class EnsembleOceanSolver:
             return NamedSharding(mesh, P("batch", *tail))
 
         state_shardings = OceanState(
-            h0=spec(), h0_conj=spec(), phase=spec(), t=spec(), step=spec())
+            h0=spec(), h0_conj=spec(), phase=spec(), t=spec(), step=spec(),
+            foam_accum=spec())
         # constants ride as a (replicated) jit argument — embedding them in
         # the program bloats it and re-fetching closures is unreliable
         vstep = jax.vmap(self._inner._step_impl, in_axes=(0, None, None))

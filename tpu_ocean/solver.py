@@ -63,6 +63,8 @@ class OceanState(NamedTuple):
     phase: jax.Array
     t: jax.Array
     step: jax.Array
+    # accumulated foam (zeros when cfg.foam_decay == 0 — pure passthrough)
+    foam_accum: jax.Array
 
 
 class OceanFields(NamedTuple):
@@ -223,6 +225,7 @@ class OceanSolver:
             phase=jnp.zeros((n, n), dtype=jnp.float32),
             t=jnp.zeros((), dtype=jnp.float32),
             step=jnp.zeros((), dtype=jnp.int32),
+            foam_accum=jnp.zeros((n, n), dtype=jnp.float32),
         )
 
     # ------------------------------------------------------------- reconfigure
@@ -279,9 +282,18 @@ class OceanSolver:
         with jax.named_scope("fields"):
             out = self._extract_fields(f, c)
 
+        foam_accum = state.foam_accum
+        if cfg.foam_decay > 0.0:
+            # persistent foam: new crests refresh it, old foam e-folds away
+            foam_accum = jnp.maximum(
+                out.foam, state.foam_accum
+                * jnp.exp(-np.float32(cfg.foam_decay) * dt))
+            out = out._replace(foam=foam_accum)
+
         new_state = OceanState(h0=state.h0, h0_conj=state.h0_conj,
                                phase=phase_state, t=t_new,
-                               step=state.step + 1)
+                               step=state.step + 1,
+                               foam_accum=foam_accum)
         return new_state, out
 
     def fields_at(self, state: OceanState, t: float) -> OceanFields:

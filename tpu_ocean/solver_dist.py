@@ -97,7 +97,10 @@ class DistributedOceanSolver:
         x_spec = P("shard", None)      # state layout: rows split
         z_spec = P(None, "shard")      # field layout: columns split
         state_specs = OceanState(h0=x_spec, h0_conj=x_spec, phase=x_spec,
-                                 t=P(), step=P())
+                                 t=P(), step=P(),
+                                 # foam accumulates in the fields' (Z-sharded)
+                                 # orientation — it feeds/consumes them
+                                 foam_accum=z_spec)
         field_specs = OceanFields(
             height=z_spec, disp_x=z_spec, disp_z=z_spec,
             pos_x=z_spec, pos_z=z_spec, normal=P(None, "shard", None),
@@ -132,6 +135,7 @@ class DistributedOceanSolver:
             h0, h0_conj = pair_fn(key, n, cfg.length, cfg.phillips_amplitude,
                                   cfg.wind, cfg.damping)
         x_sh = NamedSharding(self.mesh, P("shard", None))
+        z_sh = NamedSharding(self.mesh, P(None, "shard"))
         rep = NamedSharding(self.mesh, P())
         return OceanState(
             h0=jax.device_put(jnp.asarray(h0, jnp.complex64), x_sh),
@@ -139,6 +143,8 @@ class DistributedOceanSolver:
             phase=jax.device_put(jnp.zeros((n, n), jnp.float32), x_sh),
             t=jax.device_put(jnp.zeros((), jnp.float32), rep),
             step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+            # foam accumulates in the fields' (Z-sharded) orientation
+            foam_accum=jax.device_put(jnp.zeros((n, n), jnp.float32), z_sh),
         )
 
     def reconfigure(self, state: OceanState, new_cfg: OceanConfig,
@@ -217,9 +223,17 @@ class DistributedOceanSolver:
             foam, jac = field_ops.whitecap_gpu(
                 chop * disp_x, chop * disp_z, normal, roll_fn=roll)
 
+        foam_accum = state.foam_accum
+        if cfg.foam_decay > 0.0:
+            foam_accum = jnp.maximum(
+                foam, state.foam_accum
+                * jnp.exp(-np.float32(cfg.foam_decay) * dt))
+            foam = foam_accum
+
         new_state = OceanState(h0=state.h0, h0_conj=state.h0_conj,
                                phase=phase_state, t=t_new,
-                               step=state.step + 1)
+                               step=state.step + 1,
+                               foam_accum=foam_accum)
         out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
                           pos_x=x0 - chop * disp_x, pos_z=z0 - chop * disp_z,
                           normal=normal, foam=foam, jacobian=jac)
