@@ -88,3 +88,36 @@ def test_even_odd_coordinate_offsets():
     # even N: half-cell offset (FFTMesh.cs:111); odd N: integer offsets
     np.testing.assert_allclose(even, [-1.5, -0.5, 0.5, 1.5])
     np.testing.assert_allclose(odd, [-2.0, -1.0, 0.0, 1.0, 2.0])
+
+
+def test_gpu_hash_seeds_requires_fft_layout():
+    import pytest
+    cfg = OceanConfig(resolution=16, length=16.0, wind=(5.0, 3.0),
+                      amplitude=0.1)   # centered default
+    s = OceanSolver(cfg)
+    with pytest.raises(ValueError, match="fft"):
+        s.init(gpu_hash_seeds=(0.3, 0.8))
+
+
+def test_fields_pallas_rejects_non_multiple_of_8():
+    import pytest
+    from tpu_ocean.ops.fields_pallas import fields_pallas
+    a = jnp.zeros((12, 12), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fields_pallas(a, a, a, 1.0)
+
+
+def test_distributed_jonswap_matches_single():
+    from tpu_ocean.parallel import make_mesh
+    from tpu_ocean.solver_dist import DistributedOceanSolver
+    cfg = OceanConfig(resolution=64, length=500.0, wind=(12.0, 0.0),
+                      amplitude=1.0, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil", spectrum_model="jonswap")
+    key = jax.random.PRNGKey(0)
+    single = OceanSolver(cfg)
+    dist = DistributedOceanSolver(cfg, make_mesh(shard=8))
+    s1, f1 = single.step(single.init(key), 1 / 60)
+    s2, f2 = dist.step(dist.init(key), 1 / 60)
+    np.testing.assert_allclose(np.asarray(f2.height), np.asarray(f1.height),
+                               atol=1e-4 * np.abs(np.asarray(f1.height)).max())

@@ -52,3 +52,20 @@ def test_buoys_on_live_ocean_and_grad():
     g = jax.grad(lambda x: jnp.sum(sample_bilinear(f.height, x, 3.0,
                                                    cfg.length)))(5.25)
     assert np.isfinite(float(g))
+
+
+def test_grid_origin_centered_layout():
+    from tpu_ocean.sample import grid_origin
+    cfg = OceanConfig(resolution=16, length=16.0, unit_width=1.0,
+                      wind=(5.0, 3.0), amplitude=0.1)   # centered default
+    o = grid_origin(cfg)
+    assert o == -7.5     # (0 − N/2)·w + w/2
+    cfg_fft = OceanConfig(resolution=16, length=16.0, wind=(5.0, 3.0),
+                          amplitude=0.1, evolution_mode="phase",
+                          dispersion_mode="capillary", spectrum_layout="fft",
+                          normals_mode="stencil")
+    assert grid_origin(cfg_fft) == 0.0
+    # sampling at the first vertex's world position returns field[0, 0]
+    f = jnp.asarray(np.arange(256, dtype=np.float32).reshape(16, 16))
+    v = float(sample_bilinear(f, o, o, cfg.length, origin=o))
+    np.testing.assert_allclose(v, float(f[0, 0]), atol=1e-4)

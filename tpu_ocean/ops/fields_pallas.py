@@ -144,13 +144,17 @@ def fields_pallas(disp_x, height, disp_z, texel_size: float):
     """(normal [N,N,3], foam, jacobian) from chop-scaled displacements —
     fused twin of fields.normals_stencil + fields.whitecap_gpu."""
     m, n = height.shape
+    if m % 8 != 0:
+        # the halo DMA starts must be 8-sublane aligned; a non-multiple grid
+        # would wrap to misaligned rows (garbage on CPU, Mosaic error on TPU)
+        raise ValueError(f"fields_pallas needs the grid side to be a "
+                         f"multiple of 8 (got {m}); use the jnp stencil "
+                         f"path (fields.normals_stencil/whitecap_gpu)")
     # VMEM budget: 3 halo scratch planes + their loaded values + 5 double-
     # buffered out blocks + ~15 live stencil temps ≈ 30·r·n·4 bytes
     # (measured: 17 MB at r=32, n=4096 with the previous 16× estimate)
     r = 128
     while r > 8 and (30 * r * n * 4 > 8 * 1024 * 1024 or m % r != 0):
-        r //= 2
-    while m % r != 0 and r > 8:
         r //= 2
 
     kernel = functools.partial(_fields_kernel, r=r, n=n, m=m,

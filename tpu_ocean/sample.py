@@ -15,16 +15,31 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_bilinear(field: jax.Array, x, z, length: float) -> jax.Array:
+def grid_origin(cfg) -> float:
+    """World coordinate of grid index 0 for a solver config: 0 for the
+    fft layout (GPU convention), the centered mesh's first vertex for the
+    centered layout (grids.coordinate_1d)."""
+    if cfg.spectrum_layout == "fft":
+        return 0.0
+    from tpu_ocean.grids import coordinate_1d
+    return float(coordinate_1d(cfg.resolution, cfg.unit_width)[0])
+
+
+def sample_bilinear(field: jax.Array, x, z, length: float,
+                    origin: float = 0.0) -> jax.Array:
     """Periodic bilinear sample of ``field`` [N, N] at world (x, z).
 
     Axis 0 = x, axis 1 = z (the package-wide convention); the patch tiles
     with period ``length`` exactly like the reference's repeat-mode textures.
+    ``origin`` is the world coordinate of index 0 — pass
+    ``grid_origin(cfg)`` for centered-layout solvers (whose mesh starts at
+    −L/2 + w/2, grids.coordinate_1d); fft-layout grids start at 0.
     ``x``/``z`` may be scalars or arrays of any matching shape.
     """
     n = field.shape[0]
-    fx = jnp.asarray(x, jnp.float32) / jnp.float32(length) * n
-    fz = jnp.asarray(z, jnp.float32) / jnp.float32(length) * n
+    o = jnp.float32(origin)
+    fx = (jnp.asarray(x, jnp.float32) - o) / jnp.float32(length) * n
+    fz = (jnp.asarray(z, jnp.float32) - o) / jnp.float32(length) * n
     i0 = jnp.floor(fx).astype(jnp.int32)
     j0 = jnp.floor(fz).astype(jnp.int32)
     tx = fx - i0
@@ -41,19 +56,21 @@ def sample_bilinear(field: jax.Array, x, z, length: float) -> jax.Array:
             + (1 - tx) * tz * f01 + tx * tz * f11)
 
 
-def surface_at(fields, x, z, length: float, choppiness: float = 1.0):
+def surface_at(fields, x, z, length: float, choppiness: float = 1.0,
+               origin: float = 0.0):
     """Displaced surface point(s) for probes at rest position (x, z):
     returns (world_x, height, world_z) after the choppy horizontal
     displacement — the vertex-stage math (TestOcean.shader:65-66,
     FFTMesh.cs:243-245) for arbitrary query points."""
-    h = sample_bilinear(fields.height, x, z, length)
-    dx = sample_bilinear(fields.disp_x, x, z, length)
-    dz = sample_bilinear(fields.disp_z, x, z, length)
+    h = sample_bilinear(fields.height, x, z, length, origin)
+    dx = sample_bilinear(fields.disp_x, x, z, length, origin)
+    dz = sample_bilinear(fields.disp_z, x, z, length, origin)
     return (jnp.asarray(x, jnp.float32) - choppiness * dx, h,
             jnp.asarray(z, jnp.float32) - choppiness * dz)
 
 
-def buoy_heights(fields, positions, length: float) -> jax.Array:
+def buoy_heights(fields, positions, length: float,
+                 origin: float = 0.0) -> jax.Array:
     """Heights under a [K, 2] array of (x, z) probe positions."""
     p = jnp.asarray(positions, jnp.float32)
-    return sample_bilinear(fields.height, p[:, 0], p[:, 1], length)
+    return sample_bilinear(fields.height, p[:, 0], p[:, 1], length, origin)

@@ -49,14 +49,6 @@ def _pallas_fields(disp_x, height, disp_z, texel: float):
     return fields_pallas(disp_x, height, disp_z, texel)
 
 
-def _wavevector_f32(n: int, length: float):
-    """(kx, kz, |k|) float32 [N, N] fft-layout grids (trace-time, shares the
-    canonical convention in grids.wavevector_grid)."""
-    kx, kz, k_mag = grids.wavevector_grid(n, length, "fft")
-    return (np.asarray(kx, np.float32), np.asarray(kz, np.float32),
-            np.asarray(k_mag, np.float32))
-
-
 class OceanState(NamedTuple):
     h0: jax.Array
     h0_conj: jax.Array
@@ -89,9 +81,11 @@ class OceanSolver:
         # fused normals+whitecap stencil kernel (ops/fields_pallas): valid
         # for the GPU-convention field set only
         if pallas_fields and (cfg.normals_mode != "stencil"
-                              or cfg.spectrum_layout != "fft"):
-            raise ValueError("pallas_fields requires normals_mode='stencil' "
-                             "and spectrum_layout='fft'")
+                              or cfg.spectrum_layout != "fft"
+                              or cfg.resolution % 8 != 0):
+            raise ValueError("pallas_fields requires normals_mode='stencil', "
+                             "spectrum_layout='fft', and a resolution "
+                             "divisible by 8")
         self.pallas_fields = pallas_fields
         if eval_mode == "direct" and cfg.spectrum_layout != "centered":
             raise ValueError("direct evaluation implements the centered "
@@ -203,6 +197,10 @@ class OceanSolver:
         cfg = self.cfg
         n = cfg.resolution
         if h0 is None and gpu_hash_seeds is not None:
+            if cfg.spectrum_layout != "fft":
+                raise ValueError("gpu_hash_seeds replays the shader's "
+                                 "fft-layout spectrum; it requires "
+                                 "spectrum_layout='fft'")
             from tpu_ocean.spectra import h0_pair_gpu_hash
             h0, h0_conj = h0_pair_gpu_hash(
                 n, cfg.length, cfg.phillips_amplitude, cfg.wind,
@@ -240,7 +238,8 @@ class OceanSolver:
         the sea state morphs. Resolution/layout changes rebuild everything.
         """
         solver = OceanSolver(new_cfg, fft_backend=self.fft_backend,
-                             eval_mode=self.eval_mode)
+                             eval_mode=self.eval_mode,
+                             pallas_fields=self.pallas_fields)
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution

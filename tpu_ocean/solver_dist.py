@@ -133,7 +133,8 @@ class DistributedOceanSolver:
             pair_fn = (h0_pair_centered if cfg.spectrum_layout == "centered"
                        else h0_pair_fft)
             h0, h0_conj = pair_fn(key, n, cfg.length, cfg.phillips_amplitude,
-                                  cfg.wind, cfg.damping)
+                                  cfg.wind, cfg.damping,
+                                  model=cfg.spectrum_model)
         x_sh = NamedSharding(self.mesh, P("shard", None))
         z_sh = NamedSharding(self.mesh, P(None, "shard"))
         rep = NamedSharding(self.mesh, P())
