@@ -33,3 +33,12 @@ def test_run_multihost_fake_mesh():
     r = _run(["examples/run_multihost.py", "--res", "64", "--steps", "2"])
     assert r.returncode == 0, r.stderr[-1000:]
     assert "summary" in r.stderr
+
+
+def test_buoys_streams_csv():
+    r = _run(["examples/buoys.py", "--n", "32", "--buoys", "3",
+              "--steps", "4"])
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert lines[0].startswith("step,buoy0_h")
+    assert len(lines) == 5      # header + 4 steps
