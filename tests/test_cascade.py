@@ -61,3 +61,16 @@ def test_cascade_validation():
         CascadeSolver(bad)
     with pytest.raises(ValueError):
         CascadeSolver([cfgs[0].replace(spectrum_layout="centered")])
+
+
+def test_cascade_honors_spectrum_model():
+    cfgs = [c.replace(spectrum_model="jonswap", length=500.0,
+                      wind=(12.0, 0.0), amplitude=1.0, amplitude_scale=1.0)
+            for c in default_cascade(n=32, lengths=(500.0, 100.0))]
+    phill = [c.replace(spectrum_model="phillips") for c in cfgs]
+    key = jax.random.PRNGKey(2)
+    a = CascadeSolver(cfgs).init(key)
+    b = CascadeSolver(phill).init(key)
+    # same key, different spectrum model ⇒ different h0 magnitudes
+    assert not np.allclose(np.abs(np.asarray(a.h0)),
+                           np.abs(np.asarray(b.h0)))
