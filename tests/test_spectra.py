@@ -167,3 +167,26 @@ def test_bad_spectrum_model_rejected():
     from tpu_ocean.config import OceanConfig
     with pytest.raises(ValueError, match="spectrum_model"):
         OceanConfig(spectrum_model="pierson")
+
+
+def test_jonswap_spreading_and_tma():
+    from tpu_ocean.spectra import jonswap
+    from tpu_ocean import grids
+    kx, kz, _ = grids.wavevector_grid(64, 500.0, "fft")
+    wind = (10.0, 0.0)
+    broad = np.asarray(jonswap(kx, kz, 1.0, wind, length=500.0, spreading=2))
+    narrow = np.asarray(jonswap(kx, kz, 1.0, wind, length=500.0, spreading=16))
+    # off-axis (45°) energy relative to on-axis must shrink with s
+    on = (np.abs(kz) < 0.02) & (kx > 0.05)
+    off = (np.abs(kx - kz) < 0.02) & (kx > 0.04)
+    ratio_b = broad[off].mean() / broad[on].mean()
+    ratio_n = narrow[off].mean() / narrow[on].mean()
+    assert ratio_n < ratio_b * 0.5
+
+    # TMA: shallow water strips the long (low-ω) waves, leaves short ones
+    deep = np.asarray(jonswap(kx, kz, 1.0, wind, length=500.0))
+    shallow = np.asarray(jonswap(kx, kz, 1.0, wind, length=500.0, depth=3.0))
+    km = np.sqrt(kx ** 2 + kz ** 2)
+    low = (km > 0) & (km < 0.05) & (kx > 0)
+    assert shallow[low].sum() < 0.6 * deep[low].sum()
+    assert np.all(shallow <= deep + 1e-12)

@@ -63,7 +63,8 @@ def phillips(kx, kz, amplitude: float, wind, damping: float, g: float = G):
 
 
 def jonswap(kx, kz, amplitude: float, wind, fetch: float = 100e3,
-            gamma: float = 3.3, g: float = G, length: float = None):
+            gamma: float = 3.3, g: float = G, length: float = None,
+            spreading: float = 2.0, depth: float = None):
     """JONSWAP directional wavenumber spectrum (beyond the reference — see
     docs/roadmap.md #8; Hasselmann et al. 1973).
 
@@ -77,6 +78,12 @@ def jonswap(kx, kz, amplitude: float, wind, fetch: float = 100e3,
     the JONSWAP sea state (Hs ≈ 4σ in meters) at amplitude = 1; without it
     the raw density is returned (unit-agnostic gain, like the Phillips
     path).
+
+    ``spreading`` is the cosine exponent s in D(θ) ∝ cosˢ(θ−θ_wind)
+    (normalized over the downwind half-plane; 2 = the classic cos² model,
+    larger = narrower directional lobe). ``depth`` (meters) applies the
+    TMA/Kitaigorodskii finite-depth attenuation Φ(ω, h) (Bouws et al. 1985,
+    the standard 2-branch approximation) for shallow-water sea states.
     """
     xp = jnp if isinstance(kx, jnp.ndarray) else np
     wx, wz = float(wind[0]), float(wind[1])
@@ -98,9 +105,24 @@ def jonswap(kx, kz, amplitude: float, wind, fetch: float = 100e3,
     psi = s_w * (g / (2.0 * xp.maximum(omega, 1e-12))) / safe_k
 
     cos_t = (kx * wx + kz * wz) / (safe_k * u)
-    spread = xp.where(cos_t > 0.0, (2.0 / PI) * cos_t * cos_t, 0.0)
+    # cos^s over the downwind half-plane; normalization
+    # ∫_{-π/2}^{π/2} cosˢθ dθ = √π·Γ((s+1)/2)/Γ(s/2+1)
+    import math
+    norm = (math.sqrt(math.pi) * math.gamma((spreading + 1.0) / 2.0)
+            / math.gamma(spreading / 2.0 + 1.0))
+    spread = xp.where(cos_t > 0.0,
+                      xp.maximum(cos_t, 0.0) ** spreading / norm, 0.0)
 
     p = amplitude * psi * spread
+
+    if depth is not None:
+        # TMA finite-depth factor, Kitaigorodskii 2-branch approximation:
+        # Φ ≈ ω*²/2 for ω* ≤ 1, 1 − (2 − ω*)²/2 for 1 < ω* < 2, 1 beyond,
+        # with ω* = ω·sqrt(h/g)
+        ws = omega * np.sqrt(max(float(depth), 1e-6) / g)
+        phi = xp.where(ws <= 1.0, 0.5 * ws * ws,
+                       xp.where(ws < 2.0, 1.0 - 0.5 * (2.0 - ws) ** 2, 1.0))
+        p = p * phi
     if length is not None:
         dk = 2.0 * PI / float(length)
         p = p * (dk * dk)
