@@ -125,7 +125,8 @@ class CascadeSolver:
             pair = (h0_pair_centered if c.spectrum_layout == "centered"
                     else h0_pair_fft)
             h0, h0c = pair(k, c.resolution, c.length, c.phillips_amplitude,
-                           c.wind, c.damping, model=c.spectrum_model)
+                           c.wind, c.damping, model=c.spectrum_model,
+                           jonswap_kw=c.jonswap_kw)
             h0s.append(h0)
             h0cs.append(h0c)
         st = CascadeState(

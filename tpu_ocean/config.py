@@ -66,6 +66,10 @@ class OceanConfig:
     # 'phillips' (the reference's spectrum) or 'jonswap' (beyond-reference
     # fetch-limited sea states; see spectra.jonswap)
     spectrum_model: str = "phillips"
+    jonswap_fetch: float = 100e3     # fetch F in meters
+    jonswap_gamma: float = 3.3       # peak-enhancement factor
+    jonswap_spreading: float = 2.0   # cos^s directional exponent
+    jonswap_depth: float = 0.0       # TMA water depth in m (0 = deep water)
     # Temporal foam persistence (beyond the reference, docs/roadmap.md #7):
     # 0 disables (instantaneous foam, reference behavior); >0 is the e-fold
     # DECAY RATE in 1/s — foam' = max(instantaneous, foam·exp(−rate·dt)).
@@ -108,6 +112,14 @@ class OceanConfig:
     @property
     def phillips_amplitude(self) -> float:
         return self.amplitude * self.amplitude_scale
+
+    @property
+    def jonswap_kw(self) -> dict:
+        """Keyword bundle for spectra.jonswap (deep water when depth == 0)."""
+        return {"fetch": self.jonswap_fetch, "gamma": self.jonswap_gamma,
+                "spreading": self.jonswap_spreading,
+                "depth": self.jonswap_depth if self.jonswap_depth > 0
+                         else None}
 
     def replace(self, **kw) -> "OceanConfig":
         return dataclasses.replace(self, **kw)

@@ -212,7 +212,8 @@ class OceanSolver:
                        else h0_pair_fft)
             h0, h0_conj = pair_fn(key, n, cfg.length, cfg.phillips_amplitude,
                                   cfg.wind, cfg.damping,
-                                  model=cfg.spectrum_model)
+                                  model=cfg.spectrum_model,
+                                  jonswap_kw=cfg.jonswap_kw)
         h0 = jnp.asarray(h0, dtype=jnp.complex64)
         h0_conj = jnp.asarray(h0_conj, dtype=jnp.complex64)
         # Initial phase = 0: the reference's phase textures start black

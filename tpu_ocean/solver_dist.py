@@ -134,7 +134,8 @@ class DistributedOceanSolver:
                        else h0_pair_fft)
             h0, h0_conj = pair_fn(key, n, cfg.length, cfg.phillips_amplitude,
                                   cfg.wind, cfg.damping,
-                                  model=cfg.spectrum_model)
+                                  model=cfg.spectrum_model,
+                                  jonswap_kw=cfg.jonswap_kw)
         x_sh = NamedSharding(self.mesh, P("shard", None))
         z_sh = NamedSharding(self.mesh, P(None, "shard"))
         rep = NamedSharding(self.mesh, P())
