@@ -60,3 +60,27 @@ def test_overlap_chunks_identical_results(chunks):
         s2, f2 = over.step(s2, 1 / 60)
     np.testing.assert_array_equal(np.asarray(f1.height), np.asarray(f2.height))
     np.testing.assert_array_equal(np.asarray(f1.foam), np.asarray(f2.foam))
+
+
+def test_ensemble_of_distributed_patches_matches_members():
+    """DP × SP: each member both batched AND domain-decomposed; member 0
+    must reproduce a standalone distributed run with the same key."""
+    from tpu_ocean.ensemble import EnsembleDistributedSolver
+    cfg = _cfg(32)
+    mesh = make_mesh(batch=2, shard=4)
+    combo = EnsembleDistributedSolver(cfg, mesh, ensemble_size=2)
+    key = jax.random.PRNGKey(11)
+    state = combo.step_count = None
+    st = combo.init(key)
+    st, f = combo.step(st, 1 / 60)
+    st, f = combo.step(st, 1 / 60)
+    assert f.height.shape == (2, 32, 32)
+
+    solo = DistributedOceanSolver(cfg, make_mesh(shard=8))
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        s0 = solo.init(keys[i])
+        for _ in range(2):
+            s0, f0 = solo.step(s0, 1 / 60)
+        np.testing.assert_allclose(np.asarray(f.height[i]),
+                                   np.asarray(f0.height), atol=2e-5)

@@ -69,3 +69,72 @@ class EnsembleOceanSolver:
         """[E, ...] state → ([E, ...] state, [E, ...] fields)."""
         return self._step_jit(state, jnp.asarray(dt, jnp.float32),
                               self._inner._consts)
+
+
+class EnsembleDistributedSolver:
+    """DP × SP composition: an ensemble of DOMAIN-DECOMPOSED patches.
+
+    Each ensemble member's grid is itself sharded over the mesh's 'shard'
+    axis (all the DistributedOceanSolver machinery — all_to_all FFT
+    transpose, halo rings) while the member axis shards over 'batch':
+    the full ('batch', 'shard') mesh is active for one step call. Built by
+    vmapping the shard_map'ped member step — the composition JAX is designed
+    for; no new collectives are written.
+    """
+
+    def __init__(self, cfg, mesh: Mesh, ensemble_size: int,
+                 fft_backend: str = "reference", overlap_chunks: int = 1):
+        from tpu_ocean.solver_dist import DistributedOceanSolver
+
+        for axis in ("batch", "shard"):
+            if axis not in mesh.axis_names:
+                raise ValueError(f"mesh needs a {axis!r} axis")
+        n_batch = mesh.shape["batch"]
+        if ensemble_size % n_batch != 0:
+            raise ValueError(f"ensemble_size {ensemble_size} not divisible "
+                             f"by batch axis size {n_batch}")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.ensemble_size = ensemble_size
+        self._inner = DistributedOceanSolver(
+            cfg, mesh, fft_backend=fft_backend,
+            overlap_chunks=overlap_chunks)
+
+        def bspec(*tail):
+            return NamedSharding(mesh, P("batch", *tail))
+
+        state_shardings = OceanState(
+            h0=bspec("shard"), h0_conj=bspec("shard"), phase=bspec("shard"),
+            t=bspec(), step=bspec(), foam_accum=bspec(None, "shard"))
+        del state_shardings  # placement comes from init; jit propagates
+        # vmap the per-member shard_map'ped body over the leading member
+        # axis; spmd_axis_name tells the inner shard_map the mapped axis
+        # lives on the mesh's 'batch' axis
+        vstep = jax.vmap(self._inner._sharded_step,
+                         in_axes=(0,) + (None,) * 9,
+                         spmd_axis_name="batch")
+        self._step_jit = jax.jit(vstep, donate_argnums=(0,))
+
+    def init(self, key=None) -> OceanState:
+        if key is None:
+            key = jax.random.PRNGKey(self.cfg.seed)
+        keys = jax.random.split(key, self.ensemble_size)
+        members = [self._inner.init(k) for k in keys]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *members)
+        shard_tail = {"h0": ("shard",), "h0_conj": ("shard",),
+                      "phase": ("shard",), "t": (), "step": (),
+                      "foam_accum": (None, "shard")}
+        put = {f: jax.device_put(getattr(stacked, f),
+                                 NamedSharding(self.mesh,
+                                               P("batch", *shard_tail[f])))
+               for f in OceanState._fields}
+        return OceanState(**put)
+
+    def step(self, state: OceanState, dt: float = 1.0 / 60.0):
+        """[E, ...] sharded state → ([E, ...] state, [E, ...] fields)."""
+        i = self._inner
+        return self._step_jit(state, jnp.asarray(dt, jnp.float32),
+                              i._omega, i._coeffs,
+                              i._pre_re, i._pre_im, i._post_re, i._post_im,
+                              i._x0, i._z0)

@@ -118,6 +118,14 @@ class DistributedOceanSolver:
             # pallas_call outputs carry no vma annotation for the checker
             check_vma=fft_backend != "pallas",
         )
+        # exposed for DP×SP composition (ensemble.EnsembleDistributedSolver
+        # vmaps this over a leading member axis); vma checking cannot span
+        # the vmap's spmd batch axis, so the composition twin disables it
+        self._sharded_step = shard_map(
+            self._step_local, mesh=mesh,
+            in_specs=(state_specs, P(), x_spec, P(None, "shard", None),
+                      x_spec, x_spec, z_spec, z_spec, z_spec, z_spec),
+            out_specs=(state_specs, field_specs), check_vma=False)
         self._step_jit = jax.jit(sharded_step, donate_argnums=(0,))
 
     # -------------------------------------------------------------- init
