@@ -46,20 +46,28 @@ def test_ensemble_size_validation():
         EnsembleOceanSolver(_cfg(), mesh, ensemble_size=3)
 
 
-@pytest.mark.parametrize("chunks", [1, 5])
-def test_overlap_chunks_identical_results(chunks):
+@pytest.mark.parametrize("chunks,backend", [(1, "reference"), (5, "reference"),
+                                            (5, "pallas")])
+def test_overlap_chunks_identical_results(chunks, backend):
     cfg = _cfg(32)
     mesh = make_mesh(shard=8)
     base = DistributedOceanSolver(cfg, mesh)
-    over = DistributedOceanSolver(cfg, mesh, overlap_chunks=chunks)
+    over = DistributedOceanSolver(cfg, mesh, overlap_chunks=chunks,
+                                  fft_backend=backend)
     key = jax.random.PRNGKey(2)
     s1 = base.init(key)
     s2 = over.init(key)
     for _ in range(2):
         s1, f1 = base.step(s1, 1 / 60)
         s2, f2 = over.step(s2, 1 / 60)
-    np.testing.assert_array_equal(np.asarray(f1.height), np.asarray(f2.height))
-    np.testing.assert_array_equal(np.asarray(f1.foam), np.asarray(f2.foam))
+    if backend == "reference":
+        np.testing.assert_array_equal(np.asarray(f1.height),
+                                      np.asarray(f2.height))
+        np.testing.assert_array_equal(np.asarray(f1.foam),
+                                      np.asarray(f2.foam))
+    else:   # pallas four-step: fp32-equivalent, not bit-identical
+        np.testing.assert_allclose(np.asarray(f2.height),
+                                   np.asarray(f1.height), atol=2e-5)
 
 
 def test_ensemble_of_distributed_patches_matches_members():

@@ -36,7 +36,8 @@ def _ifft1d_local(x: jnp.ndarray, backend: str) -> jnp.ndarray:
     raise ValueError(f"unknown local backend {backend!r}")
 
 
-def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
+                            overlap_chunks: int = 1) -> jnp.ndarray:
     """Distributed 2-D IFFT built from the transposed-store Pallas passes
     (fft.pallas_fft): because each fused pass already writes its output
     transposed, the all_to_all swaps (split=-2, concat=-1) and no local
@@ -51,12 +52,27 @@ def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     m, n = x.shape[-2], x.shape[-1]
     re = jnp.real(x).astype(jnp.float32).reshape(-1, m, n)
     im = jnp.imag(x).astype(jnp.float32).reshape(-1, m, n)
-    re, im = _fft1d_transposed(re, im, inverse=True)      # [C, N, X/D]
-    if lax.axis_size(axis_name) > 1:
-        both = jnp.stack([re, im])                        # one collective
-        both = lax.all_to_all(both, axis_name, split_axis=2,
-                              concat_axis=3, tiled=True)  # [2, C, N/D, X]
-        re, im = both[0], both[1]
+    c = re.shape[0]
+
+    def row_pass_and_transpose(re_c, im_c):
+        re_c, im_c = _fft1d_transposed(re_c, im_c, inverse=True)  # [c, N, X/D]
+        if lax.axis_size(axis_name) > 1:
+            both = jnp.stack([re_c, im_c])                   # one collective
+            both = lax.all_to_all(both, axis_name, split_axis=2,
+                                  concat_axis=3, tiled=True)  # [2, c, N/D, X]
+            re_c, im_c = both[0], both[1]
+        return re_c, im_c
+
+    if overlap_chunks > 1 and c % overlap_chunks == 0:
+        # issue each chunk's all_to_all before the next chunk's butterflies
+        # so XLA's scheduler can overlap ICI with MXU (same idea as the
+        # einsum path above)
+        parts = [row_pass_and_transpose(r, i) for r, i in zip(
+            jnp.split(re, overlap_chunks), jnp.split(im, overlap_chunks))]
+        re = jnp.concatenate([p[0] for p in parts])
+        im = jnp.concatenate([p[1] for p in parts])
+    else:
+        re, im = row_pass_and_transpose(re, im)
     re, im = _fft1d_transposed(re, im, inverse=True)      # [C, X, N/D]
     out = re + 1j * im
     return out.reshape(lead + out.shape[-2:])
@@ -79,10 +95,7 @@ def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
     semaphores. Chunking is a no-op for correctness (tests sweep it).
     """
     if backend == "pallas":
-        if overlap_chunks > 1:
-            raise ValueError("overlap_chunks is not supported with the "
-                             "pallas backend")
-        return _ifft2_x_sharded_pallas(x, axis_name)
+        return _ifft2_x_sharded_pallas(x, axis_name, overlap_chunks)
     if overlap_chunks > 1 and (x.ndim < 3
                                or x.shape[0] % overlap_chunks != 0):
         raise ValueError(f"overlap_chunks={overlap_chunks} must divide the "

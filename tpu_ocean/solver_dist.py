@@ -63,9 +63,6 @@ class DistributedOceanSolver:
         # >1 splits the 5-channel transform so the all_to_all transpose of
         # one chunk overlaps the row butterflies of the next (SURVEY.md §5.8)
         if overlap_chunks > 1:
-            if fft_backend == "pallas":
-                raise ValueError("overlap_chunks is not supported by the "
-                                 "pallas distributed path")
             if 5 % overlap_chunks != 0:
                 raise ValueError(f"overlap_chunks must divide the 5-channel "
                                  f"batch (got {overlap_chunks}); use 1 or 5")
