@@ -20,7 +20,7 @@ import numpy as np
 
 from tpu_ocean.config import OceanConfig
 from tpu_ocean.solver import OceanSolver
-from tpu_ocean.sample import buoy_heights, grid_origin
+from tpu_ocean.sample import buoy_heights, grid_origin, grid_period
 
 
 def main():
@@ -42,7 +42,7 @@ def main():
     origin = grid_origin(cfg)
 
     print("step," + ",".join(f"buoy{i}_h" for i in range(args.buoys)))
-    probe = jax.jit(lambda f: buoy_heights(f, pos, cfg.length, origin))
+    probe = jax.jit(lambda f: buoy_heights(f, pos, grid_period(cfg), origin))
     for k in range(args.steps):
         state, fields = solver.step(state, 1.0 / 60.0)
         h = np.asarray(jax.device_get(probe(fields)))

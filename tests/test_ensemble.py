@@ -78,7 +78,6 @@ def test_ensemble_of_distributed_patches_matches_members():
     mesh = make_mesh(batch=2, shard=4)
     combo = EnsembleDistributedSolver(cfg, mesh, ensemble_size=2)
     key = jax.random.PRNGKey(11)
-    state = combo.step_count = None
     st = combo.init(key)
     st, f = combo.step(st, 1 / 60)
     st, f = combo.step(st, 1 / 60)

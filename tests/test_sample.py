@@ -69,3 +69,19 @@ def test_grid_origin_centered_layout():
     f = jnp.asarray(np.arange(256, dtype=np.float32).reshape(16, 16))
     v = float(sample_bilinear(f, o, o, cfg.length, origin=o))
     np.testing.assert_allclose(v, float(f[0, 0]), atol=1e-4)
+
+
+def test_grid_period_incommensurate_centered():
+    """FFT_MESH_DEMO-style config: L=12.39 but spacing is unit_width=1 —
+    the sampler's period must be N·w, and vertex positions must sample
+    exactly back (the review-caught spacing bug)."""
+    from tpu_ocean.sample import grid_origin, grid_period
+    from tpu_ocean.config import FFT_MESH_DEMO
+    cfg = FFT_MESH_DEMO
+    assert grid_period(cfg) == 12.0 and cfg.length == 12.39
+    o = grid_origin(cfg)
+    f = jnp.asarray(np.arange(144, dtype=np.float32).reshape(12, 12))
+    for i in (0, 5, 11):
+        x = o + i * cfg.unit_width
+        v = float(sample_bilinear(f, x, o, grid_period(cfg), origin=o))
+        np.testing.assert_allclose(v, float(f[i, 0]), atol=1e-3)

@@ -100,13 +100,7 @@ class EnsembleDistributedSolver:
             cfg, mesh, fft_backend=fft_backend,
             overlap_chunks=overlap_chunks)
 
-        def bspec(*tail):
-            return NamedSharding(mesh, P("batch", *tail))
-
-        state_shardings = OceanState(
-            h0=bspec("shard"), h0_conj=bspec("shard"), phase=bspec("shard"),
-            t=bspec(), step=bspec(), foam_accum=bspec(None, "shard"))
-        del state_shardings  # placement comes from init; jit propagates
+        # placement comes from init's device_put; jit propagates it.
         # vmap the per-member shard_map'ped body over the leading member
         # axis; spmd_axis_name tells the inner shard_map the mapped axis
         # lives on the mesh's 'batch' axis

@@ -63,7 +63,10 @@ def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
             re_c, im_c = both[0], both[1]
         return re_c, im_c
 
-    if overlap_chunks > 1 and c % overlap_chunks == 0:
+    if overlap_chunks > 1 and c % overlap_chunks != 0:
+        raise ValueError(f"overlap_chunks={overlap_chunks} must divide the "
+                         f"channel batch ({c})")
+    if overlap_chunks > 1:
         # issue each chunk's all_to_all before the next chunk's butterflies
         # so XLA's scheduler can overlap ICI with MXU (same idea as the
         # einsum path above)

@@ -25,16 +25,29 @@ def grid_origin(cfg) -> float:
     return float(coordinate_1d(cfg.resolution, cfg.unit_width)[0])
 
 
+def grid_period(cfg) -> float:
+    """The sampler's tiling period = N · (grid spacing). For the fft layout
+    the spacing is length/N so the period IS cfg.length; for the centered
+    layout the mesh spacing is unit_width (FFTMesh.cs:107), so the period is
+    N·unit_width — which differs from cfg.length on incommensurate configs
+    like FFT_MESH_DEMO (L=12.39, N·w=12)."""
+    if cfg.spectrum_layout == "fft":
+        return float(cfg.length)
+    return float(cfg.resolution * cfg.unit_width)
+
+
 def sample_bilinear(field: jax.Array, x, z, length: float,
                     origin: float = 0.0) -> jax.Array:
     """Periodic bilinear sample of ``field`` [N, N] at world (x, z).
 
     Axis 0 = x, axis 1 = z (the package-wide convention); the patch tiles
     with period ``length`` exactly like the reference's repeat-mode textures.
-    ``origin`` is the world coordinate of index 0 — pass
-    ``grid_origin(cfg)`` for centered-layout solvers (whose mesh starts at
-    −L/2 + w/2, grids.coordinate_1d); fft-layout grids start at 0.
-    ``x``/``z`` may be scalars or arrays of any matching shape.
+    ``length`` is the tiling PERIOD = N·spacing — use ``grid_period(cfg)``,
+    which is cfg.length for the fft layout but N·unit_width for centered
+    grids (those can be incommensurate with cfg.length). ``origin`` is the
+    world coordinate of index 0 — ``grid_origin(cfg)`` (0 for fft; the
+    centered mesh starts at −N·w/2 + w/2). ``x``/``z`` may be scalars or
+    arrays of any matching shape.
     """
     n = field.shape[0]
     o = jnp.float32(origin)

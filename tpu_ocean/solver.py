@@ -246,7 +246,8 @@ class OceanSolver:
         if (new_cfg.resolution == self.cfg.resolution
                 and new_cfg.spectrum_layout == self.cfg.spectrum_layout):
             fresh = fresh._replace(phase=state.phase, t=state.t,
-                                   step=state.step)
+                                   step=state.step,
+                                   foam_accum=state.foam_accum)
         return solver, fresh
 
     # ------------------------------------------------------------------ step

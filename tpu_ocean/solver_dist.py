@@ -166,7 +166,8 @@ class DistributedOceanSolver:
         if (new_cfg.resolution == self.cfg.resolution
                 and new_cfg.spectrum_layout == self.cfg.spectrum_layout):
             fresh = fresh._replace(phase=state.phase, t=state.t,
-                                   step=state.step)
+                                   step=state.step,
+                                   foam_accum=state.foam_accum)
         return solver, fresh
 
     def step(self, state: OceanState, dt: float = 1.0 / 60.0):

@@ -157,7 +157,7 @@ def sample_h0(key: jax.Array, phillips_spec) -> jax.Array:
 
 def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
                      wind, damping: float, model: str = "phillips",
-                     jonswap_kw: dict = {}):
+                     jonswap_kw: dict = None):
     """(h0, h0conj) in the oracle's centered layout (FFTMesh.cs:114-116).
 
     h0 is drawn at P(k_{n,m}); the conjugate partner is drawn INDEPENDENTLY at
@@ -176,8 +176,9 @@ def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
         # k at index (N−n, N−m): π(2(N−n)−N)/L = −k_n exactly.
         p_neg = spec(-kx, -kz, amplitude, wind, damping)
     else:
-        p_pos = spec(kx, kz, amplitude, wind, length=length, **jonswap_kw)
-        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **jonswap_kw)
+        kw = jonswap_kw or {}
+        p_pos = spec(kx, kz, amplitude, wind, length=length, **kw)
+        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **kw)
     k1, k2 = jax.random.split(key)
     h0 = sample_h0(k1, p_pos)
     h0_conj = jnp.conj(sample_h0(k2, p_neg))
@@ -186,7 +187,7 @@ def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
 
 def h0_pair_fft(key: jax.Array, n: int, length: float, amplitude: float,
                 wind, damping: float, model: str = "phillips",
-                jonswap_kw: dict = {}):
+                jonswap_kw: dict = None):
     """(h0, h0conj) in the GPU shaders' FFT-ordered layout.
 
     InitialSpectrum.shader:42-53 evaluates Phillips at texel coordinate
@@ -204,8 +205,9 @@ def h0_pair_fft(key: jax.Array, n: int, length: float, amplitude: float,
         p_pos = spec(kx, kz, amplitude, wind, damping)
         p_neg = spec(-kx, -kz, amplitude, wind, damping)
     else:
-        p_pos = spec(kx, kz, amplitude, wind, length=length, **jonswap_kw)
-        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **jonswap_kw)
+        kw = jonswap_kw or {}
+        p_pos = spec(kx, kz, amplitude, wind, length=length, **kw)
+        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **kw)
     k1, k2 = jax.random.split(key)
     h0 = sample_h0(k1, p_pos)
     h0_conj = jnp.conj(sample_h0(k2, p_neg))
