@@ -8,7 +8,16 @@ vs_baseline: the reference is an interactive Unity demo at 1024² textures
 with an implied real-time (60 FPS) target (SURVEY.md §6; no published numbers
 exist), i.e. 1024² × 60 ≈ 6.29e7 grid-points/s. vs_baseline = measured / that.
 
-Usage: python bench.py [--res N] [--steps K] [--backend B|all]
+Validity: timing runs the fori-loop K-ladder (tpu_ocean.benchlib
+.time_steps_ladder) — K chained steps in ONE executable, every field folded
+into a live checksum, walls fitted against a 3-rung ladder with monotonicity
+/ linearity / work-dominance checks. A calibration rung (known-FLOP matmul
+chain, bench/calibrate.py method) is run first and reported alongside. When
+any validity check fails the headline ``value`` is null — an invalid timing
+is not a number.
+
+Usage: python bench.py [--res N] [--steps K] [--backend B|auto|all]
+                       [--method loop|dispatch]
 """
 
 from __future__ import annotations
@@ -18,39 +27,67 @@ import json
 import sys
 import time
 
-_METHOD = "dispatch"
+
+def _calibrate(res: int) -> dict:
+    """One known-FLOP rung: is this runtime wall-clock measurable right now?"""
+    # bench/ is shadowed by this module's own name; load by path
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "tpu_ocean_bench_calibrate",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench", "calibrate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    measure_size = mod.measure_size
+    try:
+        r = measure_size(1024, [64, 512, 4096], pull_timeout_s=45)
+        return {"measurable": bool(r["measurable"]),
+                "achieved_tflops": r["achieved_tflops"],
+                "intercept_ms": round(r["intercept_s"] * 1e3, 2)}
+    except Exception as e:
+        return {"measurable": False,
+                "error": f"{type(e).__name__}: {e}"}
 
 
-def _time_steps(solver, state, dt, steps):
-    # Differenced scan-of-K timing (tpu_ocean.benchlib): immune to async
-    # runtimes that defer work past block_until_ready and to per-pull tunnel
-    # latency. ``steps`` sets the larger scan length.
+def _time_loop(solver, state, dt, steps):
+    from tpu_ocean.benchlib import time_steps_ladder
+    k = max(8, steps // 4)
+    # constants travel as a jit ARGUMENT — closing over them would embed
+    # (numpy) or re-fetch (device) them (CLAUDE.md hard rule)
+    return time_steps_ladder(solver._step_impl, state, dt,
+                             ks=(k, 3 * k, 8 * k), extra=solver._consts,
+                             escalate=True)
+
+
+def _time_dispatch(solver, state, dt, steps):
     from tpu_ocean.benchlib import time_steps_meta
     k2 = max(32, steps)
-    # the solver's device-resident constants travel as a jit ARGUMENT —
-    # closing over them would embed (numpy) or re-fetch (device) them
-    meta = time_steps_meta(solver._step_impl, state, dt, k1=k2 // 8, k2=k2,
-                           method=_METHOD, extra=solver._consts)
-    return meta, state
+    return time_steps_meta(solver._step_impl, state, dt, k1=k2 // 8, k2=k2,
+                           method="dispatch", extra=solver._consts)
+
+
+# HBM plane model per backend: f32 [N,N] planes moved per step (state +
+# spectra in/out per pass + fields). The fused backend skips the assembled-
+# spectrum round trip (ops/fused_spectrum_fft docstring traffic table).
+_PLANES = {"pallas_fused": 22, "default": 30}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=32)
-    ap.add_argument("--backend", type=str, default="matmul",
-                    help="fft backend or 'all' (pick fastest); default is the "
-                         "known-fastest single backend — compiles are the "
-                         "dominant cost on tunneled runtimes")
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--backend", type=str, default="auto",
+                    help="fft backend, 'auto' (matmul/pallas/pallas_fused "
+                         "sweep under budget), or 'all'")
     ap.add_argument("--budget-s", type=float, default=420.0,
                     help="stop starting new backends past this wall budget")
-    ap.add_argument("--method", type=str, default="dispatch",
-                    choices=["dispatch", "loop"],
-                    help="dispatch: cheap-compile chained dispatches; "
-                         "loop: rigorous fori-loop + checksum pull")
+    ap.add_argument("--method", type=str, default="loop",
+                    choices=["loop", "dispatch"],
+                    help="loop: rigorous fori-ladder + checksum (default); "
+                         "dispatch: cheap chained dispatches")
+    ap.add_argument("--no-calibrate", action="store_true")
     args = ap.parse_args()
-    global _METHOD
-    _METHOD = args.method
 
     import jax
     from tpu_ocean.config import OCEAN_DEMO
@@ -60,21 +97,40 @@ def main():
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
 
+    calib = None
+    if not args.no_calibrate:
+        calib = _calibrate(args.res)
+        print(f"# calibration: {calib}", file=sys.stderr)
+
     cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
     dt = 1.0 / 60.0
 
-    backends = (["reference", "stockham", "matmul", "pallas", "pallas_fused"]
-                if args.backend == "all" else [args.backend])
+    # real_state=True runs the ENTIRE step in f32 planes — no complex64
+    # anywhere in the program. On the axon tunnel complex-involving
+    # executables cannot be forced/pulled reliably (CLAUDE.md), so only the
+    # real-program backends produce defensible numbers there.
+    if args.backend == "auto":
+        backends = [("pallas_fused", True), ("pallas", True),
+                    ("matmul", False)]
+    elif args.backend == "all":
+        backends = [("reference", False), ("stockham", False),
+                    ("matmul", False), ("pallas", True),
+                    ("pallas_fused", True)]
+    else:
+        b = args.backend
+        backends = [(b, b in ("pallas", "pallas_fused"))]
+    timer = _time_loop if args.method == "loop" else _time_dispatch
+
     best = None
     t_start = time.perf_counter()
-    for backend in backends:
+    for backend, real in backends:
         if best is not None and time.perf_counter() - t_start > args.budget_s:
             print(f"# budget exceeded, skipping {backend}", file=sys.stderr)
             continue
         try:
-            solver = OceanSolver(cfg, fft_backend=backend)
+            solver = OceanSolver(cfg, fft_backend=backend, real_state=real)
             state = solver.init(jax.random.PRNGKey(0))
-            meta, _ = _time_steps(solver, state, dt, args.steps)
+            meta = timer(solver, state, dt, args.steps)
         except Exception as e:  # backend unavailable on this platform
             print(f"# backend {backend}: FAILED ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -84,12 +140,14 @@ def main():
               f"({1.0 / step_s:.1f} updates/s, forcing={meta.forcing}"
               f"{', TIMING SUSPECT' if meta.suspect else ''})",
               file=sys.stderr)
-        if best is None or step_s < best[1].per_step_s:
+        if best is None or (step_s < best[1].per_step_s
+                            and not (meta.suspect
+                                     and not best[1].suspect)):
             best = (backend, meta)
 
     if best is None:
-        print(json.dumps({"metric": "grid-points/s/chip", "value": 0,
-                          "unit": "gp/s", "vs_baseline": 0,
+        print(json.dumps({"metric": "grid-points/s/chip", "value": None,
+                          "unit": "gp/s", "vs_baseline": None,
                           "error": "all backends failed"}))
         return 1
 
@@ -98,24 +156,32 @@ def main():
     n = args.res
     gps = n * n / step_s
     baseline_gps = 1024 * 1024 * 60.0  # reference: 1024² @ 60 FPS implied
-    # physics bound: the step touches ≥ ~30 f32 planes of HBM traffic
-    # (state, spectra both directions, fields); an implied bandwidth beyond
+    # physics bound, per-backend traffic model: an implied bandwidth beyond
     # any shipping chip means the runtime deferred work past our forcing
-    implied_tbps = 30 * n * n * 4 / step_s / 1e12
+    planes = _PLANES.get(backend, _PLANES["default"])
+    implied_tbps = planes * n * n * 4 / step_s / 1e12
+    suspect = bool(meta.suspect or implied_tbps > 8.0
+                   or (calib is not None and not calib.get("measurable")))
     out = {
         "metric": f"heightfield grid-points/s/chip at {n}^2",
-        "value": round(gps, 1),
+        "value": None if suspect else round(gps, 1),
         "unit": "gp/s",
-        "vs_baseline": round(gps / baseline_gps, 3),
+        "vs_baseline": None if suspect else round(gps / baseline_gps, 3),
         "backend": backend,
-        "ms_per_step": round(step_s * 1e3, 4),
-        "updates_per_s": round(1.0 / step_s, 2),
+        "ms_per_step": None if suspect else round(step_s * 1e3, 4),
+        "updates_per_s": None if suspect else round(1.0 / step_s, 2),
         "forcing": meta.forcing,
         "implied_hbm_tbps": round(implied_tbps, 2),
     }
-    if meta.suspect or implied_tbps > 8.0:
-        out["timing_suspect"] = True   # validity self-check failed: treat
-        # the value as an upper bound, not a measurement
+    if hasattr(meta, "ks"):
+        out["ladder_ks"] = meta.ks
+        out["ladder_walls_s"] = [round(w, 5) for w in meta.walls_s]
+        out["fit_max_rel_resid"] = round(meta.max_rel_resid, 4)
+    if calib is not None:
+        out["calibration"] = calib
+    if suspect:
+        out["timing_suspect"] = True   # validity self-check failed: no number
+        out["rejected_ms_per_step"] = round(step_s * 1e3, 4)
     print(json.dumps(out))
     return 0
 

@@ -169,3 +169,68 @@ def test_sharded_step_pallas_backend_matches_single():
                                atol=tol)
     np.testing.assert_allclose(np.asarray(f8.foam), np.asarray(f1.foam),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("overlap", [1, 5])
+def test_sharded_step_pallas_fused_matches_single(overlap):
+    """pallas_fused as a DISTRIBUTED local backend (VERDICT r1 #3): fused
+    assembly+row-FFT with in-kernel global-row wavevectors, a2a transpose,
+    plane column pass — vs the single-device fused solver."""
+    mesh = _mesh()
+    n = 64
+    cfg = OceanConfig(resolution=n, length=float(n), unit_width=1.0,
+                      wind=(9.0, 4.0), amplitude=0.15, choppiness=1.1,
+                      dispersion_mode="capillary", evolution_mode="phase",
+                      spectrum_layout="fft", normals_mode="stencil",
+                      oracle_sign_quirk=False)
+    rng = np.random.default_rng(6)
+    h0 = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    h0c = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    single = OceanSolver(cfg, fft_backend="pallas_fused")
+    dist = DistributedOceanSolver(cfg, mesh, fft_backend="pallas_fused",
+                                  overlap_chunks=overlap)
+    s1 = single.init(h0=h0, h0_conj=h0c)
+    s8 = dist.init(h0=h0, h0_conj=h0c)
+    for _ in range(2):
+        s1, f1 = single.step(s1, 1 / 60)
+        s8, f8 = dist.step(s8, 1 / 60)
+    tol = 2e-5 * np.abs(np.asarray(f1.height)).max()
+    np.testing.assert_allclose(np.asarray(f8.height), np.asarray(f1.height),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(f8.disp_x), np.asarray(f1.disp_x),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(f8.foam), np.asarray(f1.foam),
+                               atol=1e-4)
+
+
+def test_sharded_step_pallas_fields_matches_single():
+    """Sharded fused stencil kernel: local fields_pallas + ring-halo
+    boundary-column correction == single-device fields_pallas."""
+    mesh = _mesh()
+    n = 64
+    cfg = OceanConfig(resolution=n, length=float(n), unit_width=1.0,
+                      wind=(9.0, 4.0), amplitude=0.15, choppiness=1.1,
+                      dispersion_mode="capillary", evolution_mode="phase",
+                      spectrum_layout="fft", normals_mode="stencil",
+                      oracle_sign_quirk=False)
+    rng = np.random.default_rng(7)
+    h0 = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    h0c = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    single = OceanSolver(cfg, fft_backend="pallas_fused", pallas_fields=True)
+    dist = DistributedOceanSolver(cfg, mesh, fft_backend="pallas_fused",
+                                  pallas_fields=True)
+    s1 = single.init(h0=h0, h0_conj=h0c)
+    s8 = dist.init(h0=h0, h0_conj=h0c)
+    for _ in range(2):
+        s1, f1 = single.step(s1, 1 / 60)
+        s8, f8 = dist.step(s8, 1 / 60)
+    hmax = np.abs(np.asarray(f1.height)).max()
+    np.testing.assert_allclose(np.asarray(f8.height), np.asarray(f1.height),
+                               atol=2e-5 * hmax)
+    # normal + foam exercise the boundary-column halo correction
+    np.testing.assert_allclose(np.asarray(f8.normal), np.asarray(f1.normal),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f8.foam), np.asarray(f1.foam),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f8.jacobian),
+                               np.asarray(f1.jacobian), atol=1e-4)

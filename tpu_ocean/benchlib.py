@@ -106,6 +106,93 @@ class TimingResult:
     wall_k2_s: float
 
 
+@dataclass
+class LadderResult:
+    """K-ladder timing: walls at several trip counts from ONE compiled
+    executable, a linear fit, and explicit validity checks."""
+    per_step_s: float         # fitted slope
+    intercept_s: float        # fitted dispatch/transfer constant
+    forcing: str              # 'pull' | 'block'
+    ks: list
+    walls_s: list
+    monotone: bool
+    max_rel_resid: float      # worst |wall − fit| / wall
+    signal_ok: bool           # top wall dominated by work, not constant
+    suspect: bool             # any validity check failed
+
+    @property
+    def wall_k1_s(self):
+        return self.walls_s[0]
+
+    @property
+    def wall_k2_s(self):
+        return self.walls_s[-1]
+
+
+def time_steps_ladder(step_impl, state, dt: float, ks=(16, 48, 128),
+                      repeats: int = 2, pull_timeout_s: int = 60,
+                      extra=None, escalate: bool = True,
+                      max_k: int = 65536) -> LadderResult:
+    """Rigorous differenced timing: walls at a ladder of trip counts (one
+    fori_loop executable, traced count — one compile serves every K), then a
+    least-squares fit wall = intercept + K·per_step with three validity
+    checks (monotone walls, small fit residual, work ≫ dispatch constant).
+
+    On runtimes with a large per-call constant (tunnels: ~26 ms measured)
+    a too-small ladder yields pure noise; with ``escalate`` the ladder is
+    multiplied ×8 until the top wall is ≥ 3× the bottom one (work dominates)
+    or ``max_k`` is reached. Escalation re-uses the compiled loop, so each
+    rung costs only its own wall-clock.
+    """
+    import numpy as _np
+
+    loop = make_loop_stepper(step_impl, dt, with_extra=extra is not None)
+    args = () if extra is None else (extra,)
+    strategy = {"forcing": "pull"}
+
+    def run_once(k):
+        st, acc = loop(state, jnp.int32(k), *args)
+        if strategy["forcing"] == "pull":
+            try:
+                with _watchdog(pull_timeout_s):
+                    return float(jax.device_get(acc))
+            except Exception:
+                strategy["forcing"] = "block"
+        jax.block_until_ready(acc)
+        return None
+
+    def wall(k):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_once(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ks = sorted(set(int(k) for k in ks))
+    run_once(ks[0])   # compile + warm + probe forcing
+    for _ in range(6):
+        walls = [wall(k) for k in ks]
+        signal_ok = walls[-1] >= 3.0 * max(walls[0], 1e-9)
+        if signal_ok or not escalate or ks[-1] * 8 > max_k:
+            break
+        ks = [k * 8 for k in ks]
+
+    ks_a = _np.asarray(ks, float)
+    ws = _np.asarray(walls, float)
+    slope, intercept = _np.polyfit(ks_a, ws, 1)
+    pred = intercept + slope * ks_a
+    resid = float(_np.max(_np.abs(ws - pred) / _np.maximum(ws, 1e-12)))
+    monotone = bool(_np.all(_np.diff(ws) > 0))
+    per_step = max(float(slope), 1e-9)
+    suspect = not (monotone and signal_ok and resid < 0.35)
+    return LadderResult(per_step_s=per_step, intercept_s=float(intercept),
+                        forcing=strategy["forcing"], ks=list(ks),
+                        walls_s=[float(w) for w in ws], monotone=monotone,
+                        max_rel_resid=resid, signal_ok=bool(signal_ok),
+                        suspect=suspect)
+
+
 def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
                     repeats: int = 2, pull_timeout_s: int = 60,
                     method: str = "dispatch", extra=None) -> TimingResult:
@@ -123,55 +210,17 @@ def time_steps_meta(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
     if method == "dispatch":
         return _time_steps_dispatch(step_impl, state, dt, k1, k2, repeats,
                                     extra)
-    loop = make_loop_stepper(step_impl, dt, with_extra=extra is not None)
-    if extra is None:
-        f1 = lambda st: loop(st, jnp.int32(k1))
-        f2 = lambda st: loop(st, jnp.int32(k2))
-    else:
-        f1 = lambda st: loop(st, jnp.int32(k1), extra)
-        f2 = lambda st: loop(st, jnp.int32(k2), extra)
-
-    # forcing strategy: demote pull → block on the FIRST failure anywhere
-    # (pull support is flaky per-program on tunneled backends)
-    strategy = {"forcing": "pull"}
-
-    def run_once(f):
-        st, acc = f(state)
-        if strategy["forcing"] == "pull":
-            try:
-                with _watchdog(pull_timeout_s):
-                    return float(jax.device_get(acc))
-            except Exception:
-                strategy["forcing"] = "block"
-        jax.block_until_ready(acc)
-        return None
-
-    run_once(f1)  # compile + warm + probe forcing
-    run_once(f2)
-
-    best1 = best2 = float("inf")
-    for attempt in range(2):
-        mode = strategy["forcing"]
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            run_once(f1)
-            t1 = time.perf_counter()
-            run_once(f2)
-            t2 = time.perf_counter()
-            best1 = min(best1, t1 - t0)
-            best2 = min(best2, t2 - t1)
-        if strategy["forcing"] == mode:
-            break   # forcing stable throughout the measurement
-        best1 = best2 = float("inf")  # flipped mid-run: redo with block
-    forcing = strategy["forcing"]
-
-    per_step = max((best2 - best1) / (k2 - k1), 1e-9)
-    # linearity self-check: with real execution, wall(K2)/wall(K1) should be
-    # ≳ half the ideal K2/K1 (constants only shrink the ratio toward 1)
-    ratio = best2 / max(best1, 1e-9)
-    suspect = ratio < 0.25 * (k2 / k1) and best2 < 1.0
-    return TimingResult(per_step_s=per_step, forcing=forcing, suspect=suspect,
-                        k1=k1, k2=k2, wall_k1_s=best1, wall_k2_s=best2)
+    # loop: a 3-rung K ladder through ONE compiled executable, fitted and
+    # validity-checked (time_steps_ladder). Escalation bails out of ladders
+    # whose walls are dominated by the per-call dispatch constant — the
+    # regime where the old two-point differencing reported noise as signal.
+    mid = max(k1 + 1, min(k2 - 1, 3 * k1))
+    lad = time_steps_ladder(step_impl, state, dt, ks=(k1, mid, k2),
+                            repeats=repeats, pull_timeout_s=pull_timeout_s,
+                            extra=extra, escalate=True)
+    return TimingResult(per_step_s=lad.per_step_s, forcing=lad.forcing,
+                        suspect=lad.suspect, k1=lad.ks[0], k2=lad.ks[-1],
+                        wall_k1_s=lad.wall_k1_s, wall_k2_s=lad.wall_k2_s)
 
 
 def _time_steps_dispatch(step_impl, state, dt: float, k1: int, k2: int,
@@ -198,7 +247,11 @@ def _time_steps_dispatch(step_impl, state, dt: float, k1: int, k2: int,
         best2 = min(best2, t2 - t1)
     per_step = max((best2 - best1) / (k2 - k1), 1e-9)
     ratio = best2 / max(best1, 1e-9)
-    suspect = ratio < 0.25 * (k2 / k1) and best2 < 1.0
+    # suspect when walls are far off linear OR the differenced signal is in
+    # the noise (work never dominated the per-call constant). The old extra
+    # `and best2 < 1.0` exempted slow-walled runs from the check — a
+    # work-deferring runtime with >1 s dispatch walls was never flagged.
+    suspect = (ratio < 0.25 * (k2 / k1)) or (best2 < 1.5 * best1)
     return TimingResult(per_step_s=per_step, forcing="block", suspect=suspect,
                         k1=k1, k2=k2, wall_k1_s=best1, wall_k2_s=best2)
 

@@ -78,6 +78,25 @@ def evolve_phase_accumulate(phase, omega, dt):
     return jnp.mod(phase + omega * dt, two_pi)
 
 
+def assemble_spectra_real(h0_planes, phase, coeffs):
+    """assemble_spectra in pure REAL arithmetic: (re, im) [5, N, N] f32.
+
+    ``h0_planes`` = (h0_re, h0_im, h0c_re, h0c_im) f32 planes; ``coeffs``
+    must be the real coefficient grid (spectrum_coefficients is real-valued
+    in every layout). Same math as assemble_spectra with the complex algebra
+    expanded — complex64 never appears in the program, which matters on
+    runtimes whose complex support is unreliable (CLAUDE.md) and lets XLA
+    lay out the planes without interleaving.
+    """
+    h0r, h0i, h0cr, h0ci = h0_planes
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    # h̃ = h0·e^{iφ} + h0*·e^{−iφ}, expanded (matches ops/fused_spectrum_fft)
+    htr = (h0r + h0cr) * c + (h0ci - h0i) * s
+    hti = (h0i + h0ci) * c + (h0r - h0cr) * s
+    return coeffs * htr[None, :, :], coeffs * hti[None, :, :]
+
+
 def assemble_spectra(h0, h0_conj, phase, coeffs) -> jnp.ndarray:
     """Packed time-evolved spectra [5, N, N] complex.
 

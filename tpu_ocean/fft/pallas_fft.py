@@ -116,10 +116,15 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
 # hardware (v5e, 16 MB VMEM): both the pure FFT pass (2 input planes per
 # block) and the fused assembly pass (5 planes after the in-kernel
 # wavevector rebuild) compile+run at 2048 with the 128-row lane-aligned
-# block, and OOM at 4096. Beyond the cap the solver falls back to the
+# block, and OOM at 4096. Beyond MAX_PALLAS_N the k1-TILED variant takes
+# over (stage 1 into persistent scratch, k1-tile stores, VMEM-modeled row
+# block — see _pick_block_rows_tiled); past MAX_TILED_N even the tiled
+# row block underruns the sublane floor and the solver falls back to the
 # einsum path, which XLA tiles through HBM.
 MAX_PALLAS_N = 2048
 MAX_FUSED_N = 2048
+MAX_TILED_N = 16384
+MAX_FUSED_TILED_N = 16384
 
 
 def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
@@ -141,8 +146,47 @@ def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
 
 
 def pallas_supported(n: int, fused: bool = False) -> bool:
-    """True when the transposed-store kernels fit VMEM at side N."""
-    return n <= (MAX_FUSED_N if fused else MAX_PALLAS_N)
+    """True when a transposed-store kernel (plain ≤2048, k1-tiled beyond)
+    fits VMEM at side N."""
+    if fused:
+        return n <= MAX_FUSED_N or (n <= MAX_FUSED_TILED_N
+                                    and _pick_block_rows_tiled(n, n,
+                                                               fused=True) > 0)
+    return n <= MAX_PALLAS_N or (n <= MAX_TILED_N
+                                 and _pick_block_rows_tiled(n, n) > 0)
+
+
+def _pick_block_rows_tiled(n_rows: int, n: int, fused: bool = False,
+                           vmem_budget=11 * 1024 * 1024) -> int:
+    """Row block for the k1-tiled kernels, from a live-bytes model.
+
+    Per row of block, live VMEM ≈ (plain kernel)
+        2 planes × N × 4 B × 2   (double-buffered input refs)
+      + 2 × N × 4                (ar/ai values materialized for stage 1)
+      + 2 × N × 4                (cr/ci persistent scratch)
+    = 24·N bytes/row; the fused kernel streams 5 input planes and builds
+    ~6 assembly temps: ≈ (5·2 + 6 + 2)·N·4 = 72·N bytes/row. Output k1
+    tiles and twiddle tables are small. Returns the largest divisor of
+    ``n_rows`` under budget (multiple of 32 so the transposed store's minor
+    dim keeps at least a quarter-lane), or 0 when none fits.
+    """
+    per_row = (72 if fused else 24) * n
+    r = 128
+    while r >= 32 and r * per_row > vmem_budget:
+        r //= 2
+    while r >= 32 and n_rows % r != 0:
+        r //= 2
+    return r if r >= 32 else 0
+
+
+def fft1d_transposed_auto(re, im, inverse: bool,
+                          precision=lax.Precision.HIGHEST):
+    """[C, M, N] → transposed [C, N, M]: plain transposed-store kernel when
+    it fits VMEM, the k1-tiled variant beyond (N > MAX_PALLAS_N)."""
+    n = re.shape[-1]
+    if n <= MAX_PALLAS_N:
+        return _fft1d_transposed(re, im, inverse, precision)
+    return _fft1d_transposed_tiled(re, im, inverse, precision)
 
 
 def _fft1d_transposed(re, im, inverse: bool,
@@ -195,8 +239,8 @@ def ifft2_pallas(x: jnp.ndarray, inverse: bool = True,
     n0, n = x.shape[-2], x.shape[-1]
     re = jnp.real(x).astype(jnp.float32).reshape(-1, n0, n)
     im = jnp.imag(x).astype(jnp.float32).reshape(-1, n0, n)
-    re, im = _fft1d_transposed(re, im, inverse, precision)  # axis -1 done
-    re, im = _fft1d_transposed(re, im, inverse, precision)  # both done
+    re, im = fft1d_transposed_auto(re, im, inverse, precision)  # axis -1 done
+    re, im = fft1d_transposed_auto(re, im, inverse, precision)  # both done
     out = re + 1j * im
     return out.reshape(orig_shape)
 
@@ -213,11 +257,11 @@ def fft2_pallas(x: jnp.ndarray) -> jnp.ndarray:
 # inner grid step emits one k1 tile via a small MXU dot against the matching
 # F1 row slice.
 #
-# Hardware envelope (measured on v5e, 16 MB VMEM): compiles+runs at N = 2048
-# with r = 128; at N = 4096 the resident input block values plus the
-# double-buffered input refs alone need ~20 MB — a physical VMEM bound of
-# the transposed-store four-step, not a software limit. N ≥ 4096 stays on
-# the einsum (matmul) path, which XLA tiles through HBM.
+# VMEM envelope (v5e, 16 MB): at N = 4096 the r = 128 row block needs ~20 MB
+# (double-buffered input refs + stage-1 values + scratch); the row block
+# picker (_pick_block_rows_tiled) models the live bytes and drops r below
+# the lane width instead — Mosaic pads the transposed store's minor dim, a
+# bandwidth tax the VMEM wall forces. r = 64 keeps 4096² resident in ~8.5 MB.
 # ---------------------------------------------------------------------------
 
 def _fft_block_kernel_tiled(f2r_ref, f2i_ref, twr_ref, twi_ref,
@@ -270,7 +314,10 @@ def _fft1d_transposed_tiled(re, im, inverse: bool,
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     while n1 % ktile != 0 and ktile > 1:
         ktile //= 2
-    r = 128 if m % 128 == 0 else _pick_block_rows(m, n)
+    r = _pick_block_rows_tiled(m, n)
+    if r == 0:
+        raise ValueError(f"tiled kernel row block underruns the sublane "
+                         f"floor at N={n} (M={m})")
 
     re = re.reshape(c, m, n2, n1)
     im = im.reshape(c, m, n2, n1)

@@ -59,6 +59,26 @@ class OceanState(NamedTuple):
     foam_accum: jax.Array
 
 
+class OceanStateReal(NamedTuple):
+    """All-float32 twin of OceanState: h0 carried as (re, im) planes.
+
+    With ``OceanSolver(real_state=True)`` the entire jitted step — inputs,
+    outputs, and every op in between — is real-valued: complex64 is just a
+    pair of f32 planes to the hardware, and runtimes whose complex support
+    is unreliable (CLAUDE.md: transfers, forcing, scalar pulls) execute and
+    time the real program correctly. This is also the layout the Pallas
+    kernels use internally, so no interleave/deinterleave ever happens.
+    """
+    h0_re: jax.Array
+    h0_im: jax.Array
+    h0c_re: jax.Array
+    h0c_im: jax.Array
+    phase: jax.Array
+    t: jax.Array
+    step: jax.Array
+    foam_accum: jax.Array
+
+
 class OceanFields(NamedTuple):
     """Prognostic output fields, [N, N] (normal: [N, N, 3]); axis0=x, axis1=z."""
     height: jax.Array
@@ -75,9 +95,21 @@ class OceanSolver:
     """Builds and owns the jitted step for a fixed OceanConfig."""
 
     def __init__(self, cfg: OceanConfig, fft_backend: str = "reference",
-                 eval_mode: str = "fft", pallas_fields: bool = False):
+                 eval_mode: str = "fft", pallas_fields: bool = False,
+                 real_state: bool = False):
         if eval_mode not in ("fft", "direct"):
             raise ValueError(f"bad eval_mode {eval_mode!r}")
+        if real_state:
+            # the all-real step needs backends that compute in (re, im)
+            # planes and the fft (GPU-convention) layout — the centered
+            # modulation factors are complex
+            if fft_backend not in ("pallas", "pallas_fused"):
+                raise ValueError("real_state supports the plane-based "
+                                 "backends 'pallas'/'pallas_fused' only")
+            if cfg.spectrum_layout != "fft" or eval_mode != "fft":
+                raise ValueError("real_state requires spectrum_layout='fft' "
+                                 "and eval_mode='fft'")
+        self.real_state = real_state
         # fused normals+whitecap stencil kernel (ops/fields_pallas): valid
         # for the GPU-convention field set only
         if pallas_fields and (cfg.normals_mode != "stencil"
@@ -218,6 +250,19 @@ class OceanSolver:
         h0_conj = jnp.asarray(h0_conj, dtype=jnp.complex64)
         # Initial phase = 0: the reference's phase textures start black
         # (OceanRenderer.cs:138-139; SURVEY.md C5).
+        if self.real_state:
+            # split once here (outside the step) — the jitted step then never
+            # touches a complex dtype
+            return OceanStateReal(
+                h0_re=jnp.real(h0).astype(jnp.float32),
+                h0_im=jnp.imag(h0).astype(jnp.float32),
+                h0c_re=jnp.real(h0_conj).astype(jnp.float32),
+                h0c_im=jnp.imag(h0_conj).astype(jnp.float32),
+                phase=jnp.zeros((n, n), dtype=jnp.float32),
+                t=jnp.zeros((), dtype=jnp.float32),
+                step=jnp.zeros((), dtype=jnp.int32),
+                foam_accum=jnp.zeros((n, n), dtype=jnp.float32),
+            )
         return OceanState(
             h0=h0,
             h0_conj=h0_conj,
@@ -240,7 +285,8 @@ class OceanSolver:
         """
         solver = OceanSolver(new_cfg, fft_backend=self.fft_backend,
                              eval_mode=self.eval_mode,
-                             pallas_fields=self.pallas_fields)
+                             pallas_fields=self.pallas_fields,
+                             real_state=self.real_state)
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution
@@ -257,10 +303,12 @@ class OceanSolver:
         return self._step_jit(state, jnp.asarray(dt, dtype=jnp.float32),
                               self._consts)
 
-    def _step_impl(self, state: OceanState, dt: jax.Array, c=None):
+    def _step_impl(self, state, dt: jax.Array, c=None):
         cfg = self.cfg
         if c is None:           # benchlib & friends call with two args
             c = self._consts
+        if isinstance(state, OceanStateReal):
+            return self._step_impl_real(state, dt, c)
 
         # named scopes mirror the reference's per-pass structure in profiler
         # traces (SURVEY.md §5.1): dispersion → spectrum → FFT → fields
@@ -295,6 +343,62 @@ class OceanSolver:
                                phase=phase_state, t=t_new,
                                step=state.step + 1,
                                foam_accum=foam_accum)
+        return new_state, out
+
+    def _step_impl_real(self, state: OceanStateReal, dt: jax.Array, c):
+        """All-real twin of _step_impl (see OceanStateReal): the fused /
+        plane-based Pallas pipelines compute in (re, im) f32 planes anyway,
+        so the step simply never reassembles them into complex64."""
+        cfg = self.cfg
+        with jax.named_scope("dispersion"):
+            if cfg.evolution_mode == "absolute":
+                t_new = state.t + dt / cfg.t_division
+                phase = c["omega"] * t_new
+                phase_state = state.phase
+            else:
+                phase = evolve_phase_accumulate(
+                    state.phase, c["omega"], dt * cfg.dt_multiplier)
+                phase_state = phase
+                t_new = state.t + dt
+
+        from tpu_ocean.fft.pallas_fft import fft1d_transposed_auto
+        pair = (state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
+        if self.fft_backend == "pallas_fused":
+            from tpu_ocean.config import EPSILON
+            from tpu_ocean.ops.fused_spectrum_fft import assemble_rowfft
+            dz_sign = -1.0 if cfg.oracle_sign_quirk else 1.0
+            with jax.named_scope("fused_assembly_ifft2"):
+                re, im = assemble_rowfft(pair, phase, cfg.length, dz_sign,
+                                         precision=self._mxu_precision,
+                                         epsilon=EPSILON)
+                re, im = fft1d_transposed_auto(re, im, True,
+                                               self._mxu_precision)
+        else:
+            from tpu_ocean.evolve import assemble_spectra_real
+            with jax.named_scope("spectrum_assembly"):
+                re, im = assemble_spectra_real(pair, phase, c["coeffs"])
+            with jax.named_scope("ifft2"):
+                re, im = fft1d_transposed_auto(re, im, True,
+                                               self._mxu_precision)
+                re, im = fft1d_transposed_auto(re, im, True,
+                                               self._mxu_precision)
+
+        with jax.named_scope("fields"):
+            out = self._extract_fields_planes(re[0], im[1], im[2],
+                                              im[3], im[4], c)
+
+        foam_accum = state.foam_accum
+        if cfg.foam_decay > 0.0:
+            foam_accum = jnp.maximum(
+                out.foam, state.foam_accum
+                * jnp.exp(-np.float32(cfg.foam_decay) * dt))
+            out = out._replace(foam=foam_accum)
+
+        new_state = OceanStateReal(
+            h0_re=state.h0_re, h0_im=state.h0_im,
+            h0c_re=state.h0c_re, h0c_im=state.h0c_im,
+            phase=phase_state, t=t_new, step=state.step + 1,
+            foam_accum=foam_accum)
         return new_state, out
 
     def fields_at(self, state: OceanState, t: float) -> OceanFields:
@@ -342,12 +446,13 @@ class OceanSolver:
         return f
 
     def _extract_fields(self, f: jax.Array, c) -> OceanFields:
+        return self._extract_fields_planes(
+            jnp.real(f[0]), jnp.imag(f[1]), jnp.imag(f[2]),
+            jnp.imag(f[3]), jnp.imag(f[4]), c)
+
+    def _extract_fields_planes(self, height, disp_x, disp_z,
+                               slope_x, slope_z, c) -> OceanFields:
         cfg = self.cfg
-        height = jnp.real(f[0])
-        disp_x = jnp.imag(f[1])
-        disp_z = jnp.imag(f[2])
-        slope_x = jnp.imag(f[3])
-        slope_z = jnp.imag(f[4])
         chop = cfg.choppiness
 
         if self.pallas_fields:

@@ -40,28 +40,48 @@ class DistributedOceanSolver:
     """Sharded twin of OceanSolver. ``mesh`` must contain a 'shard' axis."""
 
     def __init__(self, cfg: OceanConfig, mesh: Mesh,
-                 fft_backend: str = "reference", overlap_chunks: int = 1):
+                 fft_backend: str = "reference", overlap_chunks: int = 1,
+                 pallas_fields: bool = False):
         if "shard" not in mesh.axis_names:
             raise ValueError("mesh needs a 'shard' axis (parallel.make_mesh)")
-        if fft_backend not in ("reference", "stockham", "matmul", "pallas"):
+        if fft_backend not in ("reference", "stockham", "matmul", "pallas",
+                               "pallas_fused"):
             raise ValueError(f"unknown distributed fft backend "
                              f"{fft_backend!r}")
-        if fft_backend == "pallas":
+        if fft_backend in ("pallas", "pallas_fused"):
             from tpu_ocean.fft.pallas_fft import pallas_supported
-            if not pallas_supported(cfg.resolution):
+            if not pallas_supported(cfg.resolution,
+                                    fused=fft_backend == "pallas_fused"):
                 import warnings
-                warnings.warn(f"pallas exceeds its VMEM cap at "
+                warnings.warn(f"{fft_backend} exceeds its VMEM cap at "
                               f"N={cfg.resolution}; falling back to 'matmul'")
                 fft_backend = "matmul"
+        if fft_backend == "pallas_fused" and cfg.spectrum_layout != "fft":
+            raise ValueError("pallas_fused requires spectrum_layout='fft'")
+        # fused stencil kernel on Z-sharded fields: local kernel + ring-halo
+        # boundary-column correction (same constraints as OceanSolver)
+        if pallas_fields and (cfg.normals_mode != "stencil"
+                              or cfg.spectrum_layout != "fft"
+                              or cfg.resolution % 8 != 0):
+            raise ValueError("pallas_fields requires normals_mode='stencil', "
+                             "spectrum_layout='fft', and a resolution "
+                             "divisible by 8")
         n = cfg.resolution
         n_dev = mesh.shape["shard"]
         if n % n_dev != 0:
             raise ValueError(f"resolution {n} not divisible by shard={n_dev}")
+        if pallas_fields and n // n_dev < 2:
+            raise ValueError("pallas_fields needs ≥2 local columns per shard")
         self.cfg = cfg
         self.mesh = mesh
         self.fft_backend = fft_backend
+        self.pallas_fields = pallas_fields
+        self._mxu_precision = (jax.lax.Precision.DEFAULT
+                               if cfg.precision == "bfloat16"
+                               else jax.lax.Precision.HIGHEST)
         # >1 splits the 5-channel transform so the all_to_all transpose of
-        # one chunk overlaps the row butterflies of the next (SURVEY.md §5.8)
+        # one chunk overlaps the row butterflies of the next (SURVEY.md §5.8);
+        # the fused backend chunks via per-channel-range kernel launches
         if overlap_chunks > 1:
             if 5 % overlap_chunks != 0:
                 raise ValueError(f"overlap_chunks must divide the 5-channel "
@@ -103,6 +123,9 @@ class DistributedOceanSolver:
             pos_x=z_spec, pos_z=z_spec, normal=P(None, "shard", None),
             foam=z_spec, jacobian=z_spec)
 
+        # pallas_call outputs carry no vma annotation for the checker
+        uses_pallas = (fft_backend in ("pallas", "pallas_fused")
+                       or pallas_fields)
         sharded_step = shard_map(
             self._step_local,
             mesh=mesh,
@@ -112,8 +135,7 @@ class DistributedOceanSolver:
                       z_spec, z_spec,              # post re/im (Z-sharded)
                       z_spec, z_spec),             # x0, z0
             out_specs=(state_specs, field_specs),
-            # pallas_call outputs carry no vma annotation for the checker
-            check_vma=fft_backend != "pallas",
+            check_vma=not uses_pallas,
         )
         # exposed for DP×SP composition (ensemble.EnsembleDistributedSolver
         # vmaps this over a leading member axis); vma checking cannot span
@@ -160,7 +182,8 @@ class DistributedOceanSolver:
         spectrum, phase preserved when the grid/layout is unchanged."""
         solver = DistributedOceanSolver(new_cfg, self.mesh,
                                         fft_backend=self.fft_backend,
-                                        overlap_chunks=self.overlap_chunks)
+                                        overlap_chunks=self.overlap_chunks,
+                                        pallas_fields=self.pallas_fields)
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution
@@ -176,6 +199,85 @@ class DistributedOceanSolver:
                               self._pre_re, self._pre_im,
                               self._post_re, self._post_im,
                               self._x0, self._z0)
+
+    # ----------------------------------------------- fused pallas pipelines
+
+    def _fused_transform(self, state, phase):
+        """pallas_fused as a distributed local backend (VERDICT r1 #3):
+        fused assembly+row-FFT over the shard's X rows — global kx comes
+        from ``row_offset`` = shard_start, rebuilt in-kernel — then the
+        transposed-store output rides the same all_to_all as the plain
+        pallas path (fft.distributed) and a plane column pass finishes.
+        ``overlap_chunks`` = 5 launches one fused kernel per channel so each
+        chunk's transpose overlaps the next chunk's row pass."""
+        from tpu_ocean.config import EPSILON
+        from tpu_ocean.ops.fused_spectrum_fft import assemble_rowfft
+        from tpu_ocean.fft.pallas_fft import fft1d_transposed_auto
+        cfg = self.cfg
+        pair = (jnp.real(state.h0), jnp.imag(state.h0),
+                jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
+        dz_sign = -1.0 if cfg.oracle_sign_quirk else 1.0
+        row_off = lax.axis_index("shard") * self.n_local
+
+        def chunk(ch_start, ch_count):
+            re, im = assemble_rowfft(pair, phase, cfg.length, dz_sign,
+                                     precision=self._mxu_precision,
+                                     epsilon=EPSILON, row_offset=row_off,
+                                     ch_start=ch_start, ch_count=ch_count)
+            if lax.axis_size("shard") > 1:
+                both = jnp.stack([re, im])      # one collective per chunk
+                both = lax.all_to_all(both, "shard", split_axis=2,
+                                      concat_axis=3, tiled=True)
+                re, im = both[0], both[1]
+            return re, im
+
+        if self.overlap_chunks > 1:
+            per = 5 // self.overlap_chunks
+            parts = [chunk(i * per, per) for i in range(self.overlap_chunks)]
+            re = jnp.concatenate([p[0] for p in parts])
+            im = jnp.concatenate([p[1] for p in parts])
+        else:
+            re, im = chunk(0, 5)
+        re, im = fft1d_transposed_auto(re, im, True, self._mxu_precision)
+        return re + 1j * im
+
+    def _fields_pallas_sharded(self, cdx, h, cdz, texel):
+        """ops/fields_pallas on the local Z shard, then ring-halo correction
+        of the two boundary columns: the kernel's z-neighbor lane rolls wrap
+        around the LOCAL shard, so only columns 0 and n_local−1 read a wrong
+        neighbor — recompute exactly those from 3-column strips whose outer
+        column is the ppermute'd ring halo (D6), and splice them in."""
+        from tpu_ocean.ops.fields_pallas import fields_pallas
+        normal, foam, jac = fields_pallas(cdx, h, cdz, texel)
+        n_dev = lax.axis_size("shard")
+        if n_dev == 1:
+            return normal, foam, jac
+
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+        def strips(p):
+            halo_l = lax.ppermute(p[:, -1:], "shard", fwd)  # left nb's last
+            halo_r = lax.ppermute(p[:, :1], "shard", bwd)   # right nb's first
+            return (jnp.concatenate([halo_l, p[:, :2]], axis=1),
+                    jnp.concatenate([p[:, -2:], halo_r], axis=1))
+
+        sl, sr = zip(*(strips(p) for p in (cdx, h, cdz)))
+
+        def stencil_mid(sx, sh, sz):
+            # plain jnp.roll: periodic over the 3-column strip puts the halo
+            # and the interior neighbor adjacent to the middle column; the
+            # full-height axis 0 is globally periodic as-is
+            nrm = field_ops.normals_stencil(sx, sh, sz, texel)
+            fm, jc = field_ops.whitecap_gpu(sx, sz, nrm)
+            return nrm[:, 1], fm[:, 1], jc[:, 1]
+
+        nl, fl, jl = stencil_mid(*sl)
+        nr, fr, jr = stencil_mid(*sr)
+        normal = normal.at[:, 0].set(nl).at[:, -1].set(nr)
+        foam = foam.at[:, 0].set(fl).at[:, -1].set(fr)
+        jac = jac.at[:, 0].set(jl).at[:, -1].set(jr)
+        return normal, foam, jac
 
     # ------------------------------------------------------ per-shard body
 
@@ -195,15 +297,17 @@ class DistributedOceanSolver:
             phase_state = phase
             t_new = state.t + dt
 
-        spectra = assemble_spectra(state.h0, state.h0_conj, phase, coeffs)
-
         # --- distributed transform: X-sharded in, Z-sharded out ---
-        if cfg.spectrum_layout == "centered":
-            spectra = spectra * (pre_re + 1j * pre_im)[None]
-        f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
-                            overlap_chunks=self.overlap_chunks)
-        if cfg.spectrum_layout == "centered":
-            f = f * (post_re + 1j * post_im)[None]
+        if self.fft_backend == "pallas_fused":
+            f = self._fused_transform(state, phase)
+        else:
+            spectra = assemble_spectra(state.h0, state.h0_conj, phase, coeffs)
+            if cfg.spectrum_layout == "centered":
+                spectra = spectra * (pre_re + 1j * pre_im)[None]
+            f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
+                                overlap_chunks=self.overlap_chunks)
+            if cfg.spectrum_layout == "centered":
+                f = f * (post_re + 1j * post_im)[None]
 
         # --- field extraction (Z-sharded; stencils ride the halo ring) ---
         roll = make_roll_fn("shard", sharded_axes=(1,))
@@ -214,22 +318,26 @@ class DistributedOceanSolver:
         slope_z = jnp.imag(f[4])
         chop = cfg.choppiness
 
-        if cfg.normals_mode == "spectral":
-            normal = field_ops.normals_spectral(slope_x, slope_z)
-        else:
-            normal = field_ops.normals_stencil(
-                chop * disp_x, height, chop * disp_z,
-                cfg.length / cfg.resolution, roll_fn=roll)
-
         z_off = lax.axis_index("shard") * self.n_local
-        if cfg.spectrum_layout == "centered":
-            foam, jac = field_ops.whitecap_oracle(
-                disp_x, disp_z, normal, roll_fn=roll,
-                axis_offsets=(0, z_off),
-                global_sizes=(cfg.resolution, cfg.resolution))
+        if self.pallas_fields:
+            normal, foam, jac = self._fields_pallas_sharded(
+                chop * disp_x, height, chop * disp_z,
+                cfg.length / cfg.resolution)
         else:
-            foam, jac = field_ops.whitecap_gpu(
-                chop * disp_x, chop * disp_z, normal, roll_fn=roll)
+            if cfg.normals_mode == "spectral":
+                normal = field_ops.normals_spectral(slope_x, slope_z)
+            else:
+                normal = field_ops.normals_stencil(
+                    chop * disp_x, height, chop * disp_z,
+                    cfg.length / cfg.resolution, roll_fn=roll)
+            if cfg.spectrum_layout == "centered":
+                foam, jac = field_ops.whitecap_oracle(
+                    disp_x, disp_z, normal, roll_fn=roll,
+                    axis_offsets=(0, z_off),
+                    global_sizes=(cfg.resolution, cfg.resolution))
+            else:
+                foam, jac = field_ops.whitecap_gpu(
+                    chop * disp_x, chop * disp_z, normal, roll_fn=roll)
 
         foam_accum = state.foam_accum
         if cfg.foam_decay > 0.0:
