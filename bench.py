@@ -8,63 +8,98 @@ vs_baseline: the reference is an interactive Unity demo at 1024² textures
 with an implied real-time (60 FPS) target (SURVEY.md §6; no published numbers
 exist), i.e. 1024² × 60 ≈ 6.29e7 grid-points/s. vs_baseline = measured / that.
 
-Validity: timing runs the fori-loop K-ladder (tpu_ocean.benchlib
-.time_steps_ladder) — K chained steps in ONE executable, every field folded
-into a live checksum, walls fitted against a 3-rung ladder with monotonicity
-/ linearity / work-dominance checks. A calibration rung (known-FLOP matmul
-chain, bench/calibrate.py method) is run first and reported alongside. When
-any validity check fails the headline ``value`` is null — an invalid timing
-is not a number.
+Validity & process architecture (every piece below was forced by measured
+axon-tunnel behavior; see tpu_ocean/benchlib.py):
+  * Timing = fori-loop K-ladder in ONE executable, walls fitted with
+    monotonicity / linearity / work-dominance checks; invalid ⇒ value null.
+  * Forcing = 'tinypull' (device_get of a tiny independent scalar; the
+    runtime executes enqueued programs in order, so the pull returns only
+    after the loop ran). block_until_ready alone executes NOTHING there,
+    and pulling a heavy program's own output can hang AND poison the
+    process (all later device ops raise UNIMPLEMENTED).
+  * Each measurement (calibration rung + every backend) therefore runs in
+    its OWN subprocess — a poisoned/hung child is killed and reported
+    without taking the artifact down.
 
 Usage: python bench.py [--res N] [--steps K] [--backend B|auto|all]
-                       [--method loop|dispatch]
+                       [--method loop|dispatch] [--in-process]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
+_REAL_BACKENDS = ("pallas", "pallas_fused")   # support real_state=True
 
-def _calibrate(res: int) -> dict:
-    """One known-FLOP rung: is this runtime wall-clock measurable right now?"""
-    # bench/ is shadowed by this module's own name; load by path
+
+def _measure_calibration() -> dict:
+    """Known-FLOP rung: is this runtime wall-clock measurable right now?"""
     import importlib.util
-    import os
     spec = importlib.util.spec_from_file_location(
         "tpu_ocean_bench_calibrate",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench", "calibrate.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    measure_size = mod.measure_size
-    try:
-        r = measure_size(1024, [64, 512, 4096], pull_timeout_s=45)
-        return {"measurable": bool(r["measurable"]),
-                "achieved_tflops": r["achieved_tflops"],
-                "intercept_ms": round(r["intercept_s"] * 1e3, 2)}
-    except Exception as e:
-        return {"measurable": False,
-                "error": f"{type(e).__name__}: {e}"}
+    r = mod.measure_size(1024, [2048, 8192, 32768], forcing="tinypull")
+    return {"measurable": bool(r["measurable"]),
+            "achieved_tflops": r["achieved_tflops"],
+            "intercept_ms": round(r["intercept_s"] * 1e3, 2),
+            "forcing": r["forcing"]}
 
 
-def _time_loop(solver, state, dt, steps):
-    from tpu_ocean.benchlib import time_steps_ladder
+def _measure_backend(backend: str, res: int, steps: int,
+                     method: str) -> dict:
+    import jax
+    from tpu_ocean.config import OCEAN_DEMO
+    from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.benchlib import time_steps_ladder, time_steps_meta
+
+    cfg = OCEAN_DEMO.replace(resolution=res, length=float(res))
+    solver = OceanSolver(cfg, fft_backend=backend,
+                         real_state=backend in _REAL_BACKENDS)
+    state = solver.init(jax.random.PRNGKey(0))
+    dt = 1.0 / 60.0
+    if method == "dispatch":
+        m = time_steps_meta(solver._step_impl, state, dt, k1=steps // 8,
+                            k2=max(32, steps), method="dispatch",
+                            extra=solver._consts)
+        return {"backend": backend, "per_step_s": m.per_step_s,
+                "suspect": bool(m.suspect), "forcing": m.forcing}
     k = max(8, steps // 4)
-    # constants travel as a jit ARGUMENT — closing over them would embed
-    # (numpy) or re-fetch (device) them (CLAUDE.md hard rule)
-    return time_steps_ladder(solver._step_impl, state, dt,
-                             ks=(k, 3 * k, 8 * k), extra=solver._consts,
-                             escalate=True)
+    lad = time_steps_ladder(solver._step_impl, state, dt,
+                            ks=(k, 8 * k, 64 * k), extra=solver._consts,
+                            escalate=True, forcing="tinypull")
+    return {"backend": backend, "per_step_s": lad.per_step_s,
+            "suspect": bool(lad.suspect), "forcing": lad.forcing,
+            "ladder_ks": lad.ks,
+            "ladder_walls_s": [round(w, 5) for w in lad.walls_s],
+            "fit_max_rel_resid": round(lad.max_rel_resid, 4),
+            "intercept_ms": round(lad.intercept_s * 1e3, 2)}
 
 
-def _time_dispatch(solver, state, dt, steps):
-    from tpu_ocean.benchlib import time_steps_meta
-    k2 = max(32, steps)
-    return time_steps_meta(solver._step_impl, state, dt, k1=k2 // 8, k2=k2,
-                           method="dispatch", extra=solver._consts)
+def _run_child(task: str, args, timeout_s: float):
+    """Run one measurement in a fresh interpreter; parse its JSON line."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", task,
+           "--res", str(args.res), "--steps", str(args.steps),
+           "--method", args.method]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s:.0f}s (hung/poisoned "
+                         f"runtime)", "task": task}
+    for line in p.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": f"no result (rc={p.returncode}): "
+                     f"{p.stderr.strip().splitlines()[-1][:200] if p.stderr.strip() else 'empty'}",
+            "task": task}
 
 
 # HBM plane model per backend: f32 [N,N] planes moved per step (state +
@@ -78,72 +113,68 @@ def main():
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--backend", type=str, default="auto",
-                    help="fft backend, 'auto' (matmul/pallas/pallas_fused "
+                    help="fft backend, 'auto' (pallas_fused/matmul/pallas "
                          "sweep under budget), or 'all'")
     ap.add_argument("--budget-s", type=float, default=420.0,
                     help="stop starting new backends past this wall budget")
     ap.add_argument("--method", type=str, default="loop",
-                    choices=["loop", "dispatch"],
-                    help="loop: rigorous fori-ladder + checksum (default); "
-                         "dispatch: cheap chained dispatches")
+                    choices=["loop", "dispatch"])
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument("--in-process", action="store_true",
+                    help="run measurements in this process (CPU/debug)")
+    ap.add_argument("--child", type=str, default=None,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    import jax
-    from tpu_ocean.config import OCEAN_DEMO
-    from tpu_ocean.solver import OceanSolver
+    if args.child is not None:
+        if args.child == "calibrate":
+            print(json.dumps(_measure_calibration()))
+        else:
+            print(json.dumps(_measure_backend(args.child, args.res,
+                                              args.steps, args.method)))
+        return 0
 
-    dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
-          file=sys.stderr)
+    if args.backend == "auto":
+        # complex-free (real_state) backends first: on the axon tunnel a
+        # process that ever executed a complex op cannot be forced reliably,
+        # so matmul (complex einsum) is a trailer for other platforms
+        backends = ["pallas_fused", "pallas", "matmul"]
+    elif args.backend == "all":
+        backends = ["reference", "stockham", "matmul", "pallas",
+                    "pallas_fused"]
+    else:
+        backends = [args.backend]
 
+    measure = ((lambda t: _run_child(t, args, 240.0))
+               if not args.in_process else
+               (lambda t: _measure_calibration() if t == "calibrate"
+                else _measure_backend(t, args.res, args.steps, args.method)))
+
+    t_start = time.perf_counter()
     calib = None
     if not args.no_calibrate:
-        calib = _calibrate(args.res)
+        calib = measure("calibrate")
         print(f"# calibration: {calib}", file=sys.stderr)
 
-    cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
-    dt = 1.0 / 60.0
-
-    # real_state=True runs the ENTIRE step in f32 planes — no complex64
-    # anywhere in the program. On the axon tunnel complex-involving
-    # executables cannot be forced/pulled reliably (CLAUDE.md), so only the
-    # real-program backends produce defensible numbers there.
-    if args.backend == "auto":
-        backends = [("pallas_fused", True), ("pallas", True),
-                    ("matmul", False)]
-    elif args.backend == "all":
-        backends = [("reference", False), ("stockham", False),
-                    ("matmul", False), ("pallas", True),
-                    ("pallas_fused", True)]
-    else:
-        b = args.backend
-        backends = [(b, b in ("pallas", "pallas_fused"))]
-    timer = _time_loop if args.method == "loop" else _time_dispatch
-
     best = None
-    t_start = time.perf_counter()
-    for backend, real in backends:
+    for backend in backends:
         if best is not None and time.perf_counter() - t_start > args.budget_s:
             print(f"# budget exceeded, skipping {backend}", file=sys.stderr)
             continue
-        try:
-            solver = OceanSolver(cfg, fft_backend=backend, real_state=real)
-            state = solver.init(jax.random.PRNGKey(0))
-            meta = timer(solver, state, dt, args.steps)
-        except Exception as e:  # backend unavailable on this platform
-            print(f"# backend {backend}: FAILED ({type(e).__name__}: {e})",
+        r = measure(backend)
+        if "error" in r:
+            print(f"# backend {backend}: FAILED ({r['error']})",
                   file=sys.stderr)
             continue
-        step_s = meta.per_step_s
+        step_s = r["per_step_s"]
         print(f"# backend {backend}: {step_s * 1e3:.3f} ms/step "
-              f"({1.0 / step_s:.1f} updates/s, forcing={meta.forcing}"
-              f"{', TIMING SUSPECT' if meta.suspect else ''})",
+              f"({1.0 / step_s:.1f} updates/s, forcing={r['forcing']}"
+              f"{', TIMING SUSPECT' if r['suspect'] else ''})",
               file=sys.stderr)
-        if best is None or (step_s < best[1].per_step_s
-                            and not (meta.suspect
-                                     and not best[1].suspect)):
-            best = (backend, meta)
+        better = best is None or step_s < best["per_step_s"]
+        if better and (best is None or not (r["suspect"]
+                                            and not best["suspect"])):
+            best = r
 
     if best is None:
         print(json.dumps({"metric": "grid-points/s/chip", "value": None,
@@ -151,16 +182,13 @@ def main():
                           "error": "all backends failed"}))
         return 1
 
-    backend, meta = best
-    step_s = meta.per_step_s
+    backend, step_s = best["backend"], best["per_step_s"]
     n = args.res
     gps = n * n / step_s
     baseline_gps = 1024 * 1024 * 60.0  # reference: 1024² @ 60 FPS implied
-    # physics bound, per-backend traffic model: an implied bandwidth beyond
-    # any shipping chip means the runtime deferred work past our forcing
     planes = _PLANES.get(backend, _PLANES["default"])
     implied_tbps = planes * n * n * 4 / step_s / 1e12
-    suspect = bool(meta.suspect or implied_tbps > 8.0
+    suspect = bool(best["suspect"] or implied_tbps > 8.0
                    or (calib is not None and not calib.get("measurable")))
     out = {
         "metric": f"heightfield grid-points/s/chip at {n}^2",
@@ -170,13 +198,13 @@ def main():
         "backend": backend,
         "ms_per_step": None if suspect else round(step_s * 1e3, 4),
         "updates_per_s": None if suspect else round(1.0 / step_s, 2),
-        "forcing": meta.forcing,
+        "forcing": best["forcing"],
         "implied_hbm_tbps": round(implied_tbps, 2),
     }
-    if hasattr(meta, "ks"):
-        out["ladder_ks"] = meta.ks
-        out["ladder_walls_s"] = [round(w, 5) for w in meta.walls_s]
-        out["fit_max_rel_resid"] = round(meta.max_rel_resid, 4)
+    for key in ("ladder_ks", "ladder_walls_s", "fit_max_rel_resid",
+                "intercept_ms"):
+        if key in best:
+            out[key] = best[key]
     if calib is not None:
         out["calibration"] = calib
     if suspect:

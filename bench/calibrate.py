@@ -28,7 +28,7 @@ import numpy as np
 
 
 def measure_size(n: int, ks: list[int], pull_timeout_s: int = 90,
-                 peak_tflops: float = 400.0) -> dict:
+                 peak_tflops: float = 400.0, forcing: str = "auto") -> dict:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -46,10 +46,25 @@ def measure_size(n: int, ks: list[int], pull_timeout_s: int = 90,
             return jnp.tanh(x @ a)   # tanh keeps magnitudes bounded; N² vs N³
         return jnp.sum(lax.fori_loop(0, k, body, x))
 
-    forcing = {"mode": "pull"}
+    # forcing modes (see benchlib.time_steps_ladder): 'tinypull' is the
+    # demonstrated reliable one on the axon tunnel — the runtime executes
+    # enqueued programs in order and block_until_ready alone executes
+    # NOTHING, while pulling a heavy program's own output sometimes hangs
+    # and poisons the process.
+    forcing = {"mode": "pull" if forcing == "auto" else forcing}
+    tiny = jax.jit(lambda s: s + 1.0)
 
     def run(k):
         acc = chain(x, a, jnp.int32(k))
+        if forcing["mode"] == "tinypull":
+            try:
+                with _watchdog(pull_timeout_s):
+                    float(jax.device_get(tiny(jnp.float32(k))))
+                return None
+            except Exception as e:
+                print(f"# n={n} tinypull failed ({type(e).__name__}), "
+                      f"demoting to block", file=sys.stderr)
+                forcing["mode"] = "block"
         if forcing["mode"] == "pull":
             try:
                 with _watchdog(pull_timeout_s):
@@ -80,7 +95,8 @@ def measure_size(n: int, ks: list[int], pull_timeout_s: int = 90,
     # least-squares wall = intercept + slope*K
     slope, intercept = np.polyfit(ks_arr, ws, 1)
     pred = intercept + slope * ks_arr
-    resid = float(np.max(np.abs(ws - pred) / np.maximum(ws, 1e-12)))
+    # top-wall-normalized residual (see benchlib.time_steps_ladder)
+    resid = float(np.max(np.abs(ws - pred)) / max(float(ws[-1]), 1e-12))
     flops_per_iter = 2.0 * n ** 3
     tflops = flops_per_iter / max(slope, 1e-12) / 1e12
     plausible = bool(0.0 < tflops < peak_tflops)

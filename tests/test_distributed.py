@@ -171,7 +171,7 @@ def test_sharded_step_pallas_backend_matches_single():
                                atol=1e-4)
 
 
-@pytest.mark.parametrize("overlap", [1, 5])
+@pytest.mark.parametrize("overlap", [1, 3])
 def test_sharded_step_pallas_fused_matches_single(overlap):
     """pallas_fused as a DISTRIBUTED local backend (VERDICT r1 #3): fused
     assembly+row-FFT with in-kernel global-row wavevectors, a2a transpose,

@@ -46,8 +46,8 @@ def test_ensemble_size_validation():
         EnsembleOceanSolver(_cfg(), mesh, ensemble_size=3)
 
 
-@pytest.mark.parametrize("chunks,backend", [(1, "reference"), (5, "reference"),
-                                            (5, "pallas")])
+@pytest.mark.parametrize("chunks,backend", [(1, "reference"), (3, "reference"),
+                                            (3, "pallas")])
 def test_overlap_chunks_identical_results(chunks, backend):
     cfg = _cfg(32)
     mesh = make_mesh(shard=8)

@@ -1,0 +1,51 @@
+"""The analytic collective model (bench/scaling_model.py) must equal the
+compiled HLO of the real distributed step on the fake 8-device mesh —
+counts AND buffer bytes, across backends / chunking / fused fields
+(VERDICT r1 #5: collective counts validated against the fake-mesh HLO)."""
+
+import sys
+import os
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bench"))
+
+from scaling_model import (step_collectives_model, hlo_collective_inventory,
+                           compiled_step_hlo)
+
+
+@pytest.mark.parametrize("backend,chunks,pallas_fields", [
+    ("matmul", 1, False),
+    ("matmul", 3, False),
+    ("pallas", 1, False),
+    ("pallas_fused", 1, False),
+    ("pallas_fused", 3, False),
+    ("pallas_fused", 1, True),
+])
+def test_model_matches_compiled_hlo(backend, chunks, pallas_fields):
+    n = 64
+    hlo = compiled_step_hlo(n, backend, chunks, pallas_fields)
+    inv = hlo_collective_inventory(hlo)
+    model = step_collectives_model(n, 8, backend, chunks, pallas_fields)
+
+    a2a = inv.get("all-to-all", {"count": 0, "buffer_bytes": 0})
+    assert a2a["count"] == model["all_to_all_count"]
+    assert a2a["buffer_bytes"] == model["all_to_all_buffer_bytes"]
+
+    cp = inv.get("collective-permute", {"count": 0, "buffer_bytes": 0})
+    assert cp["count"] == model["collective_permute_count"]
+    assert cp["buffer_bytes"] == model["halo_wire_bytes"]
+
+    # no other collective families sneak into the step
+    assert not set(inv) - {"all-to-all", "collective-permute"}
+
+
+def test_live_channel_reduction_is_real():
+    """The stencil-mode step transposes 3 channels, not 5 — the slope
+    spectra are dead there and must not ride the wire."""
+    hlo = compiled_step_hlo(64, "pallas_fused", 1, False)
+    inv = hlo_collective_inventory(hlo)
+    bytes_3ch = step_collectives_model(64, 8)["all_to_all_buffer_bytes"]
+    bytes_5ch = step_collectives_model(64, 8,
+                                       channels=5)["all_to_all_buffer_bytes"]
+    assert inv["all-to-all"]["buffer_bytes"] == bytes_3ch < bytes_5ch

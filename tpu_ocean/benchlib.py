@@ -132,7 +132,8 @@ class LadderResult:
 def time_steps_ladder(step_impl, state, dt: float, ks=(16, 48, 128),
                       repeats: int = 2, pull_timeout_s: int = 60,
                       extra=None, escalate: bool = True,
-                      max_k: int = 65536) -> LadderResult:
+                      max_k: int = 65536,
+                      forcing: str = "auto") -> LadderResult:
     """Rigorous differenced timing: walls at a ladder of trip counts (one
     fori_loop executable, traced count — one compile serves every K), then a
     least-squares fit wall = intercept + K·per_step with three validity
@@ -143,15 +144,39 @@ def time_steps_ladder(step_impl, state, dt: float, ks=(16, 48, 128),
     multiplied ×8 until the top wall is ≥ 3× the bottom one (work dominates)
     or ``max_k`` is reached. Escalation re-uses the compiled loop, so each
     rung costs only its own wall-clock.
+
+    ``forcing`` (probed behaviors on the axon tunnel, all measured):
+      'auto'     — pull the checksum, demote to block on first failure.
+      'block'    — block_until_ready only. WARNING: the tunnel runtime
+                   defers ALL execution past block (65k chained matmuls
+                   "complete" in 0.6 ms) — walls are then flat and the
+                   validity checks reject the run.
+      'tinypull' — dispatch the loop, then device_get a TINY scalar from an
+                   independent trivial program: the runtime executes
+                   enqueued programs IN ORDER, so the tiny pull returns only
+                   after the loop really ran. Avoids pulling the loop's own
+                   output (the transfer that sometimes hangs and poisons the
+                   process) while still forcing execution. The demonstrated
+                   reliable mode on the tunnel.
     """
     import numpy as _np
 
     loop = make_loop_stepper(step_impl, dt, with_extra=extra is not None)
     args = () if extra is None else (extra,)
-    strategy = {"forcing": "pull"}
+    strategy = {"forcing": "pull" if forcing == "auto" else forcing}
+    tiny = jax.jit(lambda s: s + 1.0)
 
     def run_once(k):
         st, acc = loop(state, jnp.int32(k), *args)
+        if strategy["forcing"] == "tinypull":
+            try:
+                with _watchdog(pull_timeout_s):
+                    # in-order queue: this cheap transfer completes only
+                    # after the loop above executed
+                    float(jax.device_get(tiny(jnp.float32(k))))
+                return None
+            except Exception:
+                strategy["forcing"] = "block"
         if strategy["forcing"] == "pull":
             try:
                 with _watchdog(pull_timeout_s):
@@ -182,7 +207,10 @@ def time_steps_ladder(step_impl, state, dt: float, ks=(16, 48, 128),
     ws = _np.asarray(walls, float)
     slope, intercept = _np.polyfit(ks_a, ws, 1)
     pred = intercept + slope * ks_a
-    resid = float(_np.max(_np.abs(ws - pred) / _np.maximum(ws, 1e-12)))
+    # residual normalized by the TOP wall: the small rungs sit near the
+    # dispatch constant where relative error is meaningless; flat ladders
+    # are caught by signal_ok/monotone, not by the fit
+    resid = float(_np.max(_np.abs(ws - pred)) / max(float(ws[-1]), 1e-12))
     monotone = bool(_np.all(_np.diff(ws) > 0))
     per_step = max(float(slope), 1e-9)
     suspect = not (monotone and signal_ok and resid < 0.35)

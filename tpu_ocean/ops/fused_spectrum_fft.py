@@ -322,15 +322,16 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
 
 def ifft2_fused(h0_pair, phase, length: float, dz_sign: float,
                 precision=None, epsilon: float = 1e-4,
-                row_offset=0) -> jnp.ndarray:
-    """Full fused 2-D unnormalized inverse transform of the five evolved
-    spectra: returns complex [5, N, N] spatial fields (matches
-    ifft2(assemble_spectra(...)) to fp32)."""
+                row_offset=0, ch_count: int = NUM_CHANNELS) -> jnp.ndarray:
+    """Full fused 2-D unnormalized inverse transform of the first
+    ``ch_count`` evolved spectra: returns complex [ch_count, N, N] spatial
+    fields (matches ifft2(assemble_spectra(...)) to fp32). Stencil-normal
+    solvers pass ch_count=3 — the slope channels are dead there."""
     if precision is None:
         precision = lax.Precision.HIGHEST
     re, im = assemble_rowfft(h0_pair, phase, length, dz_sign,
                              precision=precision, epsilon=epsilon,
-                             row_offset=row_offset)
+                             row_offset=row_offset, ch_count=ch_count)
     re, im = fft1d_transposed_auto(re, im, inverse=True,
                                    precision=precision)   # column pass
     return re + 1j * im

@@ -146,11 +146,17 @@ class OceanSolver:
         # limits (observed HTTP 413). All constants here are real-valued, so
         # they travel as f32 (complex host→device transfers are unreliable
         # on the same runtimes).
+        # stencil normals never read the slope spectra (channels 3, 4):
+        # transform only the 3 live channels — 40% less FFT work, HBM
+        # traffic, and (distributed) transpose volume on the flagship
+        # GPU-convention path. XLA's DCE finds this for chunked einsum
+        # chains but cannot see inside Pallas kernels, so it is explicit.
+        self._nch = 3 if cfg.normals_mode == "stencil" else 5
         consts = {
             "omega": np.asarray(omega_grid(cfg), dtype=np.float32),
             # channel coefficients are REAL (evolve.spectrum_coefficients)
             "coeffs": np.asarray(spectrum_coefficients(cfg).real,
-                                 dtype=np.float32),
+                                 dtype=np.float32)[:self._nch],
         }
 
         if cfg.spectrum_layout == "centered":
@@ -237,6 +243,26 @@ class OceanSolver:
             h0, h0_conj = h0_pair_gpu_hash(
                 n, cfg.length, cfg.phillips_amplitude, cfg.wind,
                 gpu_hash_seeds[0], gpu_hash_seeds[1], cfg.damping)
+        if self.real_state and h0 is None:
+            # the ENTIRE process stays complex-free: on the axon runtime
+            # even eager complex ops during init poison later transfers
+            # (measured — a real-program loop after a complex init hangs
+            # its forcing pull), so the real-state path samples h0 directly
+            # as (re, im) planes. Bit-identical draw to h0_pair_fft.
+            from tpu_ocean.spectra import h0_pair_fft_planes
+            if key is None:
+                key = jax.random.PRNGKey(cfg.seed)
+            r1, i1, r2, i2 = h0_pair_fft_planes(
+                key, n, cfg.length, cfg.phillips_amplitude, cfg.wind,
+                cfg.damping, model=cfg.spectrum_model,
+                jonswap_kw=cfg.jonswap_kw)
+            return OceanStateReal(
+                h0_re=r1, h0_im=i1, h0c_re=r2, h0c_im=i2,
+                phase=jnp.zeros((n, n), dtype=jnp.float32),
+                t=jnp.zeros((), dtype=jnp.float32),
+                step=jnp.zeros((), dtype=jnp.int32),
+                foam_accum=jnp.zeros((n, n), dtype=jnp.float32),
+            )
         if h0 is None:
             if key is None:
                 key = jax.random.PRNGKey(cfg.seed)
@@ -251,8 +277,7 @@ class OceanSolver:
         # Initial phase = 0: the reference's phase textures start black
         # (OceanRenderer.cs:138-139; SURVEY.md C5).
         if self.real_state:
-            # split once here (outside the step) — the jitted step then never
-            # touches a complex dtype
+            # injected-h0 path (parity tests): split the given complex pair
             return OceanStateReal(
                 h0_re=jnp.real(h0).astype(jnp.float32),
                 h0_im=jnp.imag(h0).astype(jnp.float32),
@@ -370,7 +395,8 @@ class OceanSolver:
             with jax.named_scope("fused_assembly_ifft2"):
                 re, im = assemble_rowfft(pair, phase, cfg.length, dz_sign,
                                          precision=self._mxu_precision,
-                                         epsilon=EPSILON)
+                                         epsilon=EPSILON,
+                                         ch_count=self._nch)
                 re, im = fft1d_transposed_auto(re, im, True,
                                                self._mxu_precision)
         else:
@@ -384,8 +410,10 @@ class OceanSolver:
                                                self._mxu_precision)
 
         with jax.named_scope("fields"):
-            out = self._extract_fields_planes(re[0], im[1], im[2],
-                                              im[3], im[4], c)
+            out = self._extract_fields_planes(
+                re[0], im[1], im[2],
+                im[3] if self._nch == 5 else None,
+                im[4] if self._nch == 5 else None, c)
 
         foam_accum = state.foam_accum
         if cfg.foam_decay > 0.0:
@@ -423,7 +451,7 @@ class OceanSolver:
                 dz_sign = -1.0 if self.cfg.oracle_sign_quirk else 1.0
                 return ifft2_fused(pair, phase, self.cfg.length, dz_sign,
                                    precision=self._mxu_precision,
-                                   epsilon=EPSILON)
+                                   epsilon=EPSILON, ch_count=self._nch)
         with jax.named_scope("spectrum_assembly"):
             spectra = assemble_spectra(state.h0, state.h0_conj, phase,
                                        c["coeffs"])
@@ -448,7 +476,8 @@ class OceanSolver:
     def _extract_fields(self, f: jax.Array, c) -> OceanFields:
         return self._extract_fields_planes(
             jnp.real(f[0]), jnp.imag(f[1]), jnp.imag(f[2]),
-            jnp.imag(f[3]), jnp.imag(f[4]), c)
+            jnp.imag(f[3]) if self._nch == 5 else None,
+            jnp.imag(f[4]) if self._nch == 5 else None, c)
 
     def _extract_fields_planes(self, height, disp_x, disp_z,
                                slope_x, slope_z, c) -> OceanFields:

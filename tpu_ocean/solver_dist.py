@@ -79,13 +79,18 @@ class DistributedOceanSolver:
         self._mxu_precision = (jax.lax.Precision.DEFAULT
                                if cfg.precision == "bfloat16"
                                else jax.lax.Precision.HIGHEST)
-        # >1 splits the 5-channel transform so the all_to_all transpose of
-        # one chunk overlaps the row butterflies of the next (SURVEY.md §5.8);
+        # stencil normals never read the slope spectra: transform only 3
+        # channels (see OceanSolver._nch — explicit because DCE cannot see
+        # into Pallas kernels; here it also cuts the a2a volume 40%)
+        self._nch = 3 if cfg.normals_mode == "stencil" else 5
+        # >1 splits the channel batch so the all_to_all transpose of one
+        # chunk overlaps the row butterflies of the next (SURVEY.md §5.8);
         # the fused backend chunks via per-channel-range kernel launches
         if overlap_chunks > 1:
-            if 5 % overlap_chunks != 0:
-                raise ValueError(f"overlap_chunks must divide the 5-channel "
-                                 f"batch (got {overlap_chunks}); use 1 or 5")
+            if self._nch % overlap_chunks != 0:
+                raise ValueError(f"overlap_chunks must divide the "
+                                 f"{self._nch}-channel batch (got "
+                                 f"{overlap_chunks}); use 1 or {self._nch}")
         self.overlap_chunks = overlap_chunks
         self.n_local = n // n_dev
 
@@ -95,7 +100,8 @@ class DistributedOceanSolver:
         # runtimes and the modulation factors split into (re, im) pairs.
         self._omega = jnp.asarray(np.asarray(omega_grid(cfg), np.float32))
         self._coeffs = jnp.asarray(
-            np.asarray(spectrum_coefficients(cfg).real, np.float32))
+            np.asarray(spectrum_coefficients(cfg).real,
+                       np.float32)[:self._nch])
         if cfg.spectrum_layout == "centered":
             pre, post = centered_modulation(n, cfg.length, cfg.unit_width)
             x1d = grids.coordinate_1d(n, cfg.unit_width)
@@ -130,7 +136,7 @@ class DistributedOceanSolver:
             self._step_local,
             mesh=mesh,
             in_specs=(state_specs, P(),            # state, dt
-                      x_spec, P(None, "shard", None),  # omega, coeffs [5,N,N]
+                      x_spec, P(None, "shard", None),  # omega, coeffs [C,N,N]
                       x_spec, x_spec,              # pre re/im (X-sharded)
                       z_spec, z_spec,              # post re/im (Z-sharded)
                       z_spec, z_spec),             # x0, z0
@@ -232,12 +238,12 @@ class DistributedOceanSolver:
             return re, im
 
         if self.overlap_chunks > 1:
-            per = 5 // self.overlap_chunks
+            per = self._nch // self.overlap_chunks
             parts = [chunk(i * per, per) for i in range(self.overlap_chunks)]
             re = jnp.concatenate([p[0] for p in parts])
             im = jnp.concatenate([p[1] for p in parts])
         else:
-            re, im = chunk(0, 5)
+            re, im = chunk(0, self._nch)
         re, im = fft1d_transposed_auto(re, im, True, self._mxu_precision)
         return re + 1j * im
 
@@ -314,8 +320,8 @@ class DistributedOceanSolver:
         height = jnp.real(f[0])
         disp_x = jnp.imag(f[1])
         disp_z = jnp.imag(f[2])
-        slope_x = jnp.imag(f[3])
-        slope_z = jnp.imag(f[4])
+        slope_x = jnp.imag(f[3]) if self._nch == 5 else None
+        slope_z = jnp.imag(f[4]) if self._nch == 5 else None
         chop = cfg.choppiness
 
         z_off = lax.axis_index("shard") * self.n_local

@@ -155,6 +155,40 @@ def sample_h0(key: jax.Array, phillips_spec) -> jax.Array:
     return (noise[..., 0] + 1j * noise[..., 1]).astype(jnp.complex64) * scale
 
 
+def sample_h0_planes(key: jax.Array, phillips_spec):
+    """(re, im) f32 planes of sample_h0 — identical draw (same key, same
+    noise layout, bit-equal values) with complex64 never formed. Exists for
+    the all-real step path (solver.OceanStateReal): on runtimes whose
+    complex support is unreliable, even one eager complex op in the process
+    can poison later transfers (CLAUDE.md)."""
+    spec = jnp.asarray(phillips_spec, dtype=jnp.float32)
+    noise = jax.random.normal(key, spec.shape + (2,), dtype=jnp.float32)
+    scale = jnp.sqrt(spec / 2.0)
+    return noise[..., 0] * scale, noise[..., 1] * scale
+
+
+def h0_pair_fft_planes(key: jax.Array, n: int, length: float,
+                       amplitude: float, wind, damping: float,
+                       model: str = "phillips", jonswap_kw: dict = None):
+    """(h0_re, h0_im, h0c_re, h0c_im) — h0_pair_fft with the conjugation
+    expressed as an imag-plane negation, complex64 never formed."""
+    from tpu_ocean.grids import wavevector_grid
+
+    kx, kz, _ = wavevector_grid(n, length, "fft")
+    spec = spectrum_fn(model)
+    if model == "phillips":
+        p_pos = spec(kx, kz, amplitude, wind, damping)
+        p_neg = spec(-kx, -kz, amplitude, wind, damping)
+    else:
+        kw = jonswap_kw or {}
+        p_pos = spec(kx, kz, amplitude, wind, length=length, **kw)
+        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **kw)
+    k1, k2 = jax.random.split(key)
+    r1, i1 = sample_h0_planes(k1, p_pos)
+    r2, i2 = sample_h0_planes(k2, p_neg)
+    return r1, i1, r2, -i2
+
+
 def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
                      wind, damping: float, model: str = "phillips",
                      jonswap_kw: dict = None):
