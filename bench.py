@@ -145,7 +145,9 @@ def main():
     else:
         backends = [args.backend]
 
-    measure = ((lambda t: _run_child(t, args, 240.0))
+    # child budget: measured healthy children (tunnel startup + Mosaic
+    # compiles + ladder) finish in 60-100 s; a poisoned child hangs forever
+    measure = ((lambda t: _run_child(t, args, 150.0))
                if not args.in_process else
                (lambda t: _measure_calibration() if t == "calibrate"
                 else _measure_backend(t, args.res, args.steps, args.method)))

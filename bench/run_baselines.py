@@ -98,18 +98,25 @@ def config3():
     else:
         raw = lambda t: gerstner_eval(bank, x, z, t, "analytic")
         kernel = "jnp"
-    # adapt t -> fields to the (state, dt) stepper shape for benchlib
-    from tpu_ocean.benchlib import time_steps
+    # adapt t -> fields to the (state, dt) stepper shape for benchlib.
+    # The gerstner program is all-real, so the rigorous tinypull ladder
+    # works on the tunnel (benchlib forcing notes).
+    from tpu_ocean.benchlib import time_steps_ladder
     step_impl = lambda t, dt: (t + dt, raw(t))
-    dt = time_steps(step_impl, jnp.zeros((), jnp.float32), 1.0 / 60.0,
-                    k1=8, k2=64)
+    lad = time_steps_ladder(step_impl, jnp.zeros((), jnp.float32), 1.0 / 60.0,
+                            ks=(16, 128, 1024), forcing="tinypull")
+    dt = lad.per_step_s
     return _emit({"config": 3, "desc": f"512^2 Gerstner {w} waves ({kernel})",
                   "ms_per_eval": round(dt * 1e3, 4),
                   "updates_per_s": round(1 / dt, 1),
                   "grid_points_per_s": round(n * n / dt, 1),
+                  "forcing": lad.forcing,
+                  "timing_suspect": lad.suspect,
+                  "fit_max_rel_resid": round(lad.max_rel_resid, 4),
                   # the >60 updates/s target is a TPU target; CPU is
                   # informational only
-                  "pass": (1 / dt > 60) if on_tpu else None})
+                  "pass": (1 / dt > 60 and not lad.suspect)
+                          if on_tpu else None})
 
 
 def _ocean_throughput(n, backend, steps=64):

@@ -29,6 +29,71 @@ import jax
 import jax.numpy as jnp
 
 
+def ifft1d_planes_lastaxis(re, im, inverse: bool = True,
+                           precision=jax.lax.Precision.HIGHEST):
+    """Real-plane unnormalized (inverse) DFT along the LAST axis of
+    [C, M, N] — the large-N row pass twin of ifft1d_planes_axis2 (see its
+    docstring for why large N runs on einsums)."""
+    from tpu_ocean.fft.pallas_fft import _tables_np
+
+    c, m, n = re.shape
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
+    ar = re.reshape(c, m, n2, n1)
+    ai = im.reshape(c, m, n2, n1)
+
+    def dot(eq, a, b):
+        return jnp.einsum(eq, a, b, precision=precision,
+                          preferred_element_type=jnp.float32)
+
+    cr = dot("ks,cmst->cmkt", f2r, ar) - dot("ks,cmst->cmkt", f2i, ai)
+    ci = dot("ks,cmst->cmkt", f2r, ai) + dot("ks,cmst->cmkt", f2i, ar)
+    twr_b = twr[None, None, :, :]
+    twi_b = twi[None, None, :, :]
+    cr, ci = cr * twr_b - ci * twi_b, cr * twi_b + ci * twr_b
+    # X[c, m, k1, k2] = Σ_t F1[k1, t] · C[c, m, k2, t]
+    dr = dot("lt,cmkt->cmlk", f1r, cr) - dot("lt,cmkt->cmlk", f1i, ci)
+    di = dot("lt,cmkt->cmlk", f1r, ci) + dot("lt,cmkt->cmlk", f1i, cr)
+    return dr.reshape(c, m, n), di.reshape(c, m, n)
+
+
+def ifft1d_planes_axis2(re, im, inverse: bool = True,
+                        precision=jax.lax.Precision.HIGHEST):
+    """Real-plane unnormalized (inverse) DFT along axis -2 of [C, M, N].
+
+    The large-N column pass: the row kernels (fft.pallas_fft /
+    ops.fused_spectrum_fft tiled variants) emit [C, M, N] non-transposed
+    because Mosaic's transposed store needs a 128-divisible row block that
+    no longer fits VMEM past N = 2048. Here the column transform runs as a
+    four-step einsum contracting axis -2 directly — XLA fuses the implied
+    transpose into the MXU contraction and tiles HBM itself, so no explicit
+    N²-sized transpose ever materializes. All arithmetic is real (4 real
+    dots per complex dot), keeping the program complex-free for the
+    real-state path. Tables are tiny (≤128², embedded constants are fine at
+    this size — the CLAUDE.md embedding hazard is about N² grids)."""
+    from tpu_ocean.fft.pallas_fft import _tables_np
+
+    c, m, n = re.shape
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(m, inverse)
+    ar = re.reshape(c, n2, n1, n)
+    ai = im.reshape(c, n2, n1, n)
+
+    def dot(eq, a, b):
+        return jnp.einsum(eq, a, b, precision=precision,
+                          preferred_element_type=jnp.float32)
+
+    # stage 1: C[c, k2, t, i] = Σ_s F2[k2, s] · A[c, s, t, i]
+    cr = dot("ks,csti->ckti", f2r, ar) - dot("ks,csti->ckti", f2i, ai)
+    ci = dot("ks,csti->ckti", f2r, ai) + dot("ks,csti->ckti", f2i, ar)
+    twr_b = twr[None, :, :, None]
+    twi_b = twi[None, :, :, None]
+    cr, ci = cr * twr_b - ci * twi_b, cr * twi_b + ci * twr_b
+    # stage 2: X[c, k1, k2, i] = Σ_t F1[k1, t] · C[c, k2, t, i]
+    dr = dot("lt,ckti->clki", f1r, cr) - dot("lt,ckti->clki", f1i, ci)
+    di = dot("lt,ckti->clki", f1r, ci) + dot("lt,ckti->clki", f1i, cr)
+    # transformed index = k1·n2 + k2 ⇔ [k1, k2] row-major (pallas_fft tables)
+    return dr.reshape(c, m, n), di.reshape(c, m, n)
+
+
 def _split_n(n: int):
     """Balanced factorization n = n1·n2 with n1 ≥ n2 (powers of two split
     exactly; otherwise the largest divisor ≤ sqrt(n))."""

@@ -112,19 +112,18 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
     oim_ref[:] = di.reshape(1, n, r)
 
 
-# Transposed-store VMEM ceilings (see _pick_block_rows). Verified on
+# Transposed-store VMEM ceiling (see _pick_block_rows). Verified on
 # hardware (v5e, 16 MB VMEM): both the pure FFT pass (2 input planes per
 # block) and the fused assembly pass (5 planes after the in-kernel
 # wavevector rebuild) compile+run at 2048 with the 128-row lane-aligned
-# block, and OOM at 4096. Beyond MAX_PALLAS_N the k1-TILED variant takes
-# over (stage 1 into persistent scratch, k1-tile stores, VMEM-modeled row
-# block — see _pick_block_rows_tiled); past MAX_TILED_N even the tiled
-# row block underruns the sublane floor and the solver falls back to the
-# einsum path, which XLA tiles through HBM.
+# block, and OOM at 4096. Beyond the ceiling ifft2_planes_auto switches to
+# the einsum four-step — see its docstring for why the hand kernel is
+# physically out of moves there (a k1-tiled variant was built, probed on
+# hardware, and deleted: Mosaic requires 128-lane transposed stores, a
+# 128-row block needs ≥17 MB at N=4096, and sub-128 row blocks make the
+# rank-3 stage-2 dot lowering illegal — "unsupported shape cast").
 MAX_PALLAS_N = 2048
 MAX_FUSED_N = 2048
-MAX_TILED_N = 16384
-MAX_FUSED_TILED_N = 16384
 
 
 def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
@@ -146,47 +145,39 @@ def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
 
 
 def pallas_supported(n: int, fused: bool = False) -> bool:
-    """True when a transposed-store kernel (plain ≤2048, k1-tiled beyond)
-    fits VMEM at side N."""
-    if fused:
-        return n <= MAX_FUSED_N or (n <= MAX_FUSED_TILED_N
-                                    and _pick_block_rows_tiled(n, n,
-                                                               fused=True) > 0)
-    return n <= MAX_PALLAS_N or (n <= MAX_TILED_N
-                                 and _pick_block_rows_tiled(n, n) > 0)
+    """True when the solver can build a pallas-flavored pipeline at side N:
+    the fused transposed-store kernels below MAX_PALLAS_N/MAX_FUSED_N, the
+    einsum four-step beyond (ifft2_planes_auto switches internally)."""
+    del fused
+    return n >= 16 and n % 2 == 0
 
 
-def _pick_block_rows_tiled(n_rows: int, n: int, fused: bool = False,
-                           vmem_budget=11 * 1024 * 1024) -> int:
-    """Row block for the k1-tiled kernels, from a live-bytes model.
+def ifft2_planes_auto(re, im, inverse: bool = True,
+                      precision=lax.Precision.HIGHEST):
+    """Full 2-D unnormalized (inverse) transform on (re, im) f32 planes
+    [C, N, N] → [C, N, N], all-real, any even N ≥ 16.
 
-    Per row of block, live VMEM ≈ (plain kernel)
-        2 planes × N × 4 B × 2   (double-buffered input refs)
-      + 2 × N × 4                (ar/ai values materialized for stage 1)
-      + 2 × N × 4                (cr/ci persistent scratch)
-    = 24·N bytes/row; the fused kernel streams 5 input planes and builds
-    ~6 assembly temps: ≈ (5·2 + 6 + 2)·N·4 = 72·N bytes/row. Output k1
-    tiles and twiddle tables are small. Returns the largest divisor of
-    ``n_rows`` under budget (multiple of 32 so the transposed store's minor
-    dim keeps at least a quarter-lane), or 0 when none fits.
-    """
-    per_row = (72 if fused else 24) * n
-    r = 128
-    while r >= 32 and r * per_row > vmem_budget:
-        r //= 2
-    while r >= 32 and n_rows % r != 0:
-        r //= 2
-    return r if r >= 32 else 0
-
-
-def fft1d_transposed_auto(re, im, inverse: bool,
-                          precision=lax.Precision.HIGHEST):
-    """[C, M, N] → transposed [C, N, M]: plain transposed-store kernel when
-    it fits VMEM, the k1-tiled variant beyond (N > MAX_PALLAS_N)."""
+    N ≤ MAX_PALLAS_N: two fused transposed-store Pallas passes (the
+    row↔column turn never touches HBM). Beyond, the hand kernel is
+    physically out of moves on this hardware (probed on v5e):
+      * the transposed store requires a 128-lane row block (Mosaic rule),
+        whose working set is ≥24·N·128 B ≈ 17 MB at N = 4096 — over the
+        16 MB VMEM;
+      * sub-128 row blocks make every rank-3 stage-2 dot illegal (Mosaic
+        lowers them via a lane-merging reshape that needs a 128-wide minor
+        dim — observed "unsupported shape cast").
+    So large N runs the same four-step math as real-plane einsums on both
+    axes (matmul.ifft1d_planes_lastaxis / _axis2): XLA stages HBM tiles
+    itself and fuses elementwise producers (spectrum assembly) into the
+    first contraction — exactly the structure VMEM forces anyway."""
     n = re.shape[-1]
     if n <= MAX_PALLAS_N:
+        re, im = _fft1d_transposed(re, im, inverse, precision)
         return _fft1d_transposed(re, im, inverse, precision)
-    return _fft1d_transposed_tiled(re, im, inverse, precision)
+    from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
+                                      ifft1d_planes_axis2)
+    re, im = ifft1d_planes_lastaxis(re, im, inverse, precision)
+    return ifft1d_planes_axis2(re, im, inverse, precision)
 
 
 def _fft1d_transposed(re, im, inverse: bool,
@@ -239,115 +230,10 @@ def ifft2_pallas(x: jnp.ndarray, inverse: bool = True,
     n0, n = x.shape[-2], x.shape[-1]
     re = jnp.real(x).astype(jnp.float32).reshape(-1, n0, n)
     im = jnp.imag(x).astype(jnp.float32).reshape(-1, n0, n)
-    re, im = fft1d_transposed_auto(re, im, inverse, precision)  # axis -1 done
-    re, im = fft1d_transposed_auto(re, im, inverse, precision)  # both done
+    re, im = ifft2_planes_auto(re, im, inverse, precision)
     out = re + 1j * im
     return out.reshape(orig_shape)
 
 
 def fft2_pallas(x: jnp.ndarray) -> jnp.ndarray:
     return ifft2_pallas(x, inverse=False)
-
-
-# ---------------------------------------------------------------------------
-# Large-N variant: k1-tiled stores. The transposed store of a full row
-# (N × 128-lane block) pressures VMEM; here the output is tiled along k1
-# (contiguous n-ranges since n = k1·N2 + k2): stage 1 + twiddle run once per
-# row block into persistent VMEM scratch (grid revisits reuse it), and each
-# inner grid step emits one k1 tile via a small MXU dot against the matching
-# F1 row slice.
-#
-# VMEM envelope (v5e, 16 MB): at N = 4096 the r = 128 row block needs ~20 MB
-# (double-buffered input refs + stage-1 values + scratch); the row block
-# picker (_pick_block_rows_tiled) models the live bytes and drops r below
-# the lane width instead — Mosaic pads the transposed store's minor dim, a
-# bandwidth tax the VMEM wall forces. r = 64 keeps 4096² resident in ~8.5 MB.
-# ---------------------------------------------------------------------------
-
-def _fft_block_kernel_tiled(f2r_ref, f2i_ref, twr_ref, twi_ref,
-                            f1r_ref, f1i_ref, re_ref, im_ref,
-                            ore_ref, oim_ref, cr_s, ci_s,
-                            *, n1, n2, ktile, precision):
-    _, r, _, _ = re_ref.shape
-    kt = pl.program_id(2)
-
-    @pl.when(kt == 0)
-    def _():
-        # stage 1 one k2-row at a time: a full [n2, r, n1] intermediate plus
-        # its transpose would add ~8 MB of transient VMEM at N=4096; the
-        # per-row loop keeps temps at one [r, n1] tile
-        ar = re_ref[:].reshape(r, n2, n1)
-        ai = im_ref[:].reshape(r, n2, n1)
-
-        def k2_row(s2, _):
-            f2r = f2r_ref[pl.ds(s2, 1)]          # [1, s]
-            f2i = f2i_ref[pl.ds(s2, 1)]
-            cr = (_dot_mid(f2r, ar, precision)
-                  - _dot_mid(f2i, ai, precision))  # [1, r, t]
-            ci = (_dot_mid(f2r, ai, precision)
-                  + _dot_mid(f2i, ar, precision))
-            twr = twr_ref[pl.ds(s2, 1)][:, None, :]
-            twi = twi_ref[pl.ds(s2, 1)][:, None, :]
-            cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
-            cr_s[pl.ds(s2, 1)] = cr.transpose(0, 2, 1)   # [1, t, r]
-            ci_s[pl.ds(s2, 1)] = ci.transpose(0, 2, 1)
-            return 0
-
-        lax.fori_loop(0, n2, k2_row, 0)
-
-    f1r, f1i = f1r_ref[:], f1i_ref[:]     # [ktile, t] row slice
-    cr = cr_s[:]
-    ci = ci_s[:]
-    # D[k1_tile, k2, r] = Σ_t F1[k1, t] C[k2, t, r]
-    dr = _dot_mid(f1r, cr, precision) - _dot_mid(f1i, ci, precision)
-    di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
-    ore_ref[:] = dr.reshape(1, ktile * n2, r)
-    oim_ref[:] = di.reshape(1, ktile * n2, r)
-
-
-def _fft1d_transposed_tiled(re, im, inverse: bool,
-                            precision=lax.Precision.HIGHEST,
-                            ktile: int = 16):
-    """Large-N twin of _fft1d_transposed (same contract: [C, M, N] →
-    transposed [C, N, M])."""
-    c, m, n = re.shape
-    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
-    while n1 % ktile != 0 and ktile > 1:
-        ktile //= 2
-    r = _pick_block_rows_tiled(m, n)
-    if r == 0:
-        raise ValueError(f"tiled kernel row block underruns the sublane "
-                         f"floor at N={n} (M={m})")
-
-    re = re.reshape(c, m, n2, n1)
-    im = im.reshape(c, m, n2, n1)
-
-    kernel = functools.partial(_fft_block_kernel_tiled, n1=n1, n2=n2,
-                               ktile=ktile, precision=precision)
-    table = lambda shape: pl.BlockSpec(shape, lambda ci, bi, kt: (0, 0),
-                                       memory_space=pltpu.VMEM)
-    f1_block = pl.BlockSpec((ktile, n1), lambda ci, bi, kt: (kt, 0),
-                            memory_space=pltpu.VMEM)
-    in_block = pl.BlockSpec((1, r, n2, n1), lambda ci, bi, kt: (ci, bi, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_block = pl.BlockSpec((1, ktile * n2, r),
-                             lambda ci, bi, kt: (ci, kt, bi),
-                             memory_space=pltpu.VMEM)
-
-    ore, oim = pl.pallas_call(
-        kernel,
-        grid=(c, m // r, n1 // ktile),
-        in_specs=[table((n2, n2)), table((n2, n2)),
-                  table((n2, n1)), table((n2, n1)),
-                  f1_block, f1_block,
-                  in_block, in_block],
-        out_specs=[out_block, out_block],
-        out_shape=[jax.ShapeDtypeStruct((c, n, m), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((n2, n1, r), jnp.float32)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=int(8 * c * m * n * (n1 + n2)),
-            bytes_accessed=int(2 * 2 * c * m * n * 4),
-            transcendentals=0),
-        interpret=jax.default_backend() == "cpu",
-    )(f2r, f2i, twr, twi, f1r, f1i, re, im)
-    return ore, oim

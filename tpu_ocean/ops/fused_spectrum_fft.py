@@ -45,8 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ocean.fft.pallas_fft import (
-    _tables_np, _dot_mid, _fft1d_transposed, fft1d_transposed_auto,
-    _pick_block_rows_tiled, MAX_FUSED_N)
+    _tables_np, _dot_mid, _fft1d_transposed, MAX_FUSED_N)
 
 NUM_CHANNELS = 5
 
@@ -129,120 +128,6 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
     oim_ref[:] = di.reshape(1, n, r)
 
 
-def _fused_kernel_tiled(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
-                        f1r_ref, f1i_ref, kz_tile_ref,
-                        h0r_ref, h0i_ref, h0cr_ref, h0ci_ref, ph_ref,
-                        ore_ref, oim_ref, cr_s, ci_s,
-                        *, n1, n2, ktile, length, dz_sign, epsilon,
-                        precision, ch_start=0):
-    """Large-N twin of _fused_kernel (k1-tiled stores, mirrors
-    pallas_fft._fft_block_kernel_tiled): on the first k1 tile of each
-    (row-block, channel) visit, assemble the channel spectrum and run
-    stage 1 + twiddle into persistent VMEM scratch one k2-row at a time;
-    every k1 tile then emits its output slice via one small MXU dot."""
-    r, _, _ = h0r_ref.shape
-    bi = pl.program_id(0)
-    ch = ch_start + pl.program_id(1)
-    kt = pl.program_id(2)
-
-    @pl.when(kt == 0)
-    def _():
-        ar, ai = _assemble_block(kz_tile_ref, h0r_ref, h0i_ref, h0cr_ref,
-                                 h0ci_ref, ph_ref, n1=n1, n2=n2,
-                                 wrap_n=n1 * n2, length=length,
-                                 dz_sign=dz_sign, epsilon=epsilon,
-                                 ch=ch, bi=bi, r=r,
-                                 row_off=row_off_ref[0, 0])
-
-        def k2_row(s2, _):
-            f2r = f2r_ref[pl.ds(s2, 1)]          # [1, s]
-            f2i = f2i_ref[pl.ds(s2, 1)]
-            cr = (_dot_mid(f2r, ar, precision)
-                  - _dot_mid(f2i, ai, precision))  # [1, r, t]
-            ci = (_dot_mid(f2r, ai, precision)
-                  + _dot_mid(f2i, ar, precision))
-            twr = twr_ref[pl.ds(s2, 1)][:, None, :]
-            twi = twi_ref[pl.ds(s2, 1)][:, None, :]
-            cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
-            cr_s[pl.ds(s2, 1)] = cr.transpose(0, 2, 1)   # [1, t, r]
-            ci_s[pl.ds(s2, 1)] = ci.transpose(0, 2, 1)
-            return 0
-
-        lax.fori_loop(0, n2, k2_row, 0)
-
-    f1r, f1i = f1r_ref[:], f1i_ref[:]     # [ktile, t] row slice
-    cr = cr_s[:]
-    ci = ci_s[:]
-    dr = _dot_mid(f1r, cr, precision) - _dot_mid(f1i, ci, precision)
-    di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
-    ore_ref[:] = dr.reshape(1, ktile * n2, r)
-    oim_ref[:] = di.reshape(1, ktile * n2, r)
-
-
-def _assemble_rowfft_tiled(h0_pair, phase, length: float, dz_sign: float,
-                           inverse: bool = True, precision=None,
-                           epsilon: float = 1e-4, ktile: int = 16,
-                           row_offset=0, ch_start: int = 0,
-                           ch_count: int = NUM_CHANNELS):
-    """Large-N twin of assemble_rowfft (same contract: transposed
-    [5, N, M] f32 pair out)."""
-    if precision is None:
-        precision = lax.Precision.HIGHEST
-    h0r, h0i, h0cr, h0ci = h0_pair
-    m, n = phase.shape
-    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
-    while n1 % ktile != 0 and ktile > 1:
-        ktile //= 2
-    r = _pick_block_rows_tiled(m, n, fused=True)
-    if r == 0:
-        raise ValueError(f"tiled fused kernel row block underruns the "
-                         f"sublane floor at N={n} (M={m})")
-
-    idx = np.arange(n, dtype=np.float64)
-    wrapped = np.where(idx < n / 2.0, idx, idx - n)
-    kz_tile = (2.0 * np.pi * wrapped / length).astype(np.float32
-                                                      ).reshape(n2, n1)
-
-    ins = [x.reshape(m, n2, n1) for x in (h0r, h0i, h0cr, h0ci, phase)]
-    row_off = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
-
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    table = lambda shape: pl.BlockSpec(shape, lambda bi, ch, kt: (0, 0),
-                                       memory_space=pltpu.VMEM)
-    f1_block = pl.BlockSpec((ktile, n1), lambda bi, ch, kt: (kt, 0),
-                            memory_space=pltpu.VMEM)
-    in_block = pl.BlockSpec((r, n2, n1), lambda bi, ch, kt: (bi, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_block = pl.BlockSpec((1, ktile * n2, r),
-                             lambda bi, ch, kt: (ch, kt, bi),
-                             memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_fused_kernel_tiled, n1=n1, n2=n2,
-                               ktile=ktile, length=float(length),
-                               dz_sign=np.float32(dz_sign),
-                               epsilon=np.float32(epsilon),
-                               precision=precision, ch_start=ch_start)
-    ore, oim = pl.pallas_call(
-        kernel,
-        grid=(m // r, ch_count, n1 // ktile),
-        in_specs=[smem,
-                  table((n2, n2)), table((n2, n2)),
-                  table((n2, n1)), table((n2, n1)),
-                  f1_block, f1_block,
-                  table((n2, n1))] + [in_block] * 5,
-        out_specs=[out_block, out_block],
-        out_shape=[jax.ShapeDtypeStruct((ch_count, n, m),
-                                        jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((n2, n1, r), jnp.float32)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=int(ch_count * 8 * m * n * (n1 + n2)),
-            bytes_accessed=int((5 + 2 * ch_count) * m * n * 4),
-            transcendentals=int(2 * ch_count * m * n)),
-        interpret=jax.default_backend() == "cpu",
-    )(row_off, f2r, f2i, twr, twi, f1r, f1i, kz_tile, *ins)
-    return ore, oim
-
-
 def _pick_rows_fused(m: int, n: int):
     """Row block for the fused kernel: must keep the transposed store's
     minor dim (R) lane-aligned, under ~13 MB live VMEM."""
@@ -266,10 +151,11 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
     h0r, h0i, h0cr, h0ci = h0_pair
     m, n = phase.shape
     if n > MAX_FUSED_N:
-        return _assemble_rowfft_tiled(h0_pair, phase, length, dz_sign,
-                                      inverse, precision, epsilon,
-                                      row_offset=row_offset,
-                                      ch_start=ch_start, ch_count=ch_count)
+        raise ValueError(
+            f"assemble_rowfft's transposed-store kernel caps at "
+            f"N={MAX_FUSED_N} (VMEM wall, see pallas_fft.ifft2_planes_auto)"
+            f" — use ifft2_fused_planes, which switches to the einsum "
+            f"four-step beyond")
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     r = _pick_rows_fused(m, n)
 
@@ -329,9 +215,62 @@ def ifft2_fused(h0_pair, phase, length: float, dz_sign: float,
     solvers pass ch_count=3 — the slope channels are dead there."""
     if precision is None:
         precision = lax.Precision.HIGHEST
+    re, im = ifft2_fused_planes(h0_pair, phase, length, dz_sign,
+                                precision=precision, epsilon=epsilon,
+                                row_offset=row_offset, ch_count=ch_count)
+    return re + 1j * im
+
+
+def ifft2_fused_planes(h0_pair, phase, length: float, dz_sign: float,
+                       precision=None, epsilon: float = 1e-4,
+                       row_offset=0, ch_count: int = NUM_CHANNELS):
+    """All-real twin of ifft2_fused: (re, im) f32 [ch_count, N, N] planes.
+    N ≤ MAX_FUSED_N: fused transposed-store row pass + transposed column
+    pass. Beyond: fused tiled row pass with natural-orientation store + the
+    axis(-2) einsum column pass (see pallas_fft.ifft2_planes_auto)."""
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    m, n = phase.shape
+    if n > MAX_FUSED_N:
+        # VMEM closes the hand-kernel window here (see
+        # pallas_fft.ifft2_planes_auto): assembly runs as jnp real ops with
+        # wavevectors derived IN-JIT from iota — no N²-sized host constants
+        # to embed or transfer — and XLA fuses it into the first einsum
+        # contraction, which is the same fusion the Pallas kernel provided.
+        re, im = _assemble_planes_jnp(h0_pair, phase, length, dz_sign,
+                                      epsilon, ch_count, row_offset)
+        from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
+                                          ifft1d_planes_axis2)
+        re, im = ifft1d_planes_lastaxis(re, im, True, precision)
+        return ifft1d_planes_axis2(re, im, True, precision)
     re, im = assemble_rowfft(h0_pair, phase, length, dz_sign,
                              precision=precision, epsilon=epsilon,
                              row_offset=row_offset, ch_count=ch_count)
-    re, im = fft1d_transposed_auto(re, im, inverse=True,
-                                   precision=precision)   # column pass
-    return re + 1j * im
+    return _fft1d_transposed(re, im, inverse=True, precision=precision)
+
+
+def _assemble_planes_jnp(h0_pair, phase, length, dz_sign, epsilon,
+                         ch_count, row_offset=0):
+    """jnp twin of the in-kernel assembly (_assemble_block): (re, im)
+    [ch_count, M, N] evolved-spectrum planes, wavevectors from iota."""
+    h0r, h0i, h0cr, h0ci = h0_pair
+    m, n = phase.shape
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    htr = (h0r + h0cr) * c + (h0ci - h0i) * s
+    hti = (h0i + h0ci) * c + (h0r - h0cr) * s
+
+    two_pi_over_l = np.float32(2.0 * np.pi / length)
+    row = row_offset + jnp.arange(m, dtype=jnp.float32)[:, None]
+    col = jnp.arange(n, dtype=jnp.float32)[None, :]
+    kx = two_pi_over_l * jnp.where(row < n * 0.5, row, row - n)
+    kz = two_pi_over_l * jnp.where(col < n * 0.5, col, col - n)
+    kmag2 = kx * kx + kz * kz
+    invk = jnp.where(kmag2 < epsilon * epsilon, 0.0,
+                     jax.lax.rsqrt(kmag2))
+    coeffs = [jnp.ones_like(kmag2), kx * invk,
+              np.float32(dz_sign) * kz * invk,
+              jnp.broadcast_to(-kx, kmag2.shape),
+              jnp.broadcast_to(-kz, kmag2.shape)][:ch_count]
+    k = jnp.stack(coeffs)
+    return k * htr[None], k * hti[None]

@@ -386,28 +386,24 @@ class OceanSolver:
                 phase_state = phase
                 t_new = state.t + dt
 
-        from tpu_ocean.fft.pallas_fft import fft1d_transposed_auto
+        from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
         pair = (state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
         if self.fft_backend == "pallas_fused":
             from tpu_ocean.config import EPSILON
-            from tpu_ocean.ops.fused_spectrum_fft import assemble_rowfft
+            from tpu_ocean.ops.fused_spectrum_fft import ifft2_fused_planes
             dz_sign = -1.0 if cfg.oracle_sign_quirk else 1.0
             with jax.named_scope("fused_assembly_ifft2"):
-                re, im = assemble_rowfft(pair, phase, cfg.length, dz_sign,
-                                         precision=self._mxu_precision,
-                                         epsilon=EPSILON,
-                                         ch_count=self._nch)
-                re, im = fft1d_transposed_auto(re, im, True,
-                                               self._mxu_precision)
+                re, im = ifft2_fused_planes(pair, phase, cfg.length, dz_sign,
+                                            precision=self._mxu_precision,
+                                            epsilon=EPSILON,
+                                            ch_count=self._nch)
         else:
             from tpu_ocean.evolve import assemble_spectra_real
             with jax.named_scope("spectrum_assembly"):
                 re, im = assemble_spectra_real(pair, phase, c["coeffs"])
             with jax.named_scope("ifft2"):
-                re, im = fft1d_transposed_auto(re, im, True,
-                                               self._mxu_precision)
-                re, im = fft1d_transposed_auto(re, im, True,
-                                               self._mxu_precision)
+                re, im = ifft2_planes_auto(re, im, True,
+                                           self._mxu_precision)
 
         with jax.named_scope("fields"):
             out = self._extract_fields_planes(

@@ -49,12 +49,19 @@ class DistributedOceanSolver:
             raise ValueError(f"unknown distributed fft backend "
                              f"{fft_backend!r}")
         if fft_backend in ("pallas", "pallas_fused"):
-            from tpu_ocean.fft.pallas_fft import pallas_supported
-            if not pallas_supported(cfg.resolution,
-                                    fused=fft_backend == "pallas_fused"):
+            # the distributed pallas paths need the TRANSPOSED-store kernels
+            # (the a2a consumes [C, N, X/D]); past these caps the transposed
+            # store is hardware-illegal (Mosaic 128-lane rule vs VMEM —
+            # pallas_fft._fft1d_transposed_tiled), so fall back to the
+            # einsum locals, which ride the identical a2a
+            from tpu_ocean.fft.pallas_fft import MAX_PALLAS_N, MAX_FUSED_N
+            cap = (MAX_FUSED_N if fft_backend == "pallas_fused"
+                   else MAX_PALLAS_N)
+            if cfg.resolution > cap:
                 import warnings
-                warnings.warn(f"{fft_backend} exceeds its VMEM cap at "
-                              f"N={cfg.resolution}; falling back to 'matmul'")
+                warnings.warn(f"distributed {fft_backend} needs the "
+                              f"transposed-store kernel (cap N={cap}); "
+                              f"falling back to 'matmul'")
                 fft_backend = "matmul"
         if fft_backend == "pallas_fused" and cfg.spectrum_layout != "fft":
             raise ValueError("pallas_fused requires spectrum_layout='fft'")
@@ -218,7 +225,7 @@ class DistributedOceanSolver:
         chunk's transpose overlaps the next chunk's row pass."""
         from tpu_ocean.config import EPSILON
         from tpu_ocean.ops.fused_spectrum_fft import assemble_rowfft
-        from tpu_ocean.fft.pallas_fft import fft1d_transposed_auto
+        from tpu_ocean.fft.pallas_fft import _fft1d_transposed
         cfg = self.cfg
         pair = (jnp.real(state.h0), jnp.imag(state.h0),
                 jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
@@ -244,7 +251,9 @@ class DistributedOceanSolver:
             im = jnp.concatenate([p[1] for p in parts])
         else:
             re, im = chunk(0, self._nch)
-        re, im = fft1d_transposed_auto(re, im, True, self._mxu_precision)
+        # column pass: local rows are fully resident (backend is capped at
+        # MAX_FUSED_N, where the plain transposed-store kernel is legal)
+        re, im = _fft1d_transposed(re, im, True, self._mxu_precision)
         return re + 1j * im
 
     def _fields_pallas_sharded(self, cdx, h, cdz, texel):
