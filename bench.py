@@ -54,15 +54,18 @@ def _measure_calibration() -> dict:
 
 
 def _measure_backend(backend: str, res: int, steps: int,
-                     method: str) -> dict:
+                     method: str, pallas_fields: bool = False,
+                     precision: str = "float32") -> dict:
     import jax
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.solver import OceanSolver
     from tpu_ocean.benchlib import time_steps_ladder, time_steps_meta
 
-    cfg = OCEAN_DEMO.replace(resolution=res, length=float(res))
+    cfg = OCEAN_DEMO.replace(resolution=res, length=float(res),
+                             precision=precision)
     solver = OceanSolver(cfg, fft_backend=backend,
-                         real_state=backend in _REAL_BACKENDS)
+                         real_state=backend in _REAL_BACKENDS,
+                         pallas_fields=pallas_fields)
     state = solver.init(jax.random.PRNGKey(0))
     dt = 1.0 / 60.0
     if method == "dispatch":
@@ -83,11 +86,13 @@ def _measure_backend(backend: str, res: int, steps: int,
             "intercept_ms": round(lad.intercept_s * 1e3, 2)}
 
 
-def _run_child(task: str, args, timeout_s: float):
+def _run_child(task: str, args, timeout_s: float, fields: bool = False):
     """Run one measurement in a fresh interpreter; parse its JSON line."""
     cmd = [sys.executable, os.path.abspath(__file__), "--child", task,
            "--res", str(args.res), "--steps", str(args.steps),
-           "--method", args.method]
+           "--method", args.method, "--precision", args.precision]
+    if fields or args.pallas_fields:
+        cmd.append("--pallas-fields")
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=timeout_s)
@@ -120,6 +125,12 @@ def main():
     ap.add_argument("--method", type=str, default="loop",
                     choices=["loop", "dispatch"])
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument("--pallas-fields", action="store_true",
+                    help="fused normals+whitecap stencil kernel")
+    ap.add_argument("--precision", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="MXU dot precision mode (bfloat16 = fast mode, "
+                         "~4e-3 rel err — docs/parity.md ledger)")
     ap.add_argument("--in-process", action="store_true",
                     help="run measurements in this process (CPU/debug)")
     ap.add_argument("--child", type=str, default=None,
@@ -130,27 +141,36 @@ def main():
         if args.child == "calibrate":
             print(json.dumps(_measure_calibration()))
         else:
-            print(json.dumps(_measure_backend(args.child, args.res,
-                                              args.steps, args.method)))
+            print(json.dumps(_measure_backend(
+                args.child, args.res, args.steps, args.method,
+                pallas_fields=args.pallas_fields,
+                precision=args.precision)))
         return 0
 
     if args.backend == "auto":
         # complex-free (real_state) backends first: on the axon tunnel a
         # process that ever executed a complex op cannot be forced reliably,
-        # so matmul (complex einsum) is a trailer for other platforms
-        backends = ["pallas_fused", "pallas", "matmul"]
+        # so matmul (complex einsum) is a trailer for other platforms.
+        # pallas_fields (the fused stencil twin, output-identical) measured
+        # 17% faster at 1024² — it leads the sweep.
+        backends = [("pallas", True), ("pallas_fused", True),
+                    ("matmul", False)]
     elif args.backend == "all":
-        backends = ["reference", "stockham", "matmul", "pallas",
-                    "pallas_fused"]
+        backends = [(b, False) for b in
+                    ("reference", "stockham", "matmul", "pallas",
+                     "pallas_fused")]
     else:
-        backends = [args.backend]
+        backends = [(args.backend, args.pallas_fields)]
 
     # child budget: measured healthy children (tunnel startup + Mosaic
     # compiles + ladder) finish in 60-100 s; a poisoned child hangs forever
-    measure = ((lambda t: _run_child(t, args, 150.0))
+    measure = ((lambda t, f=False: _run_child(t, args, 150.0, fields=f))
                if not args.in_process else
-               (lambda t: _measure_calibration() if t == "calibrate"
-                else _measure_backend(t, args.res, args.steps, args.method)))
+               (lambda t, f=False: _measure_calibration()
+                if t == "calibrate"
+                else _measure_backend(t, args.res, args.steps, args.method,
+                                      pallas_fields=f,
+                                      precision=args.precision)))
 
     t_start = time.perf_counter()
     calib = None
@@ -159,17 +179,19 @@ def main():
         print(f"# calibration: {calib}", file=sys.stderr)
 
     best = None
-    for backend in backends:
+    for backend, fields in backends:
+        label = backend + ("+fields" if fields else "")
         if best is not None and time.perf_counter() - t_start > args.budget_s:
-            print(f"# budget exceeded, skipping {backend}", file=sys.stderr)
+            print(f"# budget exceeded, skipping {label}", file=sys.stderr)
             continue
-        r = measure(backend)
+        r = measure(backend, fields)
         if "error" in r:
-            print(f"# backend {backend}: FAILED ({r['error']})",
+            print(f"# backend {label}: FAILED ({r['error']})",
                   file=sys.stderr)
             continue
+        r["backend"] = label
         step_s = r["per_step_s"]
-        print(f"# backend {backend}: {step_s * 1e3:.3f} ms/step "
+        print(f"# backend {label}: {step_s * 1e3:.3f} ms/step "
               f"({1.0 / step_s:.1f} updates/s, forcing={r['forcing']}"
               f"{', TIMING SUSPECT' if r['suspect'] else ''})",
               file=sys.stderr)
@@ -188,7 +210,7 @@ def main():
     n = args.res
     gps = n * n / step_s
     baseline_gps = 1024 * 1024 * 60.0  # reference: 1024² @ 60 FPS implied
-    planes = _PLANES.get(backend, _PLANES["default"])
+    planes = _PLANES.get(backend.split("+")[0], _PLANES["default"])
     implied_tbps = planes * n * n * 4 / step_s / 1e12
     suspect = bool(best["suspect"] or implied_tbps > 8.0
                    or (calib is not None and not calib.get("measurable")))

@@ -299,6 +299,15 @@ class OceanSolver:
 
     # ------------------------------------------------------------- reconfigure
 
+    #: config fields consumed ONLY by init() (the InitialSpectrum pass) —
+    #: a change restricted to these re-renders h0 without touching the
+    #: compiled step, matching the reference's interactive reconfigure cost
+    #: (OceanRenderer.cs:98-109 re-blits ONE texture)
+    _INIT_ONLY_FIELDS = frozenset({
+        "wind", "amplitude", "amplitude_scale", "damping", "seed",
+        "spectrum_model", "jonswap_fetch", "jonswap_gamma",
+        "jonswap_spreading", "jonswap_depth"})
+
     def reconfigure(self, state: OceanState, new_cfg: OceanConfig,
                     key: Optional[jax.Array] = None):
         """Live parameter change: returns (new_solver, new_state).
@@ -306,8 +315,24 @@ class OceanSolver:
         Mirrors the reference's runtime re-init (OceanRenderer.cs:98-109):
         when length/wind/amplitude change, the initial spectrum is re-rendered
         but the recurrent phase is NOT reset — waves keep their motion while
-        the sea state morphs. Resolution/layout changes rebuild everything.
+        the sea state morphs. Changes restricted to init-only fields (wind,
+        amplitude, spectrum shape, seed) REUSE the compiled step — no
+        retrace, no constant rebuild — so interactive parameter sweeps cost
+        one h0 re-render, like the reference. Resolution/layout/physics
+        changes rebuild everything.
         """
+        import dataclasses
+        changed = {f.name for f in dataclasses.fields(new_cfg)
+                   if getattr(new_cfg, f.name) != getattr(self.cfg, f.name)}
+        if changed <= self._INIT_ONLY_FIELDS:
+            import copy
+            solver = copy.copy(self)   # shares _step_jit and _consts
+            solver.cfg = new_cfg
+            fresh = solver.init(key if key is not None
+                                else jax.random.PRNGKey(new_cfg.seed))
+            return solver, fresh._replace(phase=state.phase, t=state.t,
+                                          step=state.step,
+                                          foam_accum=state.foam_accum)
         solver = OceanSolver(new_cfg, fft_backend=self.fft_backend,
                              eval_mode=self.eval_mode,
                              pallas_fields=self.pallas_fields,
