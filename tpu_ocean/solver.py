@@ -411,6 +411,25 @@ class OceanSolver:
                 phase_state = phase
                 t_new = state.t + dt
 
+        out = self._fields_from_phase_real(state, phase, c)
+
+        foam_accum = state.foam_accum
+        if cfg.foam_decay > 0.0:
+            foam_accum = jnp.maximum(
+                out.foam, state.foam_accum
+                * jnp.exp(-np.float32(cfg.foam_decay) * dt))
+            out = out._replace(foam=foam_accum)
+
+        new_state = OceanStateReal(
+            h0_re=state.h0_re, h0_im=state.h0_im,
+            h0c_re=state.h0c_re, h0c_im=state.h0c_im,
+            phase=phase_state, t=t_new, step=state.step + 1,
+            foam_accum=foam_accum)
+        return new_state, out
+
+    def _fields_from_phase_real(self, state: OceanStateReal, phase, c):
+        """All-real transform + field extraction (see OceanStateReal)."""
+        cfg = self.cfg
         from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
         pair = (state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
         if self.fft_backend == "pallas_fused":
@@ -429,32 +448,19 @@ class OceanSolver:
             with jax.named_scope("ifft2"):
                 re, im = ifft2_planes_auto(re, im, True,
                                            self._mxu_precision)
-
         with jax.named_scope("fields"):
-            out = self._extract_fields_planes(
+            return self._extract_fields_planes(
                 re[0], im[1], im[2],
                 im[3] if self._nch == 5 else None,
                 im[4] if self._nch == 5 else None, c)
 
-        foam_accum = state.foam_accum
-        if cfg.foam_decay > 0.0:
-            foam_accum = jnp.maximum(
-                out.foam, state.foam_accum
-                * jnp.exp(-np.float32(cfg.foam_decay) * dt))
-            out = out._replace(foam=foam_accum)
-
-        new_state = OceanStateReal(
-            h0_re=state.h0_re, h0_im=state.h0_im,
-            h0c_re=state.h0c_re, h0c_im=state.h0c_im,
-            phase=phase_state, t=t_new, step=state.step + 1,
-            foam_accum=foam_accum)
-        return new_state, out
-
-    def fields_at(self, state: OceanState, t: float) -> OceanFields:
+    def fields_at(self, state, t: float) -> OceanFields:
         """Evaluate fields at an absolute time without advancing state
         (absolute mode only) — mirrors the oracle's stateless EvaluateWaves."""
         c = self._consts
         phase = c["omega"] * jnp.asarray(t, dtype=jnp.float32)
+        if isinstance(state, OceanStateReal):
+            return self._fields_from_phase_real(state, phase, c)
         return self._extract_fields(self._evolved_transform(state, phase, c),
                                     c)
 
