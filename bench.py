@@ -134,7 +134,7 @@ def main():
     ap.add_argument("--pallas-fields", action="store_true",
                     help="fused normals+whitecap stencil kernel")
     ap.add_argument("--precision", type=str, default="float32",
-                    choices=["float32", "float32_3x", "bfloat16"],
+                    choices=["float32", "bfloat16"],
                     help="MXU dot precision mode (bfloat16 = fast mode, "
                          "~4e-3 rel err — docs/parity.md ledger)")
     ap.add_argument("--in-process", action="store_true",

@@ -214,23 +214,3 @@ def test_large_n_fused_planes_matches_plain(monkeypatch):
                                atol=2e-5 * scale)
 
 
-
-
-def test_float32_3x_precision_tier():
-    """The manual bf16×3 dot tier (cfg.precision='float32_3x') must land in
-    its design band: ≲1e-5 relative vs full f32 — far tighter than
-    bfloat16's ~4e-3, at half HIGHEST's MXU passes (Mosaic rejects
-    Precision.HIGH inside kernels, so the tier is hand-built)."""
-    import jax
-    from tpu_ocean.config import OCEAN_DEMO
-    from tpu_ocean.solver import OceanSolver
-    cfg = OCEAN_DEMO.replace(resolution=128, length=128.0)
-    s_hi = OceanSolver(cfg, fft_backend="pallas", real_state=True)
-    s_3x = OceanSolver(cfg.replace(precision="float32_3x"),
-                       fft_backend="pallas", real_state=True)
-    _, f_hi = s_hi.step(s_hi.init(jax.random.PRNGKey(0)), 1 / 60)
-    _, f_3x = s_3x.step(s_3x.init(jax.random.PRNGKey(0)), 1 / 60)
-    scale = float(jnp.max(jnp.abs(f_hi.height)))
-    rel = float(jnp.max(jnp.abs(f_hi.height - f_3x.height))) / scale
-    assert rel < 2e-5, rel
-    assert float(jnp.max(jnp.abs(f_hi.foam - f_3x.foam))) < 1e-3

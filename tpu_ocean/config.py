@@ -104,7 +104,7 @@ class OceanConfig:
             raise ValueError(f"bad spectrum_layout {self.spectrum_layout!r}")
         if self.normals_mode not in ("spectral", "stencil"):
             raise ValueError(f"bad normals_mode {self.normals_mode!r}")
-        if self.precision not in ("float32", "float32_3x", "bfloat16"):
+        if self.precision not in ("float32", "bfloat16"):
             raise ValueError(f"bad precision {self.precision!r}")
         if self.spectrum_model not in ("phillips", "jonswap"):
             raise ValueError(f"bad spectrum_model {self.spectrum_model!r}")

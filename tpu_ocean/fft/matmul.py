@@ -29,14 +29,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _einsum_precision(precision):
-    """Map the kernel-side BF16X3 sentinel to XLA's native HIGH tier (the
-    same 3-pass bf16 decomposition, which einsums support directly)."""
-    if precision == "bf16x3":
-        return jax.lax.Precision.HIGH
-    return precision
-
-
 def ifft1d_planes_lastaxis(re, im, inverse: bool = True,
                            precision=jax.lax.Precision.HIGHEST):
     """Real-plane unnormalized (inverse) DFT along the LAST axis of
@@ -44,7 +36,6 @@ def ifft1d_planes_lastaxis(re, im, inverse: bool = True,
     docstring for why large N runs on einsums)."""
     from tpu_ocean.fft.pallas_fft import _tables_np
 
-    precision = _einsum_precision(precision)
     c, m, n = re.shape
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     ar = re.reshape(c, m, n2, n1)
@@ -81,7 +72,6 @@ def ifft1d_planes_axis2(re, im, inverse: bool = True,
     this size — the CLAUDE.md embedding hazard is about N² grids)."""
     from tpu_ocean.fft.pallas_fft import _tables_np
 
-    precision = _einsum_precision(precision)
     c, m, n = re.shape
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(m, inverse)
     ar = re.reshape(c, n2, n1, n)

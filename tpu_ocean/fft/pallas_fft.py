@@ -65,44 +65,18 @@ def _tables_np(n: int, inverse: bool):
             w1.real.astype(f32), w1.imag.astype(f32))     # F1 [k1, t]
 
 
-#: sentinel precision: manual 3-pass bf16 decomposition (see _dot_mid).
-#: Mosaic's dot lowering accepts only DEFAULT and HIGHEST (probed:
-#: "Unsupported dot precision: HIGH"), so the intermediate tier is built by
-#: hand — a·b ≈ a_hi·b_hi + a_hi·b_lo + a_lo·b_hi with x_hi = bf16(x),
-#: x_lo = x − x_hi (exact in f32). Drops only the (a_lo·b_lo) term:
-#: ~1e-6 relative, at half HIGHEST's MXU passes.
-BF16X3 = "bf16x3"
-
-
-def _split_bf16(x):
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    return hi, x - hi
-
-
 def _dot_mid(m, x, precision=lax.Precision.HIGHEST):
     """[a, b] · [r, b, t] contracting b (rhs middle) → [a, r, t].
 
-    precision tiers on the MXU (measured at N=1024):
-      DEFAULT  — single bf16 pass, ~4e-3 rel error (cfg.precision='bfloat16')
-      BF16X3   — manual 3-pass decomposition (above), ~1e-6
-                 (cfg.precision='float32_3x')
-      HIGHEST  — full f32 (6 passes), ~1e-7 parity with jnp.fft
-                 (cfg.precision='float32', the parity-grade default)
-    The kernel is bandwidth-dominated below ~HIGHEST, so the cheaper tiers
-    buy real wall-clock at large N.
+    Default precision=HIGHEST: the MXU's default f32 path truncates to bf16
+    passes (~4e-3 rel error at N=1024 — measured); HIGHEST selects the bf16x3
+    decomposition, restoring ~1e-7 parity with jnp.fft at ~3× the MXU cost
+    (the kernel stays bandwidth-dominated, so wall-clock impact is small).
+    OceanConfig(precision='bfloat16') passes DEFAULT for the fast mode.
     """
-    def d(a, b, prec):
-        return lax.dot_general(a, b,
-                               dimension_numbers=(((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
-
-    if precision == BF16X3:
-        mh, ml = _split_bf16(m)
-        xh, xl = _split_bf16(x)
-        prec = lax.Precision.DEFAULT
-        return d(mh, xh, prec) + d(mh, xl, prec) + d(ml, xh, prec)
-    return d(m, x, precision)
+    return lax.dot_general(m, x, dimension_numbers=(((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
 
 
 def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,

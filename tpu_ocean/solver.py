@@ -168,8 +168,9 @@ class OceanSolver:
         consts["z0"] = np.asarray(z0, dtype=np.float32)
 
         # MXU dot precision for backends that honor cfg.precision
-        from tpu_ocean.solver_precision import mxu_precision_for
-        self._mxu_precision = mxu_precision_for(cfg.precision)
+        self._mxu_precision = (jax.lax.Precision.DEFAULT
+                               if cfg.precision == "bfloat16"
+                               else jax.lax.Precision.HIGHEST)
 
         if eval_mode == "fft":
             if fft_backend == "pallas_fused":

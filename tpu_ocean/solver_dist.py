@@ -83,8 +83,9 @@ class DistributedOceanSolver:
         self.mesh = mesh
         self.fft_backend = fft_backend
         self.pallas_fields = pallas_fields
-        from tpu_ocean.solver_precision import mxu_precision_for
-        self._mxu_precision = mxu_precision_for(cfg.precision)
+        self._mxu_precision = (jax.lax.Precision.DEFAULT
+                               if cfg.precision == "bfloat16"
+                               else jax.lax.Precision.HIGHEST)
         # stencil normals never read the slope spectra: transform only 3
         # channels (see OceanSolver._nch — explicit because DCE cannot see
         # into Pallas kernels; here it also cuts the a2a volume 40%)
