@@ -60,13 +60,12 @@ def ifft1d_planes_axis2(re, im, inverse: bool = True,
                         precision=jax.lax.Precision.HIGHEST):
     """Real-plane unnormalized (inverse) DFT along axis -2 of [C, M, N].
 
-    The large-N column pass: the row kernels (fft.pallas_fft /
-    ops.fused_spectrum_fft tiled variants) emit [C, M, N] non-transposed
-    because Mosaic's transposed store needs a 128-divisible row block that
-    no longer fits VMEM past N = 2048. Here the column transform runs as a
-    four-step einsum contracting axis -2 directly — XLA fuses the implied
-    transpose into the MXU contraction and tiles HBM itself, so no explicit
-    N²-sized transpose ever materializes. All arithmetic is real (4 real
+    The large-N column pass (N > 2048, where Mosaic's transposed store
+    needs a 128-lane row block that exceeds 16 MB VMEM — see
+    pallas_fft.ifft2_planes_auto): the row pass leaves [C, M, N]
+    non-transposed and this four-step einsum contracts axis -2 directly —
+    XLA fuses the implied transpose into the MXU contraction and tiles HBM
+    itself, so no explicit N²-sized transpose ever materializes. All arithmetic is real (4 real
     dots per complex dot), keeping the program complex-free for the
     real-state path. Tables are tiny (≤128², embedded constants are fine at
     this size — the CLAUDE.md embedding hazard is about N² grids)."""

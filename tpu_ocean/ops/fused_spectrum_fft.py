@@ -145,7 +145,7 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
     spectra stored TRANSPOSED: (re, im) [5, N, M] f32. Wavevectors are
     derived in-kernel from ``length`` (fft layout); ``row_offset`` (traced
     ok) shifts the global row index for X-sharded row batches. Feed the
-    result to pallas_fft.fft1d_transposed_auto for the column pass."""
+    result to pallas_fft._fft1d_transposed for the column pass."""
     if precision is None:
         precision = lax.Precision.HIGHEST
     h0r, h0i, h0cr, h0ci = h0_pair
@@ -226,8 +226,9 @@ def ifft2_fused_planes(h0_pair, phase, length: float, dz_sign: float,
                        row_offset=0, ch_count: int = NUM_CHANNELS):
     """All-real twin of ifft2_fused: (re, im) f32 [ch_count, N, N] planes.
     N ≤ MAX_FUSED_N: fused transposed-store row pass + transposed column
-    pass. Beyond: fused tiled row pass with natural-orientation store + the
-    axis(-2) einsum column pass (see pallas_fft.ifft2_planes_auto)."""
+    pass. Beyond: jnp assembly (wavevectors from iota, fused by XLA into
+    the first contraction) + the einsum four-step on both axes (see
+    pallas_fft.ifft2_planes_auto for the VMEM reasoning)."""
     if precision is None:
         precision = lax.Precision.HIGHEST
     m, n = phase.shape

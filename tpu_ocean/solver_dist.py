@@ -49,10 +49,10 @@ class DistributedOceanSolver:
             raise ValueError(f"unknown distributed fft backend "
                              f"{fft_backend!r}")
         if fft_backend in ("pallas", "pallas_fused"):
-            # the distributed pallas paths need the TRANSPOSED-store kernels
-            # (the a2a consumes [C, N, X/D]); past these caps the transposed
-            # store is hardware-illegal (Mosaic 128-lane rule vs VMEM —
-            # pallas_fft._fft1d_transposed_tiled), so fall back to the
+            # the distributed pallas paths need the TRANSPOSED-store
+            # kernels (the a2a consumes [C, N, X/D]); past these caps that
+            # store is hardware-illegal (Mosaic 128-lane rule vs 16 MB VMEM
+            # — see pallas_fft.ifft2_planes_auto), so fall back to the
             # einsum locals, which ride the identical a2a
             from tpu_ocean.fft.pallas_fft import MAX_PALLAS_N, MAX_FUSED_N
             cap = (MAX_FUSED_N if fft_backend == "pallas_fused"
