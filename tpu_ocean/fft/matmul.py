@@ -29,6 +29,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _einsum_f32_precision(precision):
+    """Large-N einsum tier for 'float32': HIGHEST → HIGH.
+
+    Measured at 4096² (BASELINE.md): the step costs 36.4 ms at einsum
+    HIGHEST vs 16.5 ms at DEFAULT — the 6-pass f32 emulation dominates.
+    HIGH (native 3-pass bf16x3, ~1e-6 rel) matches the fp32-accumulation
+    error floor that bounds large-N accuracy anyway, at half the MXU cost.
+    The ≤2048 Pallas kernels keep true HIGHEST (~1e-7)."""
+    if precision == jax.lax.Precision.HIGHEST:
+        return jax.lax.Precision.HIGH
+    return precision
+
+
 def ifft1d_planes_lastaxis(re, im, inverse: bool = True,
                            precision=jax.lax.Precision.HIGHEST):
     """Real-plane unnormalized (inverse) DFT along the LAST axis of
@@ -36,6 +49,7 @@ def ifft1d_planes_lastaxis(re, im, inverse: bool = True,
     docstring for why large N runs on einsums)."""
     from tpu_ocean.fft.pallas_fft import _tables_np
 
+    precision = _einsum_f32_precision(precision)
     c, m, n = re.shape
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     ar = re.reshape(c, m, n2, n1)
@@ -71,6 +85,7 @@ def ifft1d_planes_axis2(re, im, inverse: bool = True,
     this size — the CLAUDE.md embedding hazard is about N² grids)."""
     from tpu_ocean.fft.pallas_fft import _tables_np
 
+    precision = _einsum_f32_precision(precision)
     c, m, n = re.shape
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(m, inverse)
     ar = re.reshape(c, n2, n1, n)
