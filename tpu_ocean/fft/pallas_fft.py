@@ -174,9 +174,10 @@ def ifft2_planes_auto(re, im, inverse: bool = True,
     if n <= MAX_PALLAS_N:
         re, im = _fft1d_transposed(re, im, inverse, precision)
         return _fft1d_transposed(re, im, inverse, precision)
-    from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
-                                      ifft1d_planes_axis2)
-    re, im = ifft1d_planes_lastaxis(re, im, inverse, precision)
+    from tpu_ocean.fft.matmul import ifft1d_planes_axis2
+    # row pass: the natural-store fused kernel (one HBM round trip);
+    # column pass: einsum (a full column bundle exceeds VMEM)
+    re, im = fft1d_natural_large(re, im, inverse, precision)
     return ifft1d_planes_axis2(re, im, inverse, precision)
 
 
@@ -217,6 +218,107 @@ def _fft1d_transposed(re, im, inverse: bool,
         interpret=jax.default_backend() == "cpu",  # tests: fake-CPU meshes
     )(f2r, f2i, twr, twi, f1r, f1i, re, im)
     return ore, oim
+
+
+# ---------------------------------------------------------------------------
+# Large-N row pass: natural-orientation store. The transposed store dies at
+# N ≥ 4096 (VMEM/lane wall, ifft2_planes_auto), but a NATURAL-store fused
+# row pass is legal at any N — three Mosaic behaviors probed OK on v5e:
+#   1. rank-3 LHS dots may contract their MINOR dim against a 2-D rhs
+#      (stage 2: [k2, r, t] · F1ᵀ[t, k1] → [k2, r, k1]);
+#   2. the (1, 2, 0) transpose [k2, r, k1] → [r, k1, k2] lowers;
+#   3. a 4-D (c, m, n1, n2) output with block (1, r, n1, n2) is legal for
+#      ANY r ≥ 8 (last dim == full n2), and the HBM reshape to (c, m, n)
+#      lands index k1·n2 + k2 — the four-step's output order — for free.
+# One HBM read + one write per plane for the row axis; the column pass
+# stays einsum (its working set is a full 4096-long column bundle ≳ VMEM).
+# ---------------------------------------------------------------------------
+
+def _rowfft_core(ar, ai, f2r, f2i, twr, twi, f1tr, f1ti, precision):
+    """[r, n2(s), n1(t)] spectrum planes → natural-order row FFT
+    [r, n1(k1), n2(k2)] (flattens to index k1·n2+k2). Shared by the plain
+    and fused (assembly-in-kernel) large-N row kernels."""
+    # stage 1: C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]
+    cr = _dot_mid(f2r, ar, precision) - _dot_mid(f2i, ai, precision)
+    ci = _dot_mid(f2r, ai, precision) + _dot_mid(f2i, ar, precision)
+    twr_b = twr[:, None, :]
+    twi_b = twi[:, None, :]
+    cr, ci = cr * twr_b - ci * twi_b, cr * twi_b + ci * twr_b
+
+    def d(a, b):   # rank-3 lhs, minor-dim contraction (probed legal)
+        return lax.dot_general(a, b,
+                               dimension_numbers=(((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=(lax.Precision.DEFAULT
+                                          if precision == lax.Precision.DEFAULT
+                                          else lax.Precision.HIGHEST))
+
+    # stage 2: D[k2, r, k1] = Σ_t C[k2, r, t] F1ᵀ[t, k1]
+    dr = d(cr, f1tr) - d(ci, f1ti)
+    di = d(cr, f1ti) + d(ci, f1tr)
+    return dr.transpose(1, 2, 0), di.transpose(1, 2, 0)   # [r, k1, k2]
+
+
+def _rowfft_block_kernel_natural(f2r_ref, f2i_ref, twr_ref, twi_ref,
+                                 f1tr_ref, f1ti_ref, re_ref, im_ref,
+                                 ore_ref, oim_ref, *, n1, n2, precision):
+    _, r, _, _ = re_ref.shape
+    ar = re_ref[:].reshape(r, n2, n1)
+    ai = im_ref[:].reshape(r, n2, n1)
+    dr, di = _rowfft_core(ar, ai, f2r_ref[:], f2i_ref[:], twr_ref[:],
+                          twi_ref[:], f1tr_ref[:], f1ti_ref[:], precision)
+    ore_ref[:] = dr[None]
+    oim_ref[:] = di[None]
+
+
+def _pick_block_rows_natural(n_rows: int, n: int, planes: int,
+                             vmem_budget=10 * 1024 * 1024) -> int:
+    """Row block for the natural-store kernels: live bytes ≈
+    (2·planes input refs (double-buffered) + ~10 stage temps + 4 out) ·
+    r·n·4. Any divisor ≥ 8 is layout-legal here."""
+    per_row = (2 * planes + 14) * n * 4
+    r = 128
+    while r > 8 and (r * per_row > vmem_budget or n_rows % r != 0):
+        r //= 2
+    return max(r, 8)
+
+
+def fft1d_natural_large(re, im, inverse: bool,
+                        precision=lax.Precision.HIGHEST):
+    """[C, M, N] → row transform along the last axis, natural orientation
+    out ([C, M, N]); the any-N Pallas row pass (see section comment)."""
+    c, m, n = re.shape
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
+    r = _pick_block_rows_natural(m, n, planes=2)
+
+    re = re.reshape(c, m, n2, n1)
+    im = im.reshape(c, m, n2, n1)
+
+    kernel = functools.partial(_rowfft_block_kernel_natural, n1=n1, n2=n2,
+                               precision=precision)
+    table = lambda shape: pl.BlockSpec(shape, lambda ci, bi: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    in_block = pl.BlockSpec((1, r, n2, n1), lambda ci, bi: (ci, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, r, n1, n2), lambda ci, bi: (ci, bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid=(c, m // r),
+        in_specs=[table((n2, n2)), table((n2, n2)),
+                  table((n2, n1)), table((n2, n1)),
+                  table((n1, n1)), table((n1, n1)),
+                  in_block, in_block],
+        out_specs=[out_block, out_block],
+        out_shape=[jax.ShapeDtypeStruct((c, m, n1, n2), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * c * m * n * (n1 + n2)),
+            bytes_accessed=int(2 * 2 * c * m * n * 4),
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )(f2r, f2i, twr, twi, f1r.T.copy(), f1i.T.copy(), re, im)
+    return ore.reshape(c, m, n), oim.reshape(c, m, n)
 
 
 def ifft2_pallas(x: jnp.ndarray, inverse: bool = True,

@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ocean.fft.pallas_fft import (
-    _tables_np, _dot_mid, _fft1d_transposed, MAX_FUSED_N)
+    _tables_np, _dot_mid, _fft1d_transposed, _rowfft_core,
+    _pick_block_rows_natural, MAX_FUSED_N)
 
 NUM_CHANNELS = 5
 
@@ -126,6 +127,86 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
     di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
     ore_ref[:] = dr.reshape(1, n, r)
     oim_ref[:] = di.reshape(1, n, r)
+
+
+def _fused_rowfft_kernel_natural(row_off_ref, f2r_ref, f2i_ref, twr_ref,
+                                 twi_ref, f1tr_ref, f1ti_ref, kz_tile_ref,
+                                 h0r_ref, h0i_ref, h0cr_ref, h0ci_ref,
+                                 ph_ref, ore_ref, oim_ref,
+                                 *, n1, n2, length, dz_sign, epsilon,
+                                 precision, ch_start=0):
+    """Any-N fused assembly + row FFT with a NATURAL-orientation store —
+    the large-N twin of _fused_kernel. Built on the three probed-legal
+    Mosaic behaviors documented at pallas_fft.fft1d_natural_large."""
+    r, _, _ = h0r_ref.shape
+    ch = ch_start + pl.program_id(1)
+    bi = pl.program_id(0)
+    ar, ai = _assemble_block(kz_tile_ref, h0r_ref, h0i_ref, h0cr_ref,
+                             h0ci_ref, ph_ref, n1=n1, n2=n2, wrap_n=n1 * n2,
+                             length=length, dz_sign=dz_sign, epsilon=epsilon,
+                             ch=ch, bi=bi, r=r, row_off=row_off_ref[0, 0])
+    dr, di = _rowfft_core(ar, ai, f2r_ref[:], f2i_ref[:], twr_ref[:],
+                          twi_ref[:], f1tr_ref[:], f1ti_ref[:], precision)
+    ore_ref[:] = dr[None]
+    oim_ref[:] = di[None]
+
+
+def assemble_rowfft_natural(h0_pair, phase, length: float, dz_sign: float,
+                            inverse: bool = True, precision=None,
+                            epsilon: float = 1e-4, row_offset=0,
+                            ch_start: int = 0,
+                            ch_count: int = NUM_CHANNELS):
+    """Fused assembly + row FFT for ANY even N: (re, im) [ch_count, M, N]
+    f32 in natural orientation — feed matmul.ifft1d_planes_axis2 for the
+    column pass. One HBM read of the 5 input planes + one write of the
+    2·ch_count output planes; the jnp/einsum equivalent materializes every
+    stage."""
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    h0r, h0i, h0cr, h0ci = h0_pair
+    m, n = phase.shape
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
+    r = _pick_block_rows_natural(m, n, planes=5)
+
+    idx = np.arange(n, dtype=np.float64)
+    wrapped = np.where(idx < n / 2.0, idx, idx - n)
+    kz_tile = (2.0 * np.pi * wrapped / length).astype(np.float32
+                                                      ).reshape(n2, n1)
+    ins = [x.reshape(m, n2, n1) for x in (h0r, h0i, h0cr, h0ci, phase)]
+    row_off = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table = lambda shape: pl.BlockSpec(shape, lambda bi, ch: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    in_block = pl.BlockSpec((r, n2, n1), lambda bi, ch: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, r, n1, n2), lambda bi, ch: (ch, bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fused_rowfft_kernel_natural, n1=n1, n2=n2,
+                               length=float(length),
+                               dz_sign=np.float32(dz_sign),
+                               epsilon=np.float32(epsilon),
+                               precision=precision, ch_start=ch_start)
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid=(m // r, ch_count),
+        in_specs=[smem,
+                  table((n2, n2)), table((n2, n2)),
+                  table((n2, n1)), table((n2, n1)),
+                  table((n1, n1)), table((n1, n1)),
+                  table((n2, n1))] + [in_block] * 5,
+        out_specs=[out_block, out_block],
+        out_shape=[jax.ShapeDtypeStruct((ch_count, m, n1, n2),
+                                        jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=int(ch_count * 8 * m * n * (n1 + n2)),
+            bytes_accessed=int((5 + 2 * ch_count) * m * n * 4),
+            transcendentals=int(2 * ch_count * m * n)),
+        interpret=jax.default_backend() == "cpu",
+    )(row_off, f2r, f2i, twr, twi, f1r.T.copy(), f1i.T.copy(), kz_tile,
+      *ins)
+    return (ore.reshape(ch_count, m, n), oim.reshape(ch_count, m, n))
 
 
 def _pick_rows_fused(m: int, n: int):
@@ -233,16 +314,16 @@ def ifft2_fused_planes(h0_pair, phase, length: float, dz_sign: float,
         precision = lax.Precision.HIGHEST
     m, n = phase.shape
     if n > MAX_FUSED_N:
-        # VMEM closes the hand-kernel window here (see
-        # pallas_fft.ifft2_planes_auto): assembly runs as jnp real ops with
-        # wavevectors derived IN-JIT from iota — no N²-sized host constants
-        # to embed or transfer — and XLA fuses it into the first einsum
-        # contraction, which is the same fusion the Pallas kernel provided.
-        re, im = _assemble_planes_jnp(h0_pair, phase, length, dz_sign,
-                                      epsilon, ch_count, row_offset)
-        from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
-                                          ifft1d_planes_axis2)
-        re, im = ifft1d_planes_lastaxis(re, im, True, precision)
+        # VMEM closes the TRANSPOSED-store window here, but the
+        # natural-store fused row kernel is legal at any N (probed —
+        # pallas_fft.fft1d_natural_large): assembly + row FFT in one HBM
+        # round trip, then the einsum column pass.
+        re, im = assemble_rowfft_natural(h0_pair, phase, length, dz_sign,
+                                         precision=precision,
+                                         epsilon=epsilon,
+                                         row_offset=row_offset,
+                                         ch_count=ch_count)
+        from tpu_ocean.fft.matmul import ifft1d_planes_axis2
         return ifft1d_planes_axis2(re, im, True, precision)
     re, im = assemble_rowfft(h0_pair, phase, length, dz_sign,
                              precision=precision, epsilon=epsilon,
