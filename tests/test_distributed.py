@@ -234,3 +234,55 @@ def test_sharded_step_pallas_fields_matches_single():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(f8.jacobian),
                                np.asarray(f1.jacobian), atol=1e-4)
+
+
+def test_sharded_fused_large_n_route_matches_single(monkeypatch):
+    """The large-N distributed fused pipeline (natural-store row kernel →
+    split(-1)/concat(-2) a2a → einsum axis(-2) column pass) must reproduce
+    the single-device step. Forced at a small N by lowering the cap."""
+    import tpu_ocean.fft.pallas_fft as pf
+    import tpu_ocean.ops.fused_spectrum_fft as fsf
+    import tpu_ocean.solver_dist as sd_mod
+    monkeypatch.setattr(pf, "MAX_FUSED_N", 32)
+    monkeypatch.setattr(fsf, "MAX_FUSED_N", 32)
+    mesh = _mesh()
+    n = 64
+    cfg = OceanConfig(resolution=n, length=float(n), unit_width=1.0,
+                      wind=(9.0, 4.0), amplitude=0.15, choppiness=1.1,
+                      dispersion_mode="capillary", evolution_mode="phase",
+                      spectrum_layout="fft", normals_mode="stencil",
+                      oracle_sign_quirk=False)
+    rng = np.random.default_rng(8)
+    h0 = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    h0c = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    single = OceanSolver(cfg, fft_backend="pallas_fused")   # also large route
+    dist = DistributedOceanSolver(cfg, mesh, fft_backend="pallas_fused")
+    s1 = single.init(h0=h0, h0_conj=h0c)
+    s8 = dist.init(h0=h0, h0_conj=h0c)
+    for _ in range(2):
+        s1, f1 = single.step(s1, 1 / 60)
+        s8, f8 = dist.step(s8, 1 / 60)
+    hmax = np.abs(np.asarray(f1.height)).max()
+    np.testing.assert_allclose(np.asarray(f8.height), np.asarray(f1.height),
+                               atol=3e-5 * hmax)
+    np.testing.assert_allclose(np.asarray(f8.foam), np.asarray(f1.foam),
+                               atol=2e-4)
+
+
+def test_distributed_pallas_large_n_route(monkeypatch):
+    """Plain distributed pallas beyond the transposed-store cap: natural-
+    store row kernel + einsum column pass == single-device 2-D IFFT."""
+    import tpu_ocean.fft.pallas_fft as pf
+    monkeypatch.setattr(pf, "MAX_PALLAS_N", 16)
+    mesh = _mesh()
+    n = 64
+    rng = np.random.default_rng(9)
+    x = (rng.normal(size=(3, n, n))
+         + 1j * rng.normal(size=(3, n, n))).astype(np.complex64)
+    fn = shard_map(lambda a: ifft2_x_sharded(a, "shard", "pallas",
+                                             overlap_chunks=3),
+                   mesh=mesh, in_specs=(P(None, "shard", None),),
+                   out_specs=P(None, None, "shard"), check_vma=False)
+    got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+    want = np.fft.ifft2(x) * (n * n)
+    np.testing.assert_allclose(got, want, atol=2e-3)

@@ -46,13 +46,43 @@ def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
         [C, X/D, N] → rowFFT+T → [C, N, X/D] → a2a → [C, N/D, X]
                     → colFFT+T → [C, X, N/D]   (z-sharded, final)
     """
-    from tpu_ocean.fft.pallas_fft import _fft1d_transposed
+    from tpu_ocean.fft.pallas_fft import (_fft1d_transposed,
+                                          fft1d_natural_large, MAX_PALLAS_N)
 
     lead = x.shape[:-2]
     m, n = x.shape[-2], x.shape[-1]
     re = jnp.real(x).astype(jnp.float32).reshape(-1, m, n)
     im = jnp.imag(x).astype(jnp.float32).reshape(-1, m, n)
     c = re.shape[0]
+
+    if n > MAX_PALLAS_N:
+        # transposed-store kernel is hardware-illegal here; the NATURAL-
+        # store row kernel runs at any N and its output rides the einsum
+        # path's a2a (split z, concat rows), then an einsum column pass
+        from tpu_ocean.fft.matmul import ifft1d_planes_axis2
+
+        def large_chunk(re_c, im_c):
+            re_c, im_c = fft1d_natural_large(re_c, im_c, True)  # [c, X/D, N]
+            if lax.axis_size(axis_name) > 1:
+                both = jnp.stack([re_c, im_c])
+                both = lax.all_to_all(both, axis_name, split_axis=3,
+                                      concat_axis=2, tiled=True)
+                re_c, im_c = both[0], both[1]   # [c, X, N/D]
+            return re_c, im_c
+
+        if overlap_chunks > 1:
+            if c % overlap_chunks != 0:
+                raise ValueError(f"overlap_chunks={overlap_chunks} must "
+                                 f"divide the channel batch ({c})")
+            parts = [large_chunk(r, i) for r, i in zip(
+                jnp.split(re, overlap_chunks), jnp.split(im, overlap_chunks))]
+            re = jnp.concatenate([p[0] for p in parts])
+            im = jnp.concatenate([p[1] for p in parts])
+        else:
+            re, im = large_chunk(re, im)
+        re, im = ifft1d_planes_axis2(re, im, True)
+        out = re + 1j * im
+        return out.reshape(lead + out.shape[-2:])
 
     def row_pass_and_transpose(re_c, im_c):
         re_c, im_c = _fft1d_transposed(re_c, im_c, inverse=True)  # [c, N, X/D]

@@ -48,21 +48,11 @@ class DistributedOceanSolver:
                                "pallas_fused"):
             raise ValueError(f"unknown distributed fft backend "
                              f"{fft_backend!r}")
-        if fft_backend in ("pallas", "pallas_fused"):
-            # the distributed pallas paths need the TRANSPOSED-store
-            # kernels (the a2a consumes [C, N, X/D]); past these caps that
-            # store is hardware-illegal (Mosaic 128-lane rule vs 16 MB VMEM
-            # — see pallas_fft.ifft2_planes_auto), so fall back to the
-            # einsum locals, which ride the identical a2a
-            from tpu_ocean.fft.pallas_fft import MAX_PALLAS_N, MAX_FUSED_N
-            cap = (MAX_FUSED_N if fft_backend == "pallas_fused"
-                   else MAX_PALLAS_N)
-            if cfg.resolution > cap:
-                import warnings
-                warnings.warn(f"distributed {fft_backend} needs the "
-                              f"transposed-store kernel (cap N={cap}); "
-                              f"falling back to 'matmul'")
-                fft_backend = "matmul"
+        # no size caps on the distributed pallas paths: below MAX_PALLAS_N /
+        # MAX_FUSED_N they run the transposed-store kernels (zero HBM
+        # transposes); beyond, the NATURAL-store row kernels + einsum column
+        # pass take over internally (fft.distributed / _fused_transform) —
+        # same a2a volume either way.
         if fft_backend == "pallas_fused" and cfg.spectrum_layout != "fft":
             raise ValueError("pallas_fused requires spectrum_layout='fft'")
         # fused stencil kernel on Z-sharded fields: local kernel + ring-halo
@@ -219,28 +209,42 @@ class DistributedOceanSolver:
         """pallas_fused as a distributed local backend (VERDICT r1 #3):
         fused assembly+row-FFT over the shard's X rows — global kx comes
         from ``row_offset`` = shard_start, rebuilt in-kernel — then the
-        transposed-store output rides the same all_to_all as the plain
-        pallas path (fft.distributed) and a plane column pass finishes.
-        ``overlap_chunks`` = 5 launches one fused kernel per channel so each
-        chunk's transpose overlaps the next chunk's row pass."""
+        kernel output rides an all_to_all and a local column pass finishes.
+        ``overlap_chunks`` > 1 launches one fused kernel per channel range
+        so each chunk's transpose overlaps the next chunk's row pass.
+
+        Two regimes (same a2a volume either way):
+          N ≤ MAX_FUSED_N — transposed-store kernel ([C, N, X/D]), a2a
+          split=-2/concat=-1, transposed-store column pass (zero HBM
+          transposes, fft.distributed layout chain);
+          N beyond — natural-store kernel ([C, X/D, N], legal at any N),
+          a2a split=-1/concat=-2 (the einsum path's transpose), einsum
+          axis(-2) column pass. This lifts the round-1 cap: the distributed
+          fused pipeline now runs at 4096² and above.
+        """
         from tpu_ocean.config import EPSILON
-        from tpu_ocean.ops.fused_spectrum_fft import assemble_rowfft
-        from tpu_ocean.fft.pallas_fft import _fft1d_transposed
+        from tpu_ocean.ops.fused_spectrum_fft import (
+            assemble_rowfft, assemble_rowfft_natural)
+        from tpu_ocean.fft.pallas_fft import _fft1d_transposed, MAX_FUSED_N
+        from tpu_ocean.fft.matmul import ifft1d_planes_axis2
         cfg = self.cfg
         pair = (jnp.real(state.h0), jnp.imag(state.h0),
                 jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
         dz_sign = -1.0 if cfg.oracle_sign_quirk else 1.0
         row_off = lax.axis_index("shard") * self.n_local
+        large = cfg.resolution > MAX_FUSED_N
+        row_fn = assemble_rowfft_natural if large else assemble_rowfft
+        split_ax, concat_ax = (3, 2) if large else (2, 3)
 
         def chunk(ch_start, ch_count):
-            re, im = assemble_rowfft(pair, phase, cfg.length, dz_sign,
-                                     precision=self._mxu_precision,
-                                     epsilon=EPSILON, row_offset=row_off,
-                                     ch_start=ch_start, ch_count=ch_count)
+            re, im = row_fn(pair, phase, cfg.length, dz_sign,
+                            precision=self._mxu_precision,
+                            epsilon=EPSILON, row_offset=row_off,
+                            ch_start=ch_start, ch_count=ch_count)
             if lax.axis_size("shard") > 1:
                 both = jnp.stack([re, im])      # one collective per chunk
-                both = lax.all_to_all(both, "shard", split_axis=2,
-                                      concat_axis=3, tiled=True)
+                both = lax.all_to_all(both, "shard", split_axis=split_ax,
+                                      concat_axis=concat_ax, tiled=True)
                 re, im = both[0], both[1]
             return re, im
 
@@ -251,9 +255,12 @@ class DistributedOceanSolver:
             im = jnp.concatenate([p[1] for p in parts])
         else:
             re, im = chunk(0, self._nch)
-        # column pass: local rows are fully resident (backend is capped at
-        # MAX_FUSED_N, where the plain transposed-store kernel is legal)
-        re, im = _fft1d_transposed(re, im, True, self._mxu_precision)
+        if large:
+            # [C, X full (kx spectral), N/D (z spatial)] → einsum column pass
+            re, im = ifft1d_planes_axis2(re, im, True, self._mxu_precision)
+        else:
+            # [C, N/D? ...] transposed layout: local rows fully resident
+            re, im = _fft1d_transposed(re, im, True, self._mxu_precision)
         return re + 1j * im
 
     def _fields_pallas_sharded(self, cdx, h, cdz, texel):
