@@ -146,3 +146,26 @@ def test_reconfigure_init_only_reuses_compiled_step():
     # a length change rebuilds (omega/coeffs depend on it)
     s3, _ = s1.reconfigure(st, cfg.replace(length=64.0))
     assert s3._step_jit is not s1._step_jit
+
+
+def test_stage_breakdown_real_state():
+    """§5.1 observability without a device profiler: ladder-differenced
+    per-stage costs must be positive-ish and sum sanely."""
+    import jax
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.observe import stage_breakdown
+    cfg = OceanConfig(resolution=64, length=64.0, wind=(7.0, 4.0),
+                      amplitude=0.2, spectrum_layout="fft",
+                      normals_mode="stencil", evolution_mode="phase")
+    s = OceanSolver(cfg, fft_backend="pallas", real_state=True)
+    st = s.init(jax.random.PRNGKey(0))
+    import pytest
+    bd = stage_breakdown(s, st, ks=(4, 8, 16))
+    assert bd["full_ms"] > 0 and bd["transform_ms"] > 0
+    assert bd["full_ms"] >= bd["dispersion_ms"] * 0.5  # gross sanity
+    # complex-state solvers are rejected with a clear message
+    sc = OceanSolver(cfg, fft_backend="pallas")
+    stc = sc.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="real"):
+        stage_breakdown(sc, stc)

@@ -131,3 +131,71 @@ def check_finite(tree, where: str = "") -> None:
             name = jax.tree_util.keystr(path)
             raise FloatingPointError(
                 f"non-finite values in {name} {where and f'({where})'}")
+
+
+def stage_breakdown(solver, state, dt: float = 1.0 / 60.0,
+                    ks=(8, 32, 128), forcing: str = "auto") -> dict:
+    """Per-stage wall-clock breakdown WITHOUT a device profiler.
+
+    `jax.profiler.trace` hangs on the tunneled TPU runtime (probed, round 2
+    — docs/coverage.md §5.1), so this times stage-subset programs with the
+    validated K-ladder (benchlib.time_steps_ladder) and differences them:
+
+        dispersion+assembly+transform  (state → spatial planes)
+        dispersion only                (phase update)
+        full step                      (adds field extraction + outputs)
+
+    Returns {'full_ms', 'transform_ms', 'dispersion_ms', 'fields_ms',
+    'assembly_transform_ms', validity flags}. Works for real-state solvers
+    (the only kind the tunnel can time) and on CPU.
+    """
+    import jax
+    import jax.numpy as jnp
+    from tpu_ocean.benchlib import time_steps_ladder
+    from tpu_ocean.solver import OceanStateReal
+
+    if not isinstance(state, OceanStateReal):
+        raise ValueError("stage_breakdown times the all-real step "
+                         "(OceanSolver(real_state=True)) — the only program "
+                         "shape the tunneled runtime can force reliably")
+
+    c = solver._consts
+    cfg = solver.cfg
+
+    def phase_of(st, dtv):
+        from tpu_ocean.evolve import evolve_phase_accumulate
+        if cfg.evolution_mode == "absolute":
+            return c["omega"] * (st.t + dtv / cfg.t_division)
+        return evolve_phase_accumulate(st.phase, c["omega"],
+                                       dtv * cfg.dt_multiplier)
+
+    # stage subsets as (state, dt) -> (state, fields-ish) steppers so they
+    # share the benchlib contract; each advances a tiny recurrent carry so
+    # no iteration is dead
+    def step_full(st, dtv):
+        return solver._step_impl(st, dtv, c)
+
+    def step_dispersion(st, dtv):
+        ph = phase_of(st, dtv)
+        return st._replace(phase=ph, t=st.t + dtv), {"p": ph}
+
+    def step_transform(st, dtv):
+        ph = phase_of(st, dtv)
+        out = solver._fields_from_phase_real(st, ph, c)
+        # stop before field extraction is impossible at the API level, so
+        # transform-only is approximated by consuming only the spatial
+        # planes the transform produced (height/disp) — XLA dead-codes the
+        # stencil work when its outputs are unused
+        return (st._replace(phase=ph, t=st.t + dtv),
+                {"h": out.height, "dx": out.disp_x, "dz": out.disp_z})
+
+    res = {}
+    for name, fn in (("full", step_full), ("transform", step_transform),
+                     ("dispersion", step_dispersion)):
+        lad = time_steps_ladder(fn, state, dt, ks=ks, forcing=forcing)
+        res[f"{name}_ms"] = round(lad.per_step_s * 1e3, 4)
+        res[f"{name}_suspect"] = lad.suspect
+    res["fields_ms"] = round(res["full_ms"] - res["transform_ms"], 4)
+    res["assembly_transform_ms"] = round(
+        res["transform_ms"] - res["dispersion_ms"], 4)
+    return res
