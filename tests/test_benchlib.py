@@ -52,3 +52,56 @@ def test_extra_args_threading():
     m2 = time_steps_meta(step, st, 0.5, k1=2, k2=8, method="loop",
                          extra=extra)
     assert m2.per_step_s > 0
+
+
+def test_ladder_flags_flat_walls_as_suspect(monkeypatch):
+    """A runtime that defers all work past the forcing (flat walls — the
+    axon block_until_ready failure mode) must be flagged, never trusted."""
+    import time as _time
+    from tpu_ocean import benchlib
+
+    t = {"now": 0.0}
+    monkeypatch.setattr(benchlib.time, "perf_counter", lambda: t["now"])
+
+    def fake_wall_step(state, dt):
+        return state, {"f": state}
+
+    # walls advance a constant amount per run_once regardless of K
+    orig_loop = benchlib.make_loop_stepper
+
+    def fake_loop(step_impl, dt, with_extra=False):
+        def run(state, k, *extra):
+            t["now"] += 0.01          # constant: work deferred
+            return state, jnp.zeros((), jnp.float32)
+        return run
+
+    monkeypatch.setattr(benchlib, "make_loop_stepper", fake_loop)
+    lad = benchlib.time_steps_ladder(fake_wall_step,
+                                     jnp.zeros((4, 4), jnp.float32), 0.01,
+                                     ks=(4, 8, 16), forcing="block",
+                                     escalate=False)
+    assert lad.suspect and not lad.signal_ok
+
+
+def test_ladder_escalation_reaches_signal(monkeypatch):
+    """With a large dispatch constant, escalation must grow K until work
+    dominates (the measured 27-37 ms tunnel constant scenario)."""
+    from tpu_ocean import benchlib
+
+    t = {"now": 0.0}
+    monkeypatch.setattr(benchlib.time, "perf_counter", lambda: t["now"])
+
+    def fake_loop(step_impl, dt, with_extra=False):
+        def run(state, k, *extra):
+            t["now"] += 0.030 + 1e-5 * float(k)   # constant + real work
+            return state, jnp.zeros((), jnp.float32)
+        return run
+
+    monkeypatch.setattr(benchlib, "make_loop_stepper", fake_loop)
+    lad = benchlib.time_steps_ladder(lambda s, d: (s, {"f": s}),
+                                     jnp.zeros((4, 4), jnp.float32), 0.01,
+                                     ks=(16, 48, 128), forcing="block",
+                                     escalate=True)
+    assert not lad.suspect
+    assert lad.ks[-1] > 128                  # escalated
+    assert abs(lad.per_step_s - 1e-5) < 2e-6  # recovered the true slope

@@ -91,3 +91,17 @@ def test_ensemble_of_distributed_patches_matches_members():
             s0, f0 = solo.step(s0, 1 / 60)
         np.testing.assert_allclose(np.asarray(f.height[i]),
                                    np.asarray(f0.height), atol=2e-5)
+
+
+def test_dp_sp_composition_with_fused_backend():
+    """DP × SP (spmd-vmapped shard_map) composes with the fused Pallas
+    local pipeline — members match the single-patch fused solver."""
+    from tpu_ocean.solver import OceanSolver
+    cfg = _cfg(32)
+    mesh = make_mesh(batch=2, shard=4)
+    combo = EnsembleDistributedSolver(cfg, mesh, ensemble_size=2,
+                                      fft_backend="pallas_fused")
+    st = combo.init(jax.random.PRNGKey(3))
+    st, f = combo.step(st, 1 / 60)
+    assert f.height.shape == (2, 32, 32)
+    assert np.isfinite(np.asarray(f.height)).all()
