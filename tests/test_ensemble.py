@@ -96,7 +96,7 @@ def test_ensemble_of_distributed_patches_matches_members():
 def test_dp_sp_composition_with_fused_backend():
     """DP × SP (spmd-vmapped shard_map) composes with the fused Pallas
     local pipeline — members match the single-patch fused solver."""
-    from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.ensemble import EnsembleDistributedSolver
     cfg = _cfg(32)
     mesh = make_mesh(batch=2, shard=4)
     combo = EnsembleDistributedSolver(cfg, mesh, ensemble_size=2,
