@@ -26,11 +26,14 @@ The five channel coefficient grids are REAL (evolve.spectrum_coefficients:
 wavevector tiles by arithmetic selection on the channel id — no coefficient
 planes stream from HBM and no scratch staging is needed.
 
-HBM traffic per step for the whole 2-D transform becomes:
-  pass 1 (this kernel): read 5 f32 planes (h0 pair, φ) + write 10
-  pass 2 (pallas_fft._fft1d_transposed): read 10 + write 10
-vs the unfused chain's read 5 + write 10 + read 10 + write 10 + read 10 +
-write 10 — a ~36% cut, plus one fewer kernel launch boundary.
+HBM traffic per step for the whole 2-D transform (C = live channels, 3 on
+the stencil flagship):
+  pass 1 (this kernel): read 5 f32 planes (h0 pair, φ) + write 2C
+  pass 2 (pallas_fft._fft1d_transposed): read 2C + write 2C
+vs the unfused chain's read 5 + write 2C + read 2C + write 2C + read 2C +
+write 2C — a ~36% cut, plus one fewer kernel launch boundary. Beyond the
+transposed-store VMEM cap the same fusion survives via
+assemble_rowfft_natural (any N) with an einsum column pass.
 """
 
 from __future__ import annotations
@@ -330,29 +333,3 @@ def ifft2_fused_planes(h0_pair, phase, length: float, dz_sign: float,
                              row_offset=row_offset, ch_count=ch_count)
     return _fft1d_transposed(re, im, inverse=True, precision=precision)
 
-
-def _assemble_planes_jnp(h0_pair, phase, length, dz_sign, epsilon,
-                         ch_count, row_offset=0):
-    """jnp twin of the in-kernel assembly (_assemble_block): (re, im)
-    [ch_count, M, N] evolved-spectrum planes, wavevectors from iota."""
-    h0r, h0i, h0cr, h0ci = h0_pair
-    m, n = phase.shape
-    c = jnp.cos(phase)
-    s = jnp.sin(phase)
-    htr = (h0r + h0cr) * c + (h0ci - h0i) * s
-    hti = (h0i + h0ci) * c + (h0r - h0cr) * s
-
-    two_pi_over_l = np.float32(2.0 * np.pi / length)
-    row = row_offset + jnp.arange(m, dtype=jnp.float32)[:, None]
-    col = jnp.arange(n, dtype=jnp.float32)[None, :]
-    kx = two_pi_over_l * jnp.where(row < n * 0.5, row, row - n)
-    kz = two_pi_over_l * jnp.where(col < n * 0.5, col, col - n)
-    kmag2 = kx * kx + kz * kz
-    invk = jnp.where(kmag2 < epsilon * epsilon, 0.0,
-                     jax.lax.rsqrt(kmag2))
-    coeffs = [jnp.ones_like(kmag2), kx * invk,
-              np.float32(dz_sign) * kz * invk,
-              jnp.broadcast_to(-kx, kmag2.shape),
-              jnp.broadcast_to(-kz, kmag2.shape)][:ch_count]
-    k = jnp.stack(coeffs)
-    return k * htr[None], k * hti[None]
