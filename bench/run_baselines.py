@@ -169,7 +169,14 @@ def main():
     ap.add_argument("--append-md", action="store_true")
     args = ap.parse_args()
 
+    import os
     import jax
+    # honor an explicit JAX_PLATFORMS=cpu even where a device plugin
+    # overrides the env var during registration (the axon tunnel does) —
+    # configs 1-2 are CPU oracle-parity runs and are meaningless on a
+    # device whose complex support is unreliable
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
     fns = {1: config1, 2: config2, 3: config3,
            4: lambda: config4(args.backend), 5: lambda: config5(args.backend)}
