@@ -196,12 +196,15 @@ def time_steps_ladder(step_impl, state, dt: float, ks=(16, 48, 128),
 
     ks = sorted(set(int(k) for k in ks))
     run_once(ks[0])   # compile + warm + probe forcing
-    for _ in range(6):
+    for attempt in range(6):
+        if attempt > 0:
+            # multiply BEFORE measuring so ks and walls always describe the
+            # same ladder when the loop exits (by break or exhaustion)
+            ks = [k * 8 for k in ks]
         walls = [wall(k) for k in ks]
         signal_ok = walls[-1] >= 3.0 * max(walls[0], 1e-9)
         if signal_ok or not escalate or ks[-1] * 8 > max_k:
             break
-        ks = [k * 8 for k in ks]
 
     ks_a = _np.asarray(ks, float)
     ws = _np.asarray(walls, float)

@@ -148,8 +148,11 @@ def pallas_supported(n: int, fused: bool = False) -> bool:
     """True when the solver can build a pallas-flavored pipeline at side N:
     the fused transposed-store kernels below MAX_PALLAS_N/MAX_FUSED_N, the
     einsum four-step beyond (ifft2_planes_auto switches internally)."""
-    del fused
-    return n >= 16 and n % 2 == 0
+    if n < 16 or n % 2:
+        return False
+    if fused and n > MAX_FUSED_N and n % 8:
+        return False      # assemble_rowfft_natural needs 8-divisible rows
+    return True
 
 
 def ifft2_planes_auto(re, im, inverse: bool = True,
@@ -275,12 +278,14 @@ def _pick_block_rows_natural(n_rows: int, n: int, planes: int,
                              vmem_budget=10 * 1024 * 1024) -> int:
     """Row block for the natural-store kernels: live bytes ≈
     (2·planes input refs (double-buffered) + ~10 stage temps + 4 out) ·
-    r·n·4. Any divisor ≥ 8 is layout-legal here."""
+    r·n·4. Any divisor ≥ 8 is layout-legal. Returns 0 when no r ≥ 8
+    divides n_rows — callers must fall back (a grid of n_rows // r would
+    silently leave the trailing rows unwritten)."""
     per_row = (2 * planes + 14) * n * 4
     r = 128
     while r > 8 and (r * per_row > vmem_budget or n_rows % r != 0):
         r //= 2
-    return max(r, 8)
+    return r if n_rows % r == 0 else 0
 
 
 def fft1d_natural_large(re, im, inverse: bool,
@@ -288,8 +293,12 @@ def fft1d_natural_large(re, im, inverse: bool,
     """[C, M, N] → row transform along the last axis, natural orientation
     out ([C, M, N]); the any-N Pallas row pass (see section comment)."""
     c, m, n = re.shape
-    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     r = _pick_block_rows_natural(m, n, planes=2)
+    if r == 0:
+        # no r ≥ 8 divides the row count: einsum row pass (same math)
+        from tpu_ocean.fft.matmul import ifft1d_planes_lastaxis
+        return ifft1d_planes_lastaxis(re, im, inverse, precision)
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
 
     re = re.reshape(c, m, n2, n1)
     im = im.reshape(c, m, n2, n1)

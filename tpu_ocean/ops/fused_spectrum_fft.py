@@ -168,8 +168,12 @@ def assemble_rowfft_natural(h0_pair, phase, length: float, dz_sign: float,
         precision = lax.Precision.HIGHEST
     h0r, h0i, h0cr, h0ci = h0_pair
     m, n = phase.shape
-    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     r = _pick_block_rows_natural(m, n, planes=5)
+    if r == 0:
+        raise ValueError(
+            f"assemble_rowfft_natural needs a row count divisible by 8 "
+            f"(got M={m}) — a truncated grid would silently skip rows")
+    n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
 
     idx = np.arange(n, dtype=np.float64)
     wrapped = np.where(idx < n / 2.0, idx, idx - n)

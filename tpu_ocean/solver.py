@@ -128,10 +128,17 @@ class OceanSolver:
         if fft_backend in ("pallas", "pallas_fused"):
             from tpu_ocean.fft.pallas_fft import pallas_supported
             if not pallas_supported(n, fused=fft_backend == "pallas_fused"):
-                # transposed-store blocks exceed VMEM past the per-path cap;
-                # the einsum four-step is the fast path there anyway
+                if real_state:
+                    # the real (planes) pipeline has no complex backend to
+                    # fall back to — falling back silently would route the
+                    # unsupported N through the very kernels being avoided
+                    raise ValueError(
+                        f"N={n} is outside the pallas planes pipeline "
+                        f"(needs even N ≥ 16, 8-divisible beyond "
+                        f"{'the fused cap' if fft_backend == 'pallas_fused' else 'the cap'}) "
+                        f"and real_state cannot fall back to 'matmul'")
                 import warnings
-                warnings.warn(f"{fft_backend} exceeds its VMEM cap at N={n}; "
+                warnings.warn(f"{fft_backend} unsupported at N={n}; "
                               f"falling back to 'matmul'")
                 fft_backend = "matmul"
         self.fft_backend = fft_backend
