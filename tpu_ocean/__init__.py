@@ -48,4 +48,5 @@ __all__ = [
 #   tpu_ocean.solver_dist.DistributedOceanSolver   (domain decomposition)
 #   tpu_ocean.ensemble.EnsembleOceanSolver         (data parallel)
 #   tpu_ocean.cascade.CascadeSolver                (multi-band / expert)
+#   tpu_ocean.lod.LODCascadeSolver                 (per-band refresh rates)
 #   tpu_ocean.checkpoint / observe / viz / diagnostics / native

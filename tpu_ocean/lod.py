@@ -1,0 +1,268 @@
+"""LOD cascade scheduling — per-band update rates (roadmap #9).
+
+Production ocean renderers do not refresh every cascade every frame: the long
+patch (L ~ 1000 m) holds slow swell whose fastest temporal frequency is far
+below the display rate, while the short patch (L ~ 17 m) carries capillary
+chop that must tick at full rate. The reference has a single patch and no
+LOD machinery (OceanRenderer.cs runs every texture every Update()); this
+module is a beyond-reference subsystem layered on cascade.CascadeSolver.
+
+TPU-native design
+-----------------
+Data-dependent "skip this band" control flow inside one jitted step would
+compile to `select`s that still execute every band's FFT — no savings. The
+idiomatic formulation makes the schedule STATIC:
+
+* The frame sequence is periodic with period P = lcm(band periods). For each
+  frame slot the set of refreshing bands is a compile-time constant, so the
+  solver pre-builds one jitted sub-step per DISTINCT subset (at most P, in
+  practice 2-3: {all}, {fast bands}). Each sub-step gathers the refreshing
+  bands with static indices — the FFT batch really shrinks (a [2,5,N,N]
+  IFFT instead of [B,5,N,N]) — and scatters fresh per-band field planes into
+  a cached [B,5,N,N] buffer carried in the state.
+* Held bands keep their cached planes; their PHASE is not advanced either —
+  on their next refresh they accumulate the full elapsed dt·(period) in one
+  evolve, so the band trajectory is identical to stepping it every frame
+  with the same total time (phase accumulation is linear in dt: evolve.py).
+  init() primes every band's planes at t = 0 (the "last refresh" all bands
+  share), so step f ∈ {1, 2, ...} refreshes band b iff f % period_b == 0,
+  always advancing by exactly period_b·dt.
+* The cross-band combine (Σ over B) + normals/foam runs every frame from
+  the cached planes — O(B·N²) elementwise, cheap next to the FFTs.
+
+Refresh periods default to the band's temporal Nyquist margin: the fastest
+resolvable wave has k_max = π·N/L, ω_max = sqrt(g·k_max·(1+(k_max/k_cap)²))
+(capillary dispersion, spectra.py), and a band stays temporally well
+sampled while refresh_dt ≤ oversample·(2π/ω_max). Long patches therefore
+earn large periods and short ones period 1, without any camera heuristics;
+`periods_for_distance` layers a simple camera-distance cap on top (distant
+cameras cannot resolve short bands' motion, so their periods stretch).
+
+Reference anchors (behavioral, for parity audit): the per-band step math is
+cascade.CascadeSolver._step_impl (itself FFTMesh.cs:223-276 parity); the
+combine contract matches CascadeSolver (effective post-choppiness
+displacements).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_ocean.config import OceanConfig, G
+from tpu_ocean.cascade import CascadeSolver, CascadeState
+from tpu_ocean.solver import OceanFields
+from tpu_ocean import fields as field_ops
+
+
+def band_max_omega(cfg: OceanConfig) -> float:
+    """Fastest temporal frequency resolved by a band's grid (rad/s)."""
+    k_max = math.pi * cfg.resolution / cfg.length
+    w2 = G * k_max
+    if cfg.dispersion_mode == "capillary":
+        # spectra.dispersion_capillary: ω² = g·k·(1 + (k/370)²)
+        w2 *= 1.0 + (k_max / 370.0) ** 2
+    return math.sqrt(w2)
+
+
+def nyquist_periods(cfgs: Sequence[OceanConfig], dt: float,
+                    oversample: float = 8.0,
+                    max_period: int = 8) -> List[int]:
+    """Per-band refresh periods keeping each band temporally oversampled.
+
+    Band b may be refreshed every p frames while p·dt ≤ oversample⁻¹·2π/ω_max
+    — i.e. its fastest wave still advances < 1/oversample of a cycle between
+    refreshes. Clamped to [1, max_period] and rounded down to a power of two
+    so lcm(periods) (= the schedule length) stays small.
+    """
+    out = []
+    for c in cfgs:
+        limit = (2.0 * math.pi / band_max_omega(c)) / (oversample * dt)
+        p = max(1, min(max_period, int(limit)))
+        p = 2 ** int(math.log2(p))          # power of two → tiny lcm
+        out.append(p)
+    return out
+
+
+def periods_for_distance(cfgs: Sequence[OceanConfig], dt: float,
+                         camera_distance: float,
+                         reference_distance: float = 100.0,
+                         oversample: float = 8.0,
+                         max_period: int = 8) -> List[int]:
+    """Camera-driven LOD: distant cameras stretch short bands' periods.
+
+    At ``reference_distance`` the schedule equals ``nyquist_periods``; each
+    doubling of distance doubles the allowed period of every band whose patch
+    length is below the camera's resolvable scale (∝ distance), capped at
+    ``max_period``. Long bands dominate the distant silhouette and keep
+    their physics-derived rates.
+    """
+    base = nyquist_periods(cfgs, dt, oversample, max_period)
+    if camera_distance <= reference_distance:
+        return base
+    stretch = int(camera_distance / reference_distance)
+    stretch = 2 ** int(math.log2(max(1, stretch)))
+    out = []
+    for c, p in zip(cfgs, base):
+        if c.length < camera_distance:      # band finer than the eye resolves
+            p = min(max_period, p * stretch)
+            p = 2 ** int(math.log2(p))
+        out.append(p)
+    return out
+
+
+class LODState(NamedTuple):
+    cascade: CascadeState     # shared band state (phase NOT advanced for held bands)
+    planes: jax.Array         # [B, 5, N, N] f32 cached per-band field planes
+    frame: jax.Array          # scalar int32, position in the schedule
+
+
+class LODCascadeSolver:
+    """CascadeSolver with a static per-band refresh schedule.
+
+    ``periods[b]`` = refresh band b every that many frames (power of two).
+    ``step`` dispatches the pre-jitted sub-step for the current frame slot's
+    refresh subset; a band refreshing after p held frames advances its phase
+    by the full p·dt it slept, so every band's trajectory is EXACTLY the
+    all-bands-every-frame trajectory sampled at its refresh frames.
+    """
+
+    def __init__(self, cfgs: Sequence[OceanConfig],
+                 periods: Optional[Sequence[int]] = None,
+                 fft_backend: str = "reference",
+                 display_length: Optional[float] = None,
+                 dt: float = 1.0 / 60.0):
+        self.inner = CascadeSolver(cfgs, fft_backend=fft_backend,
+                                   display_length=display_length)
+        b = self.inner.b
+        self.dt = float(dt)
+        if periods is None:
+            periods = nyquist_periods(cfgs, self.dt)
+        if len(periods) != b:
+            raise ValueError(f"{len(periods)} periods for {b} bands")
+        for p in periods:
+            if p < 1 or (p & (p - 1)):
+                raise ValueError("periods must be powers of two ≥ 1")
+        self.periods = [int(p) for p in periods]
+        self.schedule_len = max(self.periods)   # lcm of powers of two
+        # slot (= frame % len) → tuple of refreshing band indices (static!);
+        # frames are 1-based (init is the shared refresh at frame 0 / t 0)
+        self._slots: List[Tuple[int, ...]] = []
+        for slot in range(self.schedule_len):
+            subset = tuple(i for i, p in enumerate(self.periods)
+                           if slot % p == 0)
+            self._slots.append(subset)
+        # distinct subsets → one jitted sub-step each (compile cache)
+        self._substeps = {}
+        for subset in set(self._slots):
+            self._substeps[subset] = jax.jit(
+                partial(self._substep_impl, subset),
+                donate_argnums=(0,))
+
+    # ---------------------------------------------------------------- init
+
+    def init(self, key: Optional[jax.Array] = None) -> LODState:
+        cst = self.inner.init(key)
+        # prime every band's planes at t = 0 (phase = 0): the shared "last
+        # refresh" all schedules count from
+        planes = jax.jit(self._planes_at)(cst.h0, cst.h0_conj,
+                                          cst.phase, self.inner._coeffs)
+        return LODState(cascade=cst, planes=planes,
+                        frame=jnp.zeros((), jnp.int32))
+
+    def _planes_at(self, h0, h0c, phase, coeffs):
+        from tpu_ocean.evolve import assemble_spectra
+        spectra = jax.vmap(assemble_spectra)(h0, h0c, phase, coeffs)
+        f = self.inner._ifft2(spectra)
+        return jnp.stack([jnp.real(f[:, 0]),
+                          jnp.imag(f[:, 1]), jnp.imag(f[:, 2]),
+                          jnp.imag(f[:, 3]), jnp.imag(f[:, 4])], axis=1)
+
+    # ---------------------------------------------------------------- step
+
+    def step(self, state: LODState, dt: Optional[float] = None):
+        """Advance one frame. dt must equal the schedule dt (static rates)."""
+        if dt is not None and abs(float(dt) - self.dt) > 1e-9:
+            raise ValueError("LOD schedule is built for a fixed dt; "
+                             "reconstruct the solver to change it")
+        frame = int(state.frame) + 1           # 1-based frame being computed
+        subset = self._slots[frame % self.schedule_len]
+        fn = self._substeps[subset]
+        return fn(state, jnp.asarray(self.dt, jnp.float32),
+                  self.inner._omega, self.inner._coeffs,
+                  self.inner._x0, self.inner._z0)
+
+    def _substep_impl(self, subset: Tuple[int, ...], state: LODState,
+                      dt: jax.Array, omega, coeffs, x0, z0):
+        """Refresh ``subset`` bands, combine all cached planes.
+
+        The whole state is donated, so the phase / plane scatter-updates
+        (`.at[idx].set`) alias in place.
+        """
+        inner = self.inner
+        cst = state.cascade
+        phase_in = cst.phase
+        idx = np.asarray(subset, np.int32)            # static gather indices
+        # per-band elapsed frames since last refresh = its period
+        pmul = np.asarray([self.periods[i] for i in subset],
+                          np.float32)[:, None, None]
+
+        # gather the refreshing bands (static indices → slice fusion)
+        h0 = cst.h0[idx]
+        h0c = cst.h0_conj[idx]
+        ph = phase_in[idx]
+        om = omega[idx]
+        co = coeffs[idx]
+
+        from tpu_ocean.evolve import (assemble_spectra,
+                                      evolve_phase_accumulate)
+        cfg0 = inner.cfgs[0]
+        if cfg0.evolution_mode == "absolute":
+            # absolute mode re-derives phase from global t each refresh;
+            # holding a band simply means not recomputing its planes.
+            t_new = cst.t + dt / cfg0.t_division
+            ph_new = om * t_new
+            phase_out = phase_in
+        else:
+            dtm = np.asarray([inner.cfgs[i].dt_multiplier for i in subset],
+                             np.float32)[:, None, None]
+            ph_new = evolve_phase_accumulate(ph, om, dt * pmul * dtm)
+            phase_out = phase_in.at[idx].set(ph_new)
+            t_new = cst.t + dt
+
+        spectra = jax.vmap(assemble_spectra)(h0, h0c, ph_new, co)
+        f = inner._ifft2(spectra)                     # [S, 5, N, N] complex
+        fresh = jnp.stack([jnp.real(f[:, 0]),
+                           jnp.imag(f[:, 1]), jnp.imag(f[:, 2]),
+                           jnp.imag(f[:, 3]), jnp.imag(f[:, 4])], axis=1)
+        planes = state.planes.at[idx].set(fresh)
+
+        # combine ALL bands from the cache (Σ over B) — cascade.py contract
+        chop = inner._chop[:, None, None]
+        height = jnp.sum(planes[:, 0], axis=0)
+        disp_x = jnp.sum(chop * planes[:, 1], axis=0)
+        disp_z = jnp.sum(chop * planes[:, 2], axis=0)
+        slope_x = jnp.sum(planes[:, 3], axis=0)
+        slope_z = jnp.sum(planes[:, 4], axis=0)
+
+        texel = inner.display_length / inner.n
+        if cfg0.normals_mode == "spectral":
+            normal = field_ops.normals_spectral(slope_x, slope_z)
+        else:
+            normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
+        foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
+
+        out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
+                          pos_x=x0 - disp_x, pos_z=z0 - disp_z,
+                          normal=normal, foam=foam, jacobian=jac)
+        new_cst = CascadeState(h0=cst.h0, h0_conj=cst.h0_conj,
+                               phase=phase_out, t=t_new,
+                               step=cst.step + 1)
+        new_state = LODState(cascade=new_cst, planes=planes,
+                             frame=state.frame + 1)
+        return new_state, out
