@@ -42,3 +42,11 @@ def test_buoys_streams_csv():
     lines = [l for l in r.stdout.splitlines() if l.strip()]
     assert lines[0].startswith("step,buoy0_h")
     assert len(lines) == 5      # header + 4 steps
+
+
+def test_lod_cascade_reports_skipped_work():
+    r = _run(["examples/lod_cascade.py", "--n", "32", "--steps", "16",
+              "--camera", "400"])
+    assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
+    assert "band-FFT invocations" in r.stdout
+    assert "skipped by the" in r.stdout
