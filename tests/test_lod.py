@@ -124,3 +124,30 @@ def test_bad_periods_rejected():
     st = lod.init()
     with pytest.raises(ValueError):
         lod.step(st, dt=DT * 2)                             # schedule dt fixed
+
+
+def test_frame_counter_is_host_side():
+    """The schedule slot must be known WITHOUT a device pull (scalar pulls
+    hang on the tunneled TPU runtime) — frame is a plain Python int."""
+    cfgs = _bands()
+    lod = LODCascadeSolver(cfgs, periods=[2, 1, 1], dt=DT)
+    st = lod.init()
+    assert isinstance(st.frame, int)
+    st, _ = lod.step(st)
+    assert isinstance(st.frame, int) and st.frame == 1
+
+
+def test_absolute_mode_lod_matches_plain():
+    cfgs = [c.replace(evolution_mode="absolute", dispersion_mode="quantized")
+            for c in _bands()]
+    plain = CascadeSolver(cfgs)
+    lod = LODCascadeSolver(cfgs, periods=[2, 2, 1], dt=DT)
+    sp = plain.init()
+    sl = lod.init()
+    for f in range(1, 5):
+        sp, fp = plain.step(sp, DT)
+        sl, fl = lod.step(sl)
+        if f % 2 == 0:
+            np.testing.assert_allclose(np.asarray(fl.height),
+                                       np.asarray(fp.height),
+                                       rtol=0, atol=1e-4)

@@ -119,7 +119,10 @@ def periods_for_distance(cfgs: Sequence[OceanConfig], dt: float,
 class LODState(NamedTuple):
     cascade: CascadeState     # shared band state (phase NOT advanced for held bands)
     planes: jax.Array         # [B, 5, N, N] f32 cached per-band field planes
-    frame: jax.Array          # scalar int32, position in the schedule
+    frame: int                # HOST-side frame counter — the schedule slot is
+                              # dispatch-time static; a device scalar here
+                              # would force a per-frame scalar pull (hangs on
+                              # the tunneled runtime, CLAUDE.md hard rules)
 
 
 class LODCascadeSolver:
@@ -162,7 +165,7 @@ class LODCascadeSolver:
         for subset in set(self._slots):
             self._substeps[subset] = jax.jit(
                 partial(self._substep_impl, subset),
-                donate_argnums=(0,))
+                donate_argnums=(0, 1))
 
     # ---------------------------------------------------------------- init
 
@@ -172,8 +175,7 @@ class LODCascadeSolver:
         # refresh" all schedules count from
         planes = jax.jit(self._planes_at)(cst.h0, cst.h0_conj,
                                           cst.phase, self.inner._coeffs)
-        return LODState(cascade=cst, planes=planes,
-                        frame=jnp.zeros((), jnp.int32))
+        return LODState(cascade=cst, planes=planes, frame=0)
 
     def _planes_at(self, h0, h0c, phase, coeffs):
         from tpu_ocean.evolve import assemble_spectra
@@ -190,22 +192,24 @@ class LODCascadeSolver:
         if dt is not None and abs(float(dt) - self.dt) > 1e-9:
             raise ValueError("LOD schedule is built for a fixed dt; "
                              "reconstruct the solver to change it")
-        frame = int(state.frame) + 1           # 1-based frame being computed
+        frame = state.frame + 1                # 1-based frame being computed
         subset = self._slots[frame % self.schedule_len]
         fn = self._substeps[subset]
-        return fn(state, jnp.asarray(self.dt, jnp.float32),
-                  self.inner._omega, self.inner._coeffs,
-                  self.inner._x0, self.inner._z0)
+        cascade, planes, fields = fn(
+            state.cascade, state.planes, jnp.asarray(self.dt, jnp.float32),
+            self.inner._omega, self.inner._coeffs,
+            self.inner._x0, self.inner._z0)
+        return LODState(cascade=cascade, planes=planes, frame=frame), fields
 
-    def _substep_impl(self, subset: Tuple[int, ...], state: LODState,
-                      dt: jax.Array, omega, coeffs, x0, z0):
+    def _substep_impl(self, subset: Tuple[int, ...], cst: CascadeState,
+                      planes_in: jax.Array, dt: jax.Array,
+                      omega, coeffs, x0, z0):
         """Refresh ``subset`` bands, combine all cached planes.
 
-        The whole state is donated, so the phase / plane scatter-updates
-        (`.at[idx].set`) alias in place.
+        The cascade state and plane cache are donated, so the phase / plane
+        scatter-updates (`.at[idx].set`) alias in place.
         """
         inner = self.inner
-        cst = state.cascade
         phase_in = cst.phase
         idx = np.asarray(subset, np.int32)            # static gather indices
         # per-band elapsed frames since last refresh = its period
@@ -240,7 +244,7 @@ class LODCascadeSolver:
         fresh = jnp.stack([jnp.real(f[:, 0]),
                            jnp.imag(f[:, 1]), jnp.imag(f[:, 2]),
                            jnp.imag(f[:, 3]), jnp.imag(f[:, 4])], axis=1)
-        planes = state.planes.at[idx].set(fresh)
+        planes = planes_in.at[idx].set(fresh)
 
         # combine ALL bands from the cache (Σ over B) — cascade.py contract
         chop = inner._chop[:, None, None]
@@ -263,6 +267,4 @@ class LODCascadeSolver:
         new_cst = CascadeState(h0=cst.h0, h0_conj=cst.h0_conj,
                                phase=phase_out, t=t_new,
                                step=cst.step + 1)
-        new_state = LODState(cascade=new_cst, planes=planes,
-                             frame=state.frame + 1)
-        return new_state, out
+        return new_cst, planes, out
