@@ -192,3 +192,87 @@ def load_checkpoint_orbax(directory: str) -> OceanState:
         foam_accum=(jnp.asarray(d["foam_accum"], jnp.float32)
                     if "foam_accum" in d else jnp.zeros_like(phase)),
     )
+
+
+# ------------------------------------------------------- cascade / LOD states
+
+def save_cascade_checkpoint(path: str, state,
+                            cfgs=None) -> None:
+    """Checkpoint a CascadeState or LODState (lod.py) — the multi-band
+    analogue of save_checkpoint. Same format discipline: atomic .npz, complex
+    split to (re, im) planes on device before the pull, band configs stored
+    as a JSON list.
+    """
+    from tpu_ocean.lod import LODState
+
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    is_lod = isinstance(state, LODState)
+    cst = state.cascade if is_lod else state
+    payload = {
+        "version": np.int64(_FORMAT_VERSION),
+        "kind": np.bytes_(b"lod" if is_lod else b"cascade"),
+        "h0_pair": _pull(cst.h0),
+        "h0_conj_pair": _pull(cst.h0_conj),
+        "phase": _pull(cst.phase),
+        "t": _pull(cst.t),
+        "step": _pull(cst.step),
+    }
+    if is_lod:
+        payload["planes"] = _pull(state.planes)
+        payload["frame"] = np.int64(state.frame)   # host-side by design
+    if cfgs is not None:
+        payload["configs_json"] = np.bytes_(json.dumps(
+            [dataclasses.asdict(c) for c in cfgs]).encode())
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_cascade_checkpoint(path: str):
+    """Read (CascadeState-or-LODState, [OceanConfig]-or-None)."""
+    from tpu_ocean.cascade import CascadeState
+    from tpu_ocean.lod import LODState
+
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["version"])
+        if version > _FORMAT_VERSION:
+            raise ValueError(f"checkpoint version {version} is newer than "
+                             f"supported {_FORMAT_VERSION}")
+
+        def push(pair):
+            re = jnp.asarray(pair[0], jnp.float32)
+            im = jnp.asarray(pair[1], jnp.float32)
+            return (re + 1j * im).astype(jnp.complex64)
+
+        cst = CascadeState(
+            h0=push(z["h0_pair"]),
+            h0_conj=push(z["h0_conj_pair"]),
+            phase=jnp.asarray(z["phase"], jnp.float32),
+            t=jnp.asarray(z["t"], jnp.float32),
+            step=jnp.asarray(z["step"], jnp.int32),
+        )
+        kind = bytes(z["kind"]).decode() if "kind" in z.files else "cascade"
+        if kind == "lod":
+            state = LODState(cascade=cst,
+                             planes=jnp.asarray(z["planes"], jnp.float32),
+                             frame=int(z["frame"]))
+        else:
+            state = cst
+        cfgs = None
+        if "configs_json" in z.files:
+            ds = json.loads(bytes(z["configs_json"]).decode())
+            for d in ds:
+                d["wind"] = tuple(d["wind"])
+            cfgs = [OceanConfig(**d) for d in ds]
+    return state, cfgs
