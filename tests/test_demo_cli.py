@@ -35,6 +35,21 @@ def test_pond_demo_cli(tmp_path):
     assert glob.glob(str(tmp_path / "pond_offset_y_*.png"))
 
 
+def test_cascade_demo_cli(tmp_path):
+    rc = main(["cascade", "--res", "32", "--steps", "3",
+               "--out", str(tmp_path)])
+    assert rc == 0
+    assert glob.glob(str(tmp_path / "cascade_height_*.npy"))
+    assert glob.glob(str(tmp_path / "cascade_render.png"))
+
+
+def test_cascade_demo_cli_lod(tmp_path):
+    rc = main(["cascade", "--res", "32", "--steps", "4",
+               "--camera", "400", "--out", str(tmp_path)])
+    assert rc == 0
+    assert glob.glob(str(tmp_path / "cascade_render.png"))
+
+
 def test_metrics_emitters():
     buf = io.StringIO()
     m = Metrics(grid_points=16, emit=buf, emit_format="jsonl")

@@ -119,6 +119,47 @@ def run_pond(args) -> int:
     return 0
 
 
+def run_cascade(args) -> int:
+    """Beyond-reference scene: 3-band production cascade (lengths 1000 /
+    130 / 17 m), optionally LOD-scheduled by camera distance (lod.py)."""
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    from tpu_ocean.lod import LODCascadeSolver, periods_for_distance
+    from tpu_ocean.observe import Metrics
+    from tpu_ocean import viz
+
+    n = args.res or 256
+    cfgs = default_cascade(n=n)
+    dt = 1.0 / 60.0
+    if args.camera > 0:
+        periods = periods_for_distance(cfgs, dt,
+                                       camera_distance=args.camera)
+        solver = LODCascadeSolver(cfgs, periods=periods,
+                                  fft_backend=args.backend, dt=dt)
+        print(f"# LOD periods {periods} (camera {args.camera:.0f} m)",
+              file=sys.stderr)
+    else:
+        solver = CascadeSolver(cfgs, fft_backend=args.backend)
+    state = solver.init(jax.random.PRNGKey(args.seed))
+    metrics = Metrics(grid_points=n ** 2, emit=sys.stderr)
+    fields = None
+    for k in range(args.steps):
+        with metrics.measure():
+            state, fields = (solver.step(state) if args.camera > 0
+                             else solver.step(state, dt))
+            jax.block_until_ready(fields.height)
+        if args.dump_every and (k + 1) % args.dump_every == 0:
+            viz.save_render_png(
+                os.path.join(args.out, f"cascade_render_{k + 1:06d}.png"),
+                fields)
+    if fields is not None:
+        viz.save_fields(args.out, fields, prefix="cascade", step=args.steps)
+        viz.save_render_png(os.path.join(args.out, "cascade_render.png"),
+                            fields)
+    print(f"# {args.steps} cascade steps ({len(cfgs)} bands at {n}^2): "
+          f"{metrics.summary()}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     # honor an explicit JAX_PLATFORMS=cpu even where a device plugin
     # overrides the env var during registration (the axon tunnel does)
@@ -142,10 +183,18 @@ def main(argv=None) -> int:
                    help="random W-wave bank instead of the demo's packed 4")
     p.add_argument("--pallas", action="store_true")
 
+    p = sub.add_parser("cascade",
+                       help="multi-band cascade (beyond-reference), "
+                            "optionally LOD-scheduled via --camera")
+    _add_common(p, default_steps=60)
+    p.add_argument("--res", type=int, default=0)
+    p.add_argument("--camera", type=float, default=0.0,
+                   help="camera distance in m (>0 enables LOD scheduling)")
+
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     return {"ocean": run_ocean, "fftmesh": run_fftmesh,
-            "pond": run_pond}[args.cmd](args)
+            "pond": run_pond, "cascade": run_cascade}[args.cmd](args)
 
 
 if __name__ == "__main__":
