@@ -85,3 +85,47 @@ def test_simulation_with_mesh():
         sim.reconfigure(_cfg(64, amplitude=0.5))
         sim.run(1)
         assert sim.step_count == 4
+
+
+def test_cascade_simulation_lifecycle_and_resume(tmp_path):
+    from tpu_ocean.cascade import default_cascade
+    from tpu_ocean.runtime import CascadeSimulation
+    cfgs = default_cascade(n=16)
+    out = str(tmp_path / "casc_run")
+    sim = CascadeSimulation(cfgs, out_dir=out, checkpoint_every=2)
+    sim.run(4)
+    assert sim.step_count == 4
+    h4 = np.asarray(sim.fields.height).copy()
+    sim.close()
+    # resume from the step-4 checkpoint and continue
+    sim2 = CascadeSimulation(cfgs, out_dir=out, checkpoint_every=2)
+    assert sim2.step_count == 4
+    sim2.run(1)
+    # uninterrupted twin
+    sim3 = CascadeSimulation(cfgs)
+    sim3.run(5)
+    np.testing.assert_array_equal(np.asarray(sim2.fields.height),
+                                  np.asarray(sim3.fields.height))
+    # config mismatch refusal
+    import pytest
+    other = default_cascade(n=16, lengths=(500.0, 130.0, 17.0))
+    with pytest.raises(ValueError):
+        CascadeSimulation(other, out_dir=out, checkpoint_every=2)
+
+
+def test_cascade_simulation_lod_mode(tmp_path):
+    from tpu_ocean.cascade import default_cascade
+    from tpu_ocean.runtime import CascadeSimulation
+    import pytest
+    cfgs = default_cascade(n=16)
+    out = str(tmp_path / "lod_run")
+    sim = CascadeSimulation(cfgs, out_dir=out, periods=[2, 2, 1],
+                            checkpoint_every=3)
+    sim.run(3)
+    sim.close()
+    sim2 = CascadeSimulation(cfgs, out_dir=out, periods=[2, 2, 1],
+                             checkpoint_every=3)
+    assert sim2.step_count == 3          # resumed mid-schedule, host frame
+    # kind mismatch: plain cascade sim refusing an LOD checkpoint
+    with pytest.raises(ValueError):
+        CascadeSimulation(cfgs, out_dir=out, checkpoint_every=3)

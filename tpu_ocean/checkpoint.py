@@ -113,10 +113,16 @@ class CheckpointManager:
     """Periodic checkpointing with retention, mirroring a training loop's
     save-every-K-steps pattern. Keeps the newest ``keep`` files."""
 
-    def __init__(self, directory: str, interval: int = 100, keep: int = 3):
+    def __init__(self, directory: str, interval: int = 100, keep: int = 3,
+                 save_fn=None, load_fn=None):
+        """``save_fn(path, state, cfg)`` / ``load_fn(path)`` default to the
+        OceanState pair; pass save/load_cascade_checkpoint for multi-band
+        states (runtime.CascadeSimulation does)."""
         self.directory = directory
         self.interval = max(1, interval)
         self.keep = max(1, keep)
+        self._save = save_fn if save_fn is not None else save_checkpoint
+        self._load = load_fn if load_fn is not None else load_checkpoint
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, step: int) -> str:
@@ -133,7 +139,7 @@ class CheckpointManager:
         if step % self.interval != 0:
             return None
         p = self._path(step)
-        save_checkpoint(p, state, cfg)
+        self._save(p, state, cfg)
         self._gc()
         return p
 
@@ -152,7 +158,7 @@ class CheckpointManager:
         p = self.latest()
         if p is None:
             return None, None
-        return load_checkpoint(p)
+        return self._load(p)
 
 
 # ---------------------------------------------------------------- orbax path

@@ -151,3 +151,101 @@ class Simulation:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class CascadeSimulation(Simulation):
+    """The Simulation lifecycle over a multi-band cascade (cascade.py),
+    optionally LOD-scheduled (lod.py when ``periods`` or ``camera_distance``
+    is given). Same contract: auto-resume from out_dir with a config-mismatch
+    refusal, JSONL metrics, periodic checkpoint/export.
+    """
+
+    def __init__(self, cfgs, fft_backend: str = "reference",
+                 out_dir: Optional[str] = None, dt: float = 1.0 / 60.0,
+                 periods=None, camera_distance: float = 0.0,
+                 checkpoint_every: int = 0, export_every: int = 0,
+                 metrics_stream=None, seed_key: Optional[jax.Array] = None):
+        from tpu_ocean.cascade import CascadeSolver
+        from tpu_ocean.checkpoint import (save_cascade_checkpoint,
+                                          load_cascade_checkpoint)
+
+        self.cfgs = list(cfgs)
+        self.cfg = self.cfgs[0]            # parent-method compatibility
+        self.dt = dt
+        self._lod = periods is not None or camera_distance > 0
+        if self._lod:
+            from tpu_ocean.lod import LODCascadeSolver, periods_for_distance
+            if periods is None:
+                periods = periods_for_distance(self.cfgs, dt,
+                                               camera_distance=camera_distance)
+            self.solver = LODCascadeSolver(self.cfgs, periods=periods,
+                                           fft_backend=fft_backend, dt=dt)
+        else:
+            self.solver = CascadeSolver(self.cfgs, fft_backend=fft_backend)
+        self.out_dir = out_dir
+        self.metrics = Metrics(grid_points=self.cfg.resolution ** 2,
+                               emit=metrics_stream)
+        self.fields = None
+        self._exporter = None
+        self._export_every = export_every
+        self._dropped_exports = 0
+
+        self._ckpt = None
+        if out_dir and checkpoint_every:
+            self._ckpt = CheckpointManager(
+                os.path.join(out_dir, "ckpt"), interval=checkpoint_every,
+                save_fn=save_cascade_checkpoint,
+                load_fn=load_cascade_checkpoint)
+
+        restored = self._ckpt.restore_latest() if self._ckpt else (None, None)
+        if restored[0] is not None:
+            saved_cfgs = restored[1]
+            if saved_cfgs is not None and list(saved_cfgs) != self.cfgs:
+                raise ValueError(
+                    f"checkpoint in {out_dir!r} was written with different "
+                    f"band configs; refusing to silently continue it")
+            state = restored[0]
+            from tpu_ocean.lod import LODState
+            if self._lod != isinstance(state, LODState):
+                raise ValueError("checkpoint kind (lod vs plain cascade) "
+                                 "does not match this simulation's mode")
+            self.state = state
+            if self._lod:
+                self._steps_done = state.frame   # host-side by design
+            else:
+                import numpy as np
+                self._steps_done = int(np.asarray(
+                    jax.device_get(state.step)))  # one pull at startup only
+        else:
+            self.state = self.solver.init(seed_key)
+            self._steps_done = 0
+
+        if out_dir and export_every:
+            try:
+                from tpu_ocean.native import AsyncExporter
+                self._exporter = AsyncExporter(os.path.join(out_dir, "fields"))
+            except Exception:
+                self._exporter = None
+
+    def step(self):
+        with self.metrics.measure(sim_dt=self.dt):
+            if self._lod:
+                self.state, self.fields = self.solver.step(self.state)
+            else:
+                self.state, self.fields = self.solver.step(self.state, self.dt)
+            jax.block_until_ready(self.fields.height)
+        self._steps_done += 1
+        self._post_step()
+        return self.fields
+
+    def _post_step(self):
+        k = self._steps_done
+        if self._ckpt is not None:
+            self._ckpt.maybe_save(self.state, self.cfgs, step=k)
+        if self._export_every and k % self._export_every == 0:
+            self._export(k)
+
+    def reconfigure(self, new_cfg):
+        raise NotImplementedError(
+            "live reconfigure is a single-patch feature; rebuild the "
+            "CascadeSimulation to change band configs")
