@@ -110,6 +110,47 @@ def test_cascade_checkpoint_roundtrip_resumes_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(a.phase), np.asarray(b.phase))
 
 
+def test_loader_kind_mismatch_refused(tmp_path):
+    """The single-patch and cascade loaders refuse each other's files with a
+    clear error instead of a KeyError deep in the payload."""
+    import pytest
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    from tpu_ocean.checkpoint import (save_cascade_checkpoint,
+                                      load_cascade_checkpoint)
+    cfg = _cfg()
+    solver = OceanSolver(cfg)
+    p_single = str(tmp_path / "single.npz")
+    save_checkpoint(p_single, solver.init(jax.random.PRNGKey(0)), cfg)
+    with pytest.raises(ValueError, match="single-patch"):
+        load_cascade_checkpoint(p_single)
+
+    cfgs = default_cascade(n=16)
+    csolver = CascadeSolver(cfgs)
+    p_casc = str(tmp_path / "casc.npz")
+    save_cascade_checkpoint(p_casc, csolver.init(), cfgs)
+    with pytest.raises(ValueError, match="multi-band"):
+        load_checkpoint(p_casc)
+
+
+def test_cascade_checkpoint_periods_metadata(tmp_path):
+    """The LOD refresh schedule rides the checkpoint; the peek reads it
+    without uploading any state, and plain cascades report None."""
+    from tpu_ocean.cascade import default_cascade
+    from tpu_ocean.lod import LODCascadeSolver
+    from tpu_ocean.checkpoint import (save_cascade_checkpoint,
+                                      cascade_checkpoint_periods)
+    cfgs = default_cascade(n=16)
+    solver = LODCascadeSolver(cfgs, periods=[4, 2, 1], dt=1 / 60)
+    st = solver.init()
+    p = str(tmp_path / "lod.npz")
+    save_cascade_checkpoint(p, st, cfgs, periods=solver.periods)
+    assert cascade_checkpoint_periods(p) == [4, 2, 1]
+
+    p2 = str(tmp_path / "lod_bare.npz")
+    save_cascade_checkpoint(p2, st, cfgs)
+    assert cascade_checkpoint_periods(p2) is None
+
+
 def test_lod_checkpoint_roundtrip_resumes_bitwise(tmp_path):
     from tpu_ocean.cascade import default_cascade
     from tpu_ocean.lod import LODCascadeSolver

@@ -129,3 +129,7 @@ def test_cascade_simulation_lod_mode(tmp_path):
     # kind mismatch: plain cascade sim refusing an LOD checkpoint
     with pytest.raises(ValueError):
         CascadeSimulation(cfgs, out_dir=out, checkpoint_every=3)
+    # schedule mismatch: restored band caches are schedule-relative
+    with pytest.raises(ValueError, match="schedule"):
+        CascadeSimulation(cfgs, out_dir=out, periods=[4, 2, 1],
+                          checkpoint_every=3)

@@ -40,6 +40,48 @@ def _pull(x) -> np.ndarray:
     return np.asarray(jax.device_get(x))
 
 
+def _push_pair(pair) -> jnp.ndarray:
+    """Upload (re, im) float planes and recombine ON DEVICE: complex64
+    host↔device transfers are unreliable on the runtimes this module guards
+    against (CLAUDE.md)."""
+    re = jnp.asarray(pair[0], jnp.float32)
+    im = jnp.asarray(pair[1], jnp.float32)
+    return (re + 1j * im).astype(jnp.complex64)
+
+
+def _atomic_savez(path: str, payload: dict) -> str:
+    """Write ``payload`` to ``path`` (.npz appended if missing) via a
+    same-directory tempfile + rename: a crash never corrupts the last good
+    checkpoint. Returns the final path."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path
+
+
+def _open_checkpoint(path: str):
+    """np.load with the .npz suffix fallback and the version guard."""
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    z = np.load(path, allow_pickle=False)
+    version = int(z["version"])
+    if version > _FORMAT_VERSION:
+        z.close()
+        raise ValueError(f"checkpoint version {version} is newer than "
+                         f"supported {_FORMAT_VERSION}")
+    return z
+
+
 def save_checkpoint(path: str, state: OceanState,
                     cfg: Optional[OceanConfig] = None) -> None:
     """Write state (+ config) to ``path`` (.npz appended if missing)."""
@@ -57,37 +99,17 @@ def save_checkpoint(path: str, state: OceanState,
     if cfg is not None:
         payload["config_json"] = np.bytes_(
             json.dumps(dataclasses.asdict(cfg)).encode())
-    d = os.path.dirname(os.path.abspath(path))
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, **payload)
-        os.replace(tmp, path)  # atomic: a crash never corrupts the last good one
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    _atomic_savez(path, payload)
 
 
 def load_checkpoint(path: str) -> Tuple[OceanState, Optional[OceanConfig]]:
     """Read (state, config-or-None) from ``path``."""
-    if not path.endswith(".npz") and not os.path.exists(path):
-        path = path + ".npz"
-    with np.load(path, allow_pickle=False) as z:
-        version = int(z["version"])
-        if version > _FORMAT_VERSION:
-            raise ValueError(f"checkpoint version {version} is newer than "
-                             f"supported {_FORMAT_VERSION}")
-
-        def push(pair):
-            # upload the float planes and recombine ON DEVICE: complex64
-            # host→device transfers are as unreliable as device→host on the
-            # runtimes this module guards against
-            re = jnp.asarray(pair[0], jnp.float32)
-            im = jnp.asarray(pair[1], jnp.float32)
-            return (re + 1j * im).astype(jnp.complex64)
-
+    with _open_checkpoint(path) as z:
+        if "kind" in z.files:
+            raise ValueError(
+                f"{path!r} is a {bytes(z['kind']).decode()} checkpoint "
+                f"(multi-band); use load_cascade_checkpoint")
+        push = _push_pair
         phase = jnp.asarray(z["phase"], jnp.float32)
         # v1 checkpoints predate foam accumulation: restore zeros
         foam_accum = (jnp.asarray(z["foam_accum"], jnp.float32)
@@ -135,7 +157,10 @@ class CheckpointManager:
         state.step forces a device sync every call (and scalar pulls can hang
         on tunneled runtimes)."""
         if step is None:
-            step = int(jax.device_get(state.step))
+            if hasattr(state, "frame"):        # LODState: host-side counter
+                step = int(state.frame)
+            else:
+                step = int(jax.device_get(state.step))
         if step % self.interval != 0:
             return None
         p = self._path(step)
@@ -202,17 +227,17 @@ def load_checkpoint_orbax(directory: str) -> OceanState:
 
 # ------------------------------------------------------- cascade / LOD states
 
-def save_cascade_checkpoint(path: str, state,
-                            cfgs=None) -> None:
+def save_cascade_checkpoint(path: str, state, cfgs=None,
+                            periods=None) -> None:
     """Checkpoint a CascadeState or LODState (lod.py) — the multi-band
     analogue of save_checkpoint. Same format discipline: atomic .npz, complex
     split to (re, im) planes on device before the pull, band configs stored
-    as a JSON list.
+    as a JSON list. ``periods`` (the LOD refresh schedule) is stored so a
+    resume under a DIFFERENT schedule can be refused — restored phases are
+    only meaningful relative to the schedule that wrote them.
     """
     from tpu_ocean.lod import LODState
 
-    if not path.endswith(".npz"):
-        path = path + ".npz"
     is_lod = isinstance(state, LODState)
     cst = state.cascade if is_lod else state
     payload = {
@@ -227,20 +252,12 @@ def save_cascade_checkpoint(path: str, state,
     if is_lod:
         payload["planes"] = _pull(state.planes)
         payload["frame"] = np.int64(state.frame)   # host-side by design
+    if periods is not None:
+        payload["periods"] = np.asarray(periods, np.int64)
     if cfgs is not None:
         payload["configs_json"] = np.bytes_(json.dumps(
             [dataclasses.asdict(c) for c in cfgs]).encode())
-    d = os.path.dirname(os.path.abspath(path))
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, **payload)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    _atomic_savez(path, payload)
 
 
 def load_cascade_checkpoint(path: str):
@@ -248,28 +265,19 @@ def load_cascade_checkpoint(path: str):
     from tpu_ocean.cascade import CascadeState
     from tpu_ocean.lod import LODState
 
-    if not path.endswith(".npz") and not os.path.exists(path):
-        path = path + ".npz"
-    with np.load(path, allow_pickle=False) as z:
-        version = int(z["version"])
-        if version > _FORMAT_VERSION:
-            raise ValueError(f"checkpoint version {version} is newer than "
-                             f"supported {_FORMAT_VERSION}")
-
-        def push(pair):
-            re = jnp.asarray(pair[0], jnp.float32)
-            im = jnp.asarray(pair[1], jnp.float32)
-            return (re + 1j * im).astype(jnp.complex64)
-
+    with _open_checkpoint(path) as z:
+        if "kind" not in z.files:
+            raise ValueError(
+                f"{path!r} is a single-patch checkpoint; "
+                f"use load_checkpoint")
         cst = CascadeState(
-            h0=push(z["h0_pair"]),
-            h0_conj=push(z["h0_conj_pair"]),
+            h0=_push_pair(z["h0_pair"]),
+            h0_conj=_push_pair(z["h0_conj_pair"]),
             phase=jnp.asarray(z["phase"], jnp.float32),
             t=jnp.asarray(z["t"], jnp.float32),
             step=jnp.asarray(z["step"], jnp.int32),
         )
-        kind = bytes(z["kind"]).decode() if "kind" in z.files else "cascade"
-        if kind == "lod":
+        if bytes(z["kind"]).decode() == "lod":
             state = LODState(cascade=cst,
                              planes=jnp.asarray(z["planes"], jnp.float32),
                              frame=int(z["frame"]))
@@ -282,3 +290,13 @@ def load_cascade_checkpoint(path: str):
                 d["wind"] = tuple(d["wind"])
             cfgs = [OceanConfig(**d) for d in ds]
     return state, cfgs
+
+
+def cascade_checkpoint_periods(path: str):
+    """The LOD refresh schedule a cascade checkpoint was written under, or
+    None for plain cascades / pre-schedule files. Cheap metadata peek (no
+    state upload) for resume validation (runtime.CascadeSimulation)."""
+    with _open_checkpoint(path) as z:
+        if "periods" in z.files:
+            return [int(p) for p in z["periods"]]
+    return None

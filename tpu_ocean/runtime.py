@@ -192,9 +192,14 @@ class CascadeSimulation(Simulation):
 
         self._ckpt = None
         if out_dir and checkpoint_every:
+            # LOD checkpoints carry their refresh schedule: restored phase
+            # caches are only meaningful relative to the schedule that wrote
+            # them, so resume validates it below
+            periods_meta = list(self.solver.periods) if self._lod else None
             self._ckpt = CheckpointManager(
                 os.path.join(out_dir, "ckpt"), interval=checkpoint_every,
-                save_fn=save_cascade_checkpoint,
+                save_fn=lambda p, s, c: save_cascade_checkpoint(
+                    p, s, c, periods=periods_meta),
                 load_fn=load_cascade_checkpoint)
 
         restored = self._ckpt.restore_latest() if self._ckpt else (None, None)
@@ -209,6 +214,16 @@ class CascadeSimulation(Simulation):
             if self._lod != isinstance(state, LODState):
                 raise ValueError("checkpoint kind (lod vs plain cascade) "
                                  "does not match this simulation's mode")
+            if self._lod:
+                from tpu_ocean.checkpoint import cascade_checkpoint_periods
+                saved_p = cascade_checkpoint_periods(self._ckpt.latest())
+                if saved_p is not None and saved_p != list(self.solver.periods):
+                    raise ValueError(
+                        f"checkpoint in {out_dir!r} was written under LOD "
+                        f"schedule {saved_p}, this simulation uses "
+                        f"{list(self.solver.periods)}; restored band caches "
+                        f"would be misaligned — use a fresh out_dir or the "
+                        f"saved schedule")
             self.state = state
             if self._lod:
                 self._steps_done = state.frame   # host-side by design
