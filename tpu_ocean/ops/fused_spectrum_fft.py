@@ -56,12 +56,19 @@ NUM_CHANNELS = 5
 
 def _assemble_block(kz_tile_ref, h0r_ref, h0i_ref, h0cr_ref, h0ci_ref,
                     ph_ref, *, n1, n2, wrap_n, length, dz_sign, epsilon,
-                    ch, bi, r, row_off=0):
+                    ch, bi, r, row_off=0, packed=False, nch_live=3,
+                    kz_nyq=0.0):
     """Shared assembly body: refs → (ar, ai) [r, n2, n1] spectrum planes for
     channel ``ch`` of row block ``bi`` (all VPU). ``row_off`` shifts the
     global row index (X-sharded callers pass the shard's first global row);
     ``wrap_n`` is the GLOBAL grid side the wavevector wrap folds over —
-    always the full row width N, even when the row batch is a shard."""
+    always the full row width N, even when the row batch is a shard.
+
+    ``packed=True`` assembles the Hermitian-packed channels instead
+    (evolve.packed_coefficients: P = (A − iB)·h̃, ch indexes the PACKED
+    list): the odd-part masking zeroes the Nyquist row (kx) / column (kz),
+    where r(−k) = −r(k) fails — compare against ``kz_nyq``, the exact f32
+    Nyquist kz value from the caller's tile, so the mask is bit-safe."""
     shape3 = (r, n2, n1)
     ph = ph_ref[:].reshape(shape3)
     c = jnp.cos(ph)
@@ -92,6 +99,21 @@ def _assemble_block(kz_tile_ref, h0r_ref, h0i_ref, h0cr_ref, h0ci_ref,
     def w(i):
         return (ch == i).astype(jnp.float32)
 
+    if packed:
+        # wrapped row index at the kx Nyquist is exactly −N/2 (f32-exact
+        # integer); kz compares against the caller-derived tile value
+        rowmask = (wrapped != np.float32(-(wrap_n // 2))).astype(jnp.float32)
+        colmask = (kz != np.float32(kz_nyq)).astype(jnp.float32)
+        rx = kx * invk * rowmask
+        rz = dz_sign * kz * invk * colmask
+        if nch_live == 5:
+            a = w(0) * (1.0 + rx) + w(1) * (-kx) * rowmask
+            b = w(1) * rz + w(2) * (-kz) * colmask
+        else:
+            a = w(0) * (1.0 + rx)
+            b = w(1) * rz
+        return a * htr + b * hti, a * hti - b * htr
+
     k = (w(0) * 1.0
          + w(1) * kx * invk
          + w(2) * dz_sign * kz * invk
@@ -105,7 +127,8 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
                   f1r_ref, f1i_ref, kz_tile_ref,
                   h0r_ref, h0i_ref, h0cr_ref, h0ci_ref, ph_ref,
                   ore_ref, oim_ref, *, n1, n2, length, dz_sign, epsilon,
-                  precision, ch_start=0):
+                  precision, ch_start=0, packed=False, nch_live=3,
+                  kz_nyq=0.0):
     r, _, _ = h0r_ref.shape
     n = n1 * n2
     ch = ch_start + pl.program_id(1)
@@ -115,7 +138,8 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
                              h0ci_ref, ph_ref, n1=n1, n2=n2, wrap_n=n,
                              length=length, dz_sign=dz_sign, epsilon=epsilon,
                              ch=ch, bi=bi, r=r,
-                             row_off=row_off_ref[0, 0])
+                             row_off=row_off_ref[0, 0], packed=packed,
+                             nch_live=nch_live, kz_nyq=kz_nyq)
     # four-step row FFT (see pallas_fft._fft_block_kernel for layout notes)
     f2r, f2i = f2r_ref[:], f2i_ref[:]
     cr = _dot_mid(f2r, ar, precision) - _dot_mid(f2i, ai, precision)
@@ -137,7 +161,8 @@ def _fused_rowfft_kernel_natural(row_off_ref, f2r_ref, f2i_ref, twr_ref,
                                  h0r_ref, h0i_ref, h0cr_ref, h0ci_ref,
                                  ph_ref, ore_ref, oim_ref,
                                  *, n1, n2, length, dz_sign, epsilon,
-                                 precision, ch_start=0):
+                                 precision, ch_start=0, packed=False,
+                                 nch_live=3, kz_nyq=0.0):
     """Any-N fused assembly + row FFT with a NATURAL-orientation store —
     the large-N twin of _fused_kernel. Built on the three probed-legal
     Mosaic behaviors documented at pallas_fft.fft1d_natural_large."""
@@ -147,7 +172,9 @@ def _fused_rowfft_kernel_natural(row_off_ref, f2r_ref, f2i_ref, twr_ref,
     ar, ai = _assemble_block(kz_tile_ref, h0r_ref, h0i_ref, h0cr_ref,
                              h0ci_ref, ph_ref, n1=n1, n2=n2, wrap_n=n1 * n2,
                              length=length, dz_sign=dz_sign, epsilon=epsilon,
-                             ch=ch, bi=bi, r=r, row_off=row_off_ref[0, 0])
+                             ch=ch, bi=bi, r=r, row_off=row_off_ref[0, 0],
+                             packed=packed, nch_live=nch_live,
+                             kz_nyq=kz_nyq)
     dr, di = _rowfft_core(ar, ai, f2r_ref[:], f2i_ref[:], twr_ref[:],
                           twi_ref[:], f1tr_ref[:], f1ti_ref[:], precision)
     ore_ref[:] = dr[None]
@@ -158,7 +185,8 @@ def assemble_rowfft_natural(h0_pair, phase, length: float, dz_sign: float,
                             inverse: bool = True, precision=None,
                             epsilon: float = 1e-4, row_offset=0,
                             ch_start: int = 0,
-                            ch_count: int = NUM_CHANNELS):
+                            ch_count: int = NUM_CHANNELS,
+                            packed: bool = False, nch_live: int = 3):
     """Fused assembly + row FFT for ANY even N: (re, im) [ch_count, M, N]
     f32 in natural orientation — feed matmul.ifft1d_planes_axis2 for the
     column pass. One HBM read of the 5 input planes + one write of the
@@ -194,7 +222,9 @@ def assemble_rowfft_natural(h0_pair, phase, length: float, dz_sign: float,
                                length=float(length),
                                dz_sign=np.float32(dz_sign),
                                epsilon=np.float32(epsilon),
-                               precision=precision, ch_start=ch_start)
+                               precision=precision, ch_start=ch_start,
+                               packed=packed, nch_live=nch_live,
+                               kz_nyq=float(kz_tile.min()))
     ore, oim = pl.pallas_call(
         kernel,
         grid=(m // r, ch_count),
@@ -228,12 +258,15 @@ def _pick_rows_fused(m: int, n: int):
 def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
                     inverse: bool = True, precision=None,
                     epsilon: float = 1e-4, row_offset=0,
-                    ch_start: int = 0, ch_count: int = NUM_CHANNELS):
+                    ch_start: int = 0, ch_count: int = NUM_CHANNELS,
+                    packed: bool = False, nch_live: int = 3):
     """(h0r, h0i, h0cr, h0ci) f32 [M, N] each + phase [M, N] → row-FFT'd
-    spectra stored TRANSPOSED: (re, im) [5, N, M] f32. Wavevectors are
-    derived in-kernel from ``length`` (fft layout); ``row_offset`` (traced
-    ok) shifts the global row index for X-sharded row batches. Feed the
-    result to pallas_fft._fft1d_transposed for the column pass."""
+    spectra stored TRANSPOSED: (re, im) [ch_count, N, M] f32. Wavevectors
+    are derived in-kernel from ``length`` (fft layout); ``row_offset``
+    (traced ok) shifts the global row index for X-sharded row batches;
+    ``packed=True`` assembles the Hermitian-packed channel set instead
+    (evolve.packed_coefficients, ``nch_live`` ∈ {3, 5} live fields). Feed
+    the result to pallas_fft._fft1d_transposed for the column pass."""
     if precision is None:
         precision = lax.Precision.HIGHEST
     h0r, h0i, h0cr, h0ci = h0_pair
@@ -273,7 +306,9 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
                                length=float(length),
                                dz_sign=np.float32(dz_sign),
                                epsilon=np.float32(epsilon),
-                               precision=precision, ch_start=ch_start)
+                               precision=precision, ch_start=ch_start,
+                               packed=packed, nch_live=nch_live,
+                               kz_nyq=float(kz_tile.min()))
     ore, oim = pl.pallas_call(
         kernel,
         grid=(m // r, ch_count),
@@ -296,22 +331,26 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
 
 def ifft2_fused(h0_pair, phase, length: float, dz_sign: float,
                 precision=None, epsilon: float = 1e-4,
-                row_offset=0, ch_count: int = NUM_CHANNELS) -> jnp.ndarray:
+                row_offset=0, ch_count: int = NUM_CHANNELS,
+                packed: bool = False, nch_live: int = 3) -> jnp.ndarray:
     """Full fused 2-D unnormalized inverse transform of the first
     ``ch_count`` evolved spectra: returns complex [ch_count, N, N] spatial
     fields (matches ifft2(assemble_spectra(...)) to fp32). Stencil-normal
-    solvers pass ch_count=3 — the slope channels are dead there."""
+    solvers pass ch_count=3 — the slope channels are dead there — or
+    ``packed=True, ch_count=2`` for the Hermitian-packed pair."""
     if precision is None:
         precision = lax.Precision.HIGHEST
     re, im = ifft2_fused_planes(h0_pair, phase, length, dz_sign,
                                 precision=precision, epsilon=epsilon,
-                                row_offset=row_offset, ch_count=ch_count)
+                                row_offset=row_offset, ch_count=ch_count,
+                                packed=packed, nch_live=nch_live)
     return re + 1j * im
 
 
 def ifft2_fused_planes(h0_pair, phase, length: float, dz_sign: float,
                        precision=None, epsilon: float = 1e-4,
-                       row_offset=0, ch_count: int = NUM_CHANNELS):
+                       row_offset=0, ch_count: int = NUM_CHANNELS,
+                       packed: bool = False, nch_live: int = 3):
     """All-real twin of ifft2_fused: (re, im) f32 [ch_count, N, N] planes.
     N ≤ MAX_FUSED_N: fused transposed-store row pass + transposed column
     pass. Beyond: jnp assembly (wavevectors from iota, fused by XLA into
@@ -329,11 +368,13 @@ def ifft2_fused_planes(h0_pair, phase, length: float, dz_sign: float,
                                          precision=precision,
                                          epsilon=epsilon,
                                          row_offset=row_offset,
-                                         ch_count=ch_count)
+                                         ch_count=ch_count, packed=packed,
+                                         nch_live=nch_live)
         from tpu_ocean.fft.matmul import ifft1d_planes_axis2
         return ifft1d_planes_axis2(re, im, True, precision)
     re, im = assemble_rowfft(h0_pair, phase, length, dz_sign,
                              precision=precision, epsilon=epsilon,
-                             row_offset=row_offset, ch_count=ch_count)
+                             row_offset=row_offset, ch_count=ch_count,
+                             packed=packed, nch_live=nch_live)
     return _fft1d_transposed(re, im, inverse=True, precision=precision)
 

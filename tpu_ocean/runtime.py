@@ -32,16 +32,20 @@ class Simulation:
                  out_dir: Optional[str] = None, dt: float = 1.0 / 60.0,
                  checkpoint_every: int = 0, export_every: int = 0,
                  metrics_stream=None, seed_key: Optional[jax.Array] = None,
-                 mesh=None):
+                 mesh=None, **solver_kw):
         self.cfg = cfg
         self.dt = dt
+        # extra solver switches (pack_channels, pallas_fields, real_state,
+        # overlap_chunks, ...) pass straight through to the solver
         if mesh is not None:
             # domain-decomposed runtime: same lifecycle, sharded solver
             from tpu_ocean.solver_dist import DistributedOceanSolver
             self.solver = DistributedOceanSolver(cfg, mesh,
-                                                 fft_backend=fft_backend)
+                                                 fft_backend=fft_backend,
+                                                 **solver_kw)
         else:
-            self.solver = OceanSolver(cfg, fft_backend=fft_backend)
+            self.solver = OceanSolver(cfg, fft_backend=fft_backend,
+                                      **solver_kw)
         self.out_dir = out_dir
         self.metrics = Metrics(grid_points=cfg.resolution ** 2,
                                emit=metrics_stream)
@@ -64,7 +68,10 @@ class Simulation:
                     f"config; refusing to silently continue it. Use a fresh "
                     f"out_dir, or Simulation(saved_cfg, ...) to resume "
                     f"(saved: {saved_cfg})")
-            self.state = restored[0]
+            # symmetrize is a bitwise no-op on states a packing solver wrote
+            # (OceanSolver.symmetrize: idempotent) and the Hermitian
+            # projection on pre-packing checkpoints — safe either way
+            self.state = self.solver.symmetrize(restored[0])
             import numpy as np
             self._steps_done = int(np.asarray(
                 jax.device_get(self.state.step)))   # one pull at startup only

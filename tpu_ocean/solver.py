@@ -35,8 +35,10 @@ from tpu_ocean import grids
 from tpu_ocean.evolve import (
     omega_grid,
     spectrum_coefficients,
+    packed_coefficients,
     evolve_phase_accumulate,
     assemble_spectra,
+    assemble_spectra_packed,
 )
 from tpu_ocean.spectra import h0_pair_centered, h0_pair_fft
 from tpu_ocean.fft import get_ifft2
@@ -96,7 +98,8 @@ class OceanSolver:
 
     def __init__(self, cfg: OceanConfig, fft_backend: str = "reference",
                  eval_mode: str = "fft", pallas_fields: bool = False,
-                 real_state: bool = False):
+                 real_state: bool = False,
+                 pack_channels: Optional[bool] = None):
         if eval_mode not in ("fft", "direct"):
             raise ValueError(f"bad eval_mode {eval_mode!r}")
         if real_state:
@@ -159,12 +162,36 @@ class OceanSolver:
         # GPU-convention path. XLA's DCE finds this for chunked einsum
         # chains but cannot see inside Pallas kernels, so it is explicit.
         self._nch = 3 if cfg.normals_mode == "stencil" else 5
+        # Hermitian channel packing (evolve.packed_coefficients): every
+        # output field is real, so pairs of channels share one complex
+        # transform — 3 live channels ride 2 FFTs, 5 ride 3. DEFAULT OFF
+        # (parity ledger, docs/parity.md): it requires symmetrize()'s
+        # Hermitian projection, which drops the reference's Nyquist-line
+        # Im-content from the displacement fields — negligible at damped
+        # production configs, ~15% L∞ on small undamped grids.
+        can_pack = (eval_mode == "fft" and cfg.spectrum_layout == "fft")
+        if pack_channels is None:
+            pack_channels = False
+        elif pack_channels and not can_pack:
+            raise ValueError("pack_channels requires spectrum_layout='fft' "
+                             "and eval_mode='fft' (the centered/direct "
+                             "channels do not Re/Im-separate — see "
+                             "evolve.packed_coefficients)")
+        self.pack_channels = bool(pack_channels)
+        #: channels actually transformed (= _nch unless packed)
+        self._pch = ((2 if self._nch == 3 else 3) if self.pack_channels
+                     else self._nch)
         consts = {
             "omega": np.asarray(omega_grid(cfg), dtype=np.float32),
-            # channel coefficients are REAL (evolve.spectrum_coefficients)
-            "coeffs": np.asarray(spectrum_coefficients(cfg).real,
-                                 dtype=np.float32)[:self._nch],
         }
+        if self.pack_channels:
+            consts["pack"] = np.asarray(
+                packed_coefficients(cfg, self._nch), dtype=np.float32)
+        else:
+            # channel coefficients are REAL (evolve.spectrum_coefficients)
+            consts["coeffs"] = np.asarray(
+                spectrum_coefficients(cfg).real,
+                dtype=np.float32)[:self._nch]
 
         if cfg.spectrum_layout == "centered":
             x1d = grids.coordinate_1d(n, cfg.unit_width)
@@ -230,6 +257,36 @@ class OceanSolver:
 
     # ------------------------------------------------------------------ init
 
+    def symmetrize(self, state):
+        """Project the h0 pair onto its Hermitian part (packed solvers).
+
+        The reference draws h0_conj INDEPENDENTLY of h0 (FFTMesh.cs:114-116,
+        spectra.h0_pair_fft), so h̃ is not Hermitian — but the extraction
+        only ever keeps Re F(h̃) and Im F(r·h̃), which equal F(H(h̃)) and
+        F(r·H(h̃)) for the Hermitian part H(S) = ½(S + conj(S∘neg)). With
+        h̃ = h0·e^{iφ} + h0c·e^{−iφ} and φ(−k) = φ(k),
+
+            H(h̃) = a·e^{iφ} + conj(a∘neg)·e^{−iφ},
+            a    = ½(h0 + conj(h0c∘neg)),
+
+        so replacing (h0, h0c) by (a, conj(a∘neg)) once at init makes the
+        state exactly Hermitian while changing no extracted field beyond f32
+        rounding (except damped Nyquist-line modes — docs/parity.md). The
+        projection is BITWISE idempotent: on an already-symmetric state
+        conj(h0c∘neg) == h0 exactly, and ½(x + x) = x in fp — so applying
+        it to a resumed checkpoint is safe regardless of which convention
+        wrote it (runtime.Simulation does).
+        """
+        if not self.pack_channels:
+            return state
+        from tpu_ocean.evolve import hermitize_pair, hermitize_planes
+        if isinstance(state, OceanStateReal):
+            ar, ai, acr, aci = hermitize_planes(
+                state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
+            return state._replace(h0_re=ar, h0_im=ai, h0c_re=acr, h0c_im=aci)
+        a, ac = hermitize_pair(state.h0, state.h0_conj)
+        return state._replace(h0=a, h0_conj=ac)
+
     def init(self, key: Optional[jax.Array] = None,
              h0: Optional[jax.Array] = None,
              h0_conj: Optional[jax.Array] = None,
@@ -263,13 +320,13 @@ class OceanSolver:
                 key, n, cfg.length, cfg.phillips_amplitude, cfg.wind,
                 cfg.damping, model=cfg.spectrum_model,
                 jonswap_kw=cfg.jonswap_kw)
-            return OceanStateReal(
+            return self.symmetrize(OceanStateReal(
                 h0_re=r1, h0_im=i1, h0c_re=r2, h0c_im=i2,
                 phase=jnp.zeros((n, n), dtype=jnp.float32),
                 t=jnp.zeros((), dtype=jnp.float32),
                 step=jnp.zeros((), dtype=jnp.int32),
                 foam_accum=jnp.zeros((n, n), dtype=jnp.float32),
-            )
+            ))
         if h0 is None:
             if key is None:
                 key = jax.random.PRNGKey(cfg.seed)
@@ -285,7 +342,7 @@ class OceanSolver:
         # (OceanRenderer.cs:138-139; SURVEY.md C5).
         if self.real_state:
             # injected-h0 path (parity tests): split the given complex pair
-            return OceanStateReal(
+            return self.symmetrize(OceanStateReal(
                 h0_re=jnp.real(h0).astype(jnp.float32),
                 h0_im=jnp.imag(h0).astype(jnp.float32),
                 h0c_re=jnp.real(h0_conj).astype(jnp.float32),
@@ -294,15 +351,15 @@ class OceanSolver:
                 t=jnp.zeros((), dtype=jnp.float32),
                 step=jnp.zeros((), dtype=jnp.int32),
                 foam_accum=jnp.zeros((n, n), dtype=jnp.float32),
-            )
-        return OceanState(
+            ))
+        return self.symmetrize(OceanState(
             h0=h0,
             h0_conj=h0_conj,
             phase=jnp.zeros((n, n), dtype=jnp.float32),
             t=jnp.zeros((), dtype=jnp.float32),
             step=jnp.zeros((), dtype=jnp.int32),
             foam_accum=jnp.zeros((n, n), dtype=jnp.float32),
-        )
+        ))
 
     # ------------------------------------------------------------- reconfigure
 
@@ -343,7 +400,11 @@ class OceanSolver:
         solver = OceanSolver(new_cfg, fft_backend=self.fft_backend,
                              eval_mode=self.eval_mode,
                              pallas_fields=self.pallas_fields,
-                             real_state=self.real_state)
+                             real_state=self.real_state,
+                             pack_channels=(self.pack_channels
+                                            if new_cfg.spectrum_layout
+                                            == self.cfg.spectrum_layout
+                                            else None))
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution
@@ -447,15 +508,29 @@ class OceanSolver:
                 re, im = ifft2_fused_planes(pair, phase, cfg.length, dz_sign,
                                             precision=self._mxu_precision,
                                             epsilon=EPSILON,
-                                            ch_count=self._nch)
+                                            ch_count=self._pch,
+                                            packed=self.pack_channels,
+                                            nch_live=self._nch)
         else:
-            from tpu_ocean.evolve import assemble_spectra_real
             with jax.named_scope("spectrum_assembly"):
-                re, im = assemble_spectra_real(pair, phase, c["coeffs"])
+                if self.pack_channels:
+                    from tpu_ocean.evolve import assemble_spectra_packed_real
+                    re, im = assemble_spectra_packed_real(pair, phase,
+                                                          c["pack"])
+                else:
+                    from tpu_ocean.evolve import assemble_spectra_real
+                    re, im = assemble_spectra_real(pair, phase, c["coeffs"])
             with jax.named_scope("ifft2"):
                 re, im = ifft2_planes_auto(re, im, True,
                                            self._mxu_precision)
         with jax.named_scope("fields"):
+            if self.pack_channels:
+                # packed extraction: fields alternate Re/Im down the packed
+                # channel list (evolve.packed_coefficients)
+                return self._extract_fields_planes(
+                    re[0], im[0], re[1],
+                    im[1] if self._nch == 5 else None,
+                    re[2] if self._nch == 5 else None, c)
             return self._extract_fields_planes(
                 re[0], im[1], im[2],
                 im[3] if self._nch == 5 else None,
@@ -485,10 +560,16 @@ class OceanSolver:
                 dz_sign = -1.0 if self.cfg.oracle_sign_quirk else 1.0
                 return ifft2_fused(pair, phase, self.cfg.length, dz_sign,
                                    precision=self._mxu_precision,
-                                   epsilon=EPSILON, ch_count=self._nch)
+                                   epsilon=EPSILON, ch_count=self._pch,
+                                   packed=self.pack_channels,
+                                   nch_live=self._nch)
         with jax.named_scope("spectrum_assembly"):
-            spectra = assemble_spectra(state.h0, state.h0_conj, phase,
-                                       c["coeffs"])
+            if self.pack_channels:
+                spectra = assemble_spectra_packed(state.h0, state.h0_conj,
+                                                  phase, c["pack"])
+            else:
+                spectra = assemble_spectra(state.h0, state.h0_conj, phase,
+                                           c["coeffs"])
         with jax.named_scope("ifft2"):
             return self._transform(spectra, c)
 
@@ -508,6 +589,11 @@ class OceanSolver:
         return f
 
     def _extract_fields(self, f: jax.Array, c) -> OceanFields:
+        if self.pack_channels:
+            return self._extract_fields_planes(
+                jnp.real(f[0]), jnp.imag(f[0]), jnp.real(f[1]),
+                jnp.imag(f[1]) if self._nch == 5 else None,
+                jnp.real(f[2]) if self._nch == 5 else None, c)
         return self._extract_fields_planes(
             jnp.real(f[0]), jnp.imag(f[1]), jnp.imag(f[2]),
             jnp.imag(f[3]) if self._nch == 5 else None,

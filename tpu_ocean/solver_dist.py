@@ -41,7 +41,8 @@ class DistributedOceanSolver:
 
     def __init__(self, cfg: OceanConfig, mesh: Mesh,
                  fft_backend: str = "reference", overlap_chunks: int = 1,
-                 pallas_fields: bool = False):
+                 pallas_fields: bool = False,
+                 pack_channels: Optional[bool] = None):
         if "shard" not in mesh.axis_names:
             raise ValueError("mesh needs a 'shard' axis (parallel.make_mesh)")
         if fft_backend not in ("reference", "stockham", "matmul", "pallas",
@@ -80,14 +81,28 @@ class DistributedOceanSolver:
         # channels (see OceanSolver._nch — explicit because DCE cannot see
         # into Pallas kernels; here it also cuts the a2a volume 40%)
         self._nch = 3 if cfg.normals_mode == "stencil" else 5
+        # Hermitian channel packing (evolve.packed_coefficients), same
+        # DEFAULT-OFF rule as OceanSolver (parity ledger) — shard-exact
+        # parity with the single-device step requires BOTH solvers to pack
+        # identically. Here packing also cuts the a2a transpose volume by
+        # the same third.
+        can_pack = cfg.spectrum_layout == "fft"
+        if pack_channels is None:
+            pack_channels = False
+        elif pack_channels and not can_pack:
+            raise ValueError("pack_channels requires spectrum_layout='fft'")
+        self.pack_channels = bool(pack_channels)
+        #: channels actually transformed / transposed (= _nch unless packed)
+        self._pch = ((2 if self._nch == 3 else 3) if self.pack_channels
+                     else self._nch)
         # >1 splits the channel batch so the all_to_all transpose of one
         # chunk overlaps the row butterflies of the next (SURVEY.md §5.8);
         # the fused backend chunks via per-channel-range kernel launches
         if overlap_chunks > 1:
-            if self._nch % overlap_chunks != 0:
+            if self._pch % overlap_chunks != 0:
                 raise ValueError(f"overlap_chunks must divide the "
-                                 f"{self._nch}-channel batch (got "
-                                 f"{overlap_chunks}); use 1 or {self._nch}")
+                                 f"{self._pch}-channel transform batch (got "
+                                 f"{overlap_chunks}); use 1 or {self._pch}")
         self.overlap_chunks = overlap_chunks
         self.n_local = n // n_dev
 
@@ -96,9 +111,15 @@ class DistributedOceanSolver:
         # complex host→device transfers are unreliable on experimental TPU
         # runtimes and the modulation factors split into (re, im) pairs.
         self._omega = jnp.asarray(np.asarray(omega_grid(cfg), np.float32))
-        self._coeffs = jnp.asarray(
-            np.asarray(spectrum_coefficients(cfg).real,
-                       np.float32)[:self._nch])
+        if self.pack_channels:
+            from tpu_ocean.evolve import packed_coefficients
+            # stacked [2P, N, N]: rows 0..P−1 = A, P..2P−1 = B (P = A − iB)
+            self._coeffs = jnp.asarray(
+                np.asarray(packed_coefficients(cfg, self._nch), np.float32))
+        else:
+            self._coeffs = jnp.asarray(
+                np.asarray(spectrum_coefficients(cfg).real,
+                           np.float32)[:self._nch])
         if cfg.spectrum_layout == "centered":
             pre, post = centered_modulation(n, cfg.length, cfg.unit_width)
             x1d = grids.coordinate_1d(n, cfg.unit_width)
@@ -152,6 +173,17 @@ class DistributedOceanSolver:
 
     # -------------------------------------------------------------- init
 
+    def symmetrize(self, state: OceanState) -> OceanState:
+        """Hermitian projection of the h0 pair when packing (the exact twin
+        of OceanSolver.symmetrize — see its docstring for the derivation,
+        the f32-rounding parity argument, and the bitwise idempotence that
+        makes applying it to resumed checkpoints safe)."""
+        if not self.pack_channels:
+            return state
+        from tpu_ocean.evolve import hermitize_pair
+        a, ac = hermitize_pair(state.h0, state.h0_conj)
+        return state._replace(h0=a, h0_conj=ac)
+
     def init(self, key: Optional[jax.Array] = None,
              h0: Optional[jax.Array] = None,
              h0_conj: Optional[jax.Array] = None) -> OceanState:
@@ -166,6 +198,12 @@ class DistributedOceanSolver:
                                   cfg.wind, cfg.damping,
                                   model=cfg.spectrum_model,
                                   jonswap_kw=cfg.jonswap_kw)
+        if self.pack_channels:
+            # hermitize BEFORE sharding: negflip's reversed roll would
+            # otherwise trigger resharding collectives on the fresh arrays
+            from tpu_ocean.evolve import hermitize_pair
+            h0, h0_conj = hermitize_pair(jnp.asarray(h0, jnp.complex64),
+                                         jnp.asarray(h0_conj, jnp.complex64))
         x_sh = NamedSharding(self.mesh, P("shard", None))
         z_sh = NamedSharding(self.mesh, P(None, "shard"))
         rep = NamedSharding(self.mesh, P())
@@ -186,7 +224,11 @@ class DistributedOceanSolver:
         solver = DistributedOceanSolver(new_cfg, self.mesh,
                                         fft_backend=self.fft_backend,
                                         overlap_chunks=self.overlap_chunks,
-                                        pallas_fields=self.pallas_fields)
+                                        pallas_fields=self.pallas_fields,
+                                        pack_channels=(self.pack_channels
+                                                       if new_cfg.spectrum_layout
+                                                       == self.cfg.spectrum_layout
+                                                       else None))
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution
@@ -240,7 +282,8 @@ class DistributedOceanSolver:
             re, im = row_fn(pair, phase, cfg.length, dz_sign,
                             precision=self._mxu_precision,
                             epsilon=EPSILON, row_offset=row_off,
-                            ch_start=ch_start, ch_count=ch_count)
+                            ch_start=ch_start, ch_count=ch_count,
+                            packed=self.pack_channels, nch_live=self._nch)
             if lax.axis_size("shard") > 1:
                 both = jnp.stack([re, im])      # one collective per chunk
                 both = lax.all_to_all(both, "shard", split_axis=split_ax,
@@ -249,12 +292,12 @@ class DistributedOceanSolver:
             return re, im
 
         if self.overlap_chunks > 1:
-            per = self._nch // self.overlap_chunks
+            per = self._pch // self.overlap_chunks
             parts = [chunk(i * per, per) for i in range(self.overlap_chunks)]
             re = jnp.concatenate([p[0] for p in parts])
             im = jnp.concatenate([p[1] for p in parts])
         else:
-            re, im = chunk(0, self._nch)
+            re, im = chunk(0, self._pch)
         if large:
             # [C, X full (kx spectral), N/D (z spatial)] → einsum column pass
             re, im = ifft1d_planes_axis2(re, im, True, self._mxu_precision)
@@ -323,7 +366,13 @@ class DistributedOceanSolver:
         if self.fft_backend == "pallas_fused":
             f = self._fused_transform(state, phase)
         else:
-            spectra = assemble_spectra(state.h0, state.h0_conj, phase, coeffs)
+            if self.pack_channels:
+                from tpu_ocean.evolve import assemble_spectra_packed
+                spectra = assemble_spectra_packed(state.h0, state.h0_conj,
+                                                  phase, coeffs)
+            else:
+                spectra = assemble_spectra(state.h0, state.h0_conj, phase,
+                                           coeffs)
             if cfg.spectrum_layout == "centered":
                 spectra = spectra * (pre_re + 1j * pre_im)[None]
             f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
@@ -333,11 +382,19 @@ class DistributedOceanSolver:
 
         # --- field extraction (Z-sharded; stencils ride the halo ring) ---
         roll = make_roll_fn("shard", sharded_axes=(1,))
-        height = jnp.real(f[0])
-        disp_x = jnp.imag(f[1])
-        disp_z = jnp.imag(f[2])
-        slope_x = jnp.imag(f[3]) if self._nch == 5 else None
-        slope_z = jnp.imag(f[4]) if self._nch == 5 else None
+        if self.pack_channels:
+            # packed channels: fields alternate Re/Im down the packed list
+            height = jnp.real(f[0])
+            disp_x = jnp.imag(f[0])
+            disp_z = jnp.real(f[1])
+            slope_x = jnp.imag(f[1]) if self._nch == 5 else None
+            slope_z = jnp.real(f[2]) if self._nch == 5 else None
+        else:
+            height = jnp.real(f[0])
+            disp_x = jnp.imag(f[1])
+            disp_z = jnp.imag(f[2])
+            slope_x = jnp.imag(f[3]) if self._nch == 5 else None
+            slope_z = jnp.imag(f[4]) if self._nch == 5 else None
         chop = cfg.choppiness
 
         z_off = lax.axis_index("shard") * self.n_local
