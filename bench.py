@@ -35,8 +35,18 @@ import sys
 import time
 
 _REAL_BACKENDS = ("pallas", "pallas_fused")   # support real_state=True
-#: the complex-free sweep measured by the realsweep child and --in-process
-_REAL_SWEEP = (("pallas", True), ("pallas", False))
+#: the complex-free sweep measured by the realsweep child and --in-process:
+#: (backend, pallas_fields, pack_channels). Parity-grade flagship first (the
+#: headline must survive a killed tail — results stream); then the packed
+#: variant (docs/parity.md ledger: Hermitian pairs share one FFT, 2 instead
+#: of 3 transforms); the unfused-stencil comparison point last.
+_REAL_SWEEP = (("pallas", True, False), ("pallas", True, True),
+               ("pallas", False, False))
+
+
+def _variant_label(backend: str, fields: bool, packed: bool) -> str:
+    return backend + ("+fields" if fields else "") + ("+packed" if packed
+                                                      else "")
 
 
 def _measure_calibration() -> dict:
@@ -57,7 +67,8 @@ def _measure_calibration() -> dict:
 
 def _measure_backend(backend: str, res: int, steps: int,
                      method: str, pallas_fields: bool = False,
-                     precision: str = "float32") -> dict:
+                     precision: str = "float32",
+                     pack_channels: bool = False) -> dict:
     import jax
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.solver import OceanSolver
@@ -67,7 +78,8 @@ def _measure_backend(backend: str, res: int, steps: int,
                              precision=precision)
     solver = OceanSolver(cfg, fft_backend=backend,
                          real_state=backend in _REAL_BACKENDS,
-                         pallas_fields=pallas_fields)
+                         pallas_fields=pallas_fields,
+                         pack_channels=pack_channels)
     state = solver.init(jax.random.PRNGKey(0))
     dt = 1.0 / 60.0
     if method == "dispatch":
@@ -95,6 +107,8 @@ def _run_child(task: str, args, timeout_s: float, fields: bool = False):
            "--method", args.method, "--precision", args.precision]
     if fields or args.pallas_fields:
         cmd.append("--pallas-fields")
+    if args.pack_channels:
+        cmd.append("--pack-channels")
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=timeout_s)
@@ -135,6 +149,9 @@ def main():
     ap.add_argument("--no-calibrate", action="store_true")
     ap.add_argument("--pallas-fields", action="store_true",
                     help="fused normals+whitecap stencil kernel")
+    ap.add_argument("--pack-channels", action="store_true",
+                    help="Hermitian channel packing, 2 FFTs for 3 fields "
+                         "(parity-ledger switch — docs/parity.md)")
     ap.add_argument("--precision", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="MXU dot precision mode (bfloat16 = fast mode, "
@@ -154,21 +171,24 @@ def main():
             # touch complex64 — the two measured poisoning triggers. Each
             # result STREAMS as its own JSON line so a parent that must
             # kill a hung tail still harvests the finished measurements.
-            for backend, fields in _REAL_SWEEP:
+            for backend, fields, packed in _REAL_SWEEP:
+                label = _variant_label(backend, fields, packed)
                 try:
                     r = _measure_backend(backend, args.res, args.steps,
                                          args.method, pallas_fields=fields,
-                                         precision=args.precision)
-                    r["backend"] = backend + ("+fields" if fields else "")
+                                         precision=args.precision,
+                                         pack_channels=packed)
+                    r["backend"] = label
                 except Exception as e:
-                    r = {"backend": backend + ("+fields" if fields else ""),
+                    r = {"backend": label,
                          "error": f"{type(e).__name__}: {e}"}
                 print(json.dumps(r), flush=True)
         else:
             print(json.dumps(_measure_backend(
                 args.child, args.res, args.steps, args.method,
                 pallas_fields=args.pallas_fields,
-                precision=args.precision)))
+                precision=args.precision,
+                pack_channels=args.pack_channels)))
         return 0
 
     if args.backend == "auto":
@@ -192,24 +212,27 @@ def main():
             return _measure_calibration()
         if t == "realsweep":
             sweep = []
-            for b, pf in _REAL_SWEEP:
+            for b, pf, pk in _REAL_SWEEP:
                 r = _measure_backend(b, args.res, args.steps, args.method,
                                      pallas_fields=pf,
-                                     precision=args.precision)
-                r["backend"] = b + ("+fields" if pf else "")
+                                     precision=args.precision,
+                                     pack_channels=pk)
+                r["backend"] = _variant_label(b, pf, pk)
                 sweep.append(r)
             return {"sweep": sweep}
         return _measure_backend(t, args.res, args.steps, args.method,
-                                pallas_fields=f, precision=args.precision)
+                                pallas_fields=f, precision=args.precision,
+                                pack_channels=args.pack_channels)
 
     measure = ((lambda t, f=False: _run_child(
                     t, args,
-                    {"realsweep": 450.0, "calibrate": 210.0}.get(t, 150.0),
+                    {"realsweep": 560.0, "calibrate": 210.0}.get(t, 150.0),
                     fields=f))
                if not args.in_process else _in_process)
 
     t_start = time.perf_counter()
     best = None
+    best_parity = None   # fastest valid PARITY-GRADE (non-packed) variant
     attempted = 0
     for backend, fields in backends:
         label = backend + ("+fields" if fields else "")
@@ -239,6 +262,10 @@ def main():
                     or (r["suspect"] == best["suspect"]
                         and step_s < best["per_step_s"])):
                 best = r
+            if ("+packed" not in r["backend"] and not r["suspect"]
+                    and (best_parity is None
+                         or step_s < best_parity["per_step_s"])):
+                best_parity = r
 
     # calibration LAST: the headline ladder self-validates, so when the
     # tunnel is slow the budget is spent on the measurement, not the anchor
@@ -284,6 +311,13 @@ def main():
                 "intercept_ms"):
         if key in best:
             out[key] = best[key]
+    if ("+packed" in backend and best_parity is not None
+            and not suspect):
+        # the headline rode the packed (parity-ledger) path: record the
+        # strict-parity number alongside so both are defensible
+        out["parity_grade_backend"] = best_parity["backend"]
+        out["parity_grade_ms_per_step"] = round(
+            best_parity["per_step_s"] * 1e3, 4)
     if calib is not None:
         out["calibration"] = calib
     if suspect:

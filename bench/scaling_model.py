@@ -37,7 +37,8 @@ F32 = 4
 def step_collectives_model(n: int, d: int, backend: str = "matmul",
                            overlap_chunks: int = 1,
                            pallas_fields: bool = False,
-                           channels: int = C) -> dict:
+                           channels: int = C,
+                           pack_channels: bool = False) -> dict:
     """Per-STEP per-DEVICE collective inventory of the sharded solver step.
 
     all_to_all: ONE distributed transpose per step (the packed 5-channel 2-D
@@ -64,6 +65,11 @@ def step_collectives_model(n: int, d: int, backend: str = "matmul",
       halo wire   = strips · N · 4          (strips: 10 jnp path / 6 pallas)
     """
     rows_local = n // d
+    if pack_channels:
+        # Hermitian packing (evolve.packed_coefficients): 3 live channels
+        # ride 2 complex transforms, 5 ride 3 — the transpose shrinks with
+        # the transform batch
+        channels = 2 if channels == 3 else 3
     a2a_buffer = channels * rows_local * n * CPLX
     a2a_wire = int(a2a_buffer * (d - 1) / d) if d > 1 else 0
     n_a2a = overlap_chunks if d > 1 else 0
@@ -135,7 +141,8 @@ def hlo_collective_inventory(hlo_text: str) -> dict:
 
 def compiled_step_hlo(n: int, backend: str = "matmul",
                       overlap_chunks: int = 1,
-                      pallas_fields: bool = False) -> str:
+                      pallas_fields: bool = False,
+                      pack_channels: bool = False) -> str:
     """Compile the real distributed step on the fake 8-device mesh."""
     import jax
     import jax.numpy as jnp
@@ -150,7 +157,8 @@ def compiled_step_hlo(n: int, backend: str = "matmul",
                       normals_mode="stencil")
     solver = DistributedOceanSolver(cfg, mesh, fft_backend=backend,
                                     overlap_chunks=overlap_chunks,
-                                    pallas_fields=pallas_fields)
+                                    pallas_fields=pallas_fields,
+                                    pack_channels=pack_channels)
     st = solver.init(jax.random.PRNGKey(0))
     args = (st, jnp.float32(1 / 60), solver._omega, solver._coeffs,
             solver._pre_re, solver._pre_im, solver._post_re, solver._post_im,

@@ -40,6 +40,20 @@ def test_model_matches_compiled_hlo(backend, chunks, pallas_fields):
     assert not set(inv) - {"all-to-all", "collective-permute"}
 
 
+def test_packed_transpose_reduction_is_real():
+    """pack_channels=True transposes 2 packed channels, not 3 — the wire
+    cut must show up in the compiled HLO, and the model must track it."""
+    hlo = compiled_step_hlo(64, "pallas_fused", 1, False, pack_channels=True)
+    inv = hlo_collective_inventory(hlo)
+    model = step_collectives_model(64, 8, "pallas_fused",
+                                   pack_channels=True)
+    assert inv["all-to-all"]["count"] == model["all_to_all_count"]
+    assert inv["all-to-all"]["buffer_bytes"] == model["all_to_all_buffer_bytes"]
+    unpacked = step_collectives_model(64, 8, "pallas_fused")
+    assert (model["all_to_all_buffer_bytes"]
+            == unpacked["all_to_all_buffer_bytes"] * 2 // 3)
+
+
 def test_live_channel_reduction_is_real():
     """The stencil-mode step transposes 3 channels, not 5 — the slope
     spectra are dead there and must not ride the wire."""
