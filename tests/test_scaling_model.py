@@ -54,6 +54,30 @@ def test_packed_transpose_reduction_is_real():
             == unpacked["all_to_all_buffer_bytes"] * 2 // 3)
 
 
+def test_pallas_a2a_is_single_stacked_f32_collective():
+    """The pallas path rides ONE all_to_all whose operand is the stacked
+    f32[2, C, …] (re, im) buffer — complex never enters the collective, and
+    the plane pair does not split into two collectives. The stack's HBM
+    cost is the model's a2a_pack_copy_bytes = 2 × buffer (read both planes,
+    write the contiguous operand) — the quantified side of the one-collective
+    vs two trade (VERDICT r1 weak #7, bench/scaling_model.md)."""
+    import re as _re
+    hlo = compiled_step_hlo(64, "pallas", 1, False)
+    a2a_lines = [ln for ln in hlo.splitlines()
+                 if _re.search(r"=\s*[^=]*?\ball-to-all(?:-start)?\(", ln)]
+    assert len(a2a_lines) == 1
+    shapes = _re.findall(r"\b([a-z]+\d+)\[([\d,]+)\]", a2a_lines[0])
+    assert shapes, a2a_lines[0]
+    dt, dims = shapes[0]
+    assert dt == "f32"                       # complex-free wire
+    assert dims.split(",")[0] == "2"         # stacked (re, im) leading dim
+    model = step_collectives_model(64, 8, "pallas")
+    assert model["a2a_pack_copy_bytes"] == \
+        2 * model["all_to_all_buffer_bytes"]
+    # the jnp/matmul path sends complex directly — no pack copy there
+    assert step_collectives_model(64, 8, "matmul")["a2a_pack_copy_bytes"] == 0
+
+
 def test_live_channel_reduction_is_real():
     """The stencil-mode step transposes 3 channels, not 5 — the slope
     spectra are dead there and must not ride the wire."""
