@@ -132,6 +132,27 @@ def _result_bytes(line: str) -> int:
     return total
 
 
+def gspmd_step_hlo(n: int, backend: str = "reference") -> str:
+    """Compile the GSPMD rung (jit + sharding annotations, no shard_map —
+    parallel/gspmd.py) of the same step on the fake 8-device mesh. Its
+    collective inventory is what the SPMD partitioner chooses on its own;
+    the gap vs step_collectives_model is the hand design's justification
+    (quantified in bench/scaling_model.md)."""
+    import jax
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    from tpu_ocean.parallel.mesh import make_mesh
+    from tpu_ocean.parallel.gspmd import make_gspmd_step
+
+    cfg = OceanConfig(resolution=n, length=float(n), wind=(8.0, 5.0),
+                      amplitude=0.5, spectrum_layout="fft",
+                      normals_mode="stencil")
+    solver = OceanSolver(cfg, fft_backend=backend)
+    step, place = make_gspmd_step(solver, make_mesh(shard=8))
+    state = place(solver.init(jax.random.PRNGKey(0)))
+    return step.lowered(state).compile().as_text()
+
+
 def hlo_collective_inventory(hlo_text: str) -> dict:
     """Count + byte-size every collective in an optimized HLO module."""
     inv = {}

@@ -14,5 +14,7 @@ equivalents (SURVEY.md §2.3, §5.7-5.8):
 
 from tpu_ocean.parallel.mesh import make_mesh, initialize_distributed
 from tpu_ocean.parallel.halo import roll_sharded
+from tpu_ocean.parallel.gspmd import make_gspmd_step
 
-__all__ = ["make_mesh", "initialize_distributed", "roll_sharded"]
+__all__ = ["make_mesh", "initialize_distributed", "roll_sharded",
+           "make_gspmd_step"]
