@@ -22,9 +22,10 @@ CFG = OceanConfig(resolution=64, length=64.0, wind=(8.0, 5.0), amplitude=0.5,
                   spectrum_layout="fft", normals_mode="stencil")
 
 
-@pytest.mark.parametrize("backend", ["reference", "matmul"])
-def test_gspmd_matches_single_device(backend):
-    solver = OceanSolver(CFG, fft_backend=backend)
+@pytest.mark.parametrize("backend,pack", [
+    ("reference", False), ("matmul", False), ("matmul", True)])
+def test_gspmd_matches_single_device(backend, pack):
+    solver = OceanSolver(CFG, fft_backend=backend, pack_channels=pack)
     sa = solver.init(jax.random.PRNGKey(3))
     for _ in range(3):
         sa, fa = solver.step(sa, 1 / 60)
