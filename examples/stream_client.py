@@ -1,0 +1,75 @@
+"""Consume a live tpu-ocean frame stream — the renderer side of `serve`.
+
+Launches `python -m tpu_ocean serve` in-process (or connects to --host/--port
+if given), reads K frames, prints per-frame stats, and writes a shaded PNG of
+the last frame — a stand-in for the remote render client a production
+deployment pairs with the TPU solver host.
+
+    python examples/stream_client.py --frames 10 --out out/stream.png
+    python examples/stream_client.py --host 10.0.0.2 --port 7777
+"""
+
+import argparse
+import os
+import sys
+import threading
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--host", type=str, default="")
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--out", type=str, default="out/stream.png")
+    args = ap.parse_args()
+
+    from tpu_ocean.serve import stream_frames
+
+    server = None
+    if args.host:
+        host, port = args.host, args.port
+    else:
+        # self-contained demo: serve the ocean preset from this process
+        import jax
+        from tpu_ocean.config import OCEAN_DEMO
+        from tpu_ocean.runtime import Simulation
+        from tpu_ocean.serve import FrameServer
+
+        cfg = OCEAN_DEMO.replace(resolution=args.res,
+                                 length=float(args.res))
+        sim = Simulation(cfg, fft_backend="matmul",
+                         seed_key=jax.random.PRNGKey(0))
+        server = FrameServer(sim, fields=("height", "normal", "foam"))
+        host, port = server.address
+        threading.Thread(target=server.run,
+                         args=(args.frames + 2,), daemon=True).start()
+
+    last = None
+    for meta, planes in stream_frames(host, port, max_frames=args.frames):
+        h = planes["height"]
+        print(f"step {meta['step']:4d}  t={meta['t']:7.3f}s  "
+              f"h in [{h.min():+.3f}, {h.max():+.3f}]  "
+              f"foam {planes.get('foam', h).mean():.4f}", file=sys.stderr)
+        last = planes
+
+    if server is not None:
+        server.stop()
+    if last is None:
+        print("no frames received", file=sys.stderr)
+        return 1
+
+    if {"normal", "foam"} <= set(last):
+        from types import SimpleNamespace
+        from tpu_ocean import viz
+        viz.save_render_png(args.out, SimpleNamespace(**last))
+        print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,15 @@ def test_buoys_streams_csv():
     assert len(lines) == 5      # header + 4 steps
 
 
+def test_stream_client_receives_and_renders(tmp_path):
+    out = str(tmp_path / "stream.png")
+    r = _run(["examples/stream_client.py", "--frames", "3", "--res", "32",
+              "--out", out])
+    assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
+    assert r.stderr.count("step ") == 3
+    assert os.path.getsize(out) > 300
+
+
 def test_lod_cascade_reports_skipped_work():
     r = _run(["examples/lod_cascade.py", "--n", "32", "--steps", "16",
               "--camera", "400"])

@@ -1,0 +1,94 @@
+"""Frame serving (tpu_ocean/serve.py): wire protocol round-trip, trajectory
+fidelity vs an offline run of the same seed, and the real-time drop policy
+(the solver loop must never block on a slow client)."""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.runtime import Simulation
+from tpu_ocean.serve import FrameServer, stream_frames, PROTO
+
+CFG = OceanConfig(resolution=64, length=64.0, wind=(8.0, 5.0), amplitude=0.5,
+                  spectrum_layout="fft", normals_mode="stencil")
+
+
+def test_stream_matches_offline_trajectory():
+    fields = ("height", "normal", "foam")
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=fields) as server:
+        host, port = server.address
+        frames = []
+        client_err = []
+
+        def client():
+            try:
+                frames.extend(stream_frames(host, port, max_frames=3))
+            except Exception as e:       # surface in the main thread
+                client_err.append(e)
+
+        t = threading.Thread(target=client)
+        t.start()
+        # wait for the subscription so no frame precedes the client
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=5)
+        t.join(timeout=30)
+        assert not t.is_alive() and not client_err, client_err
+
+    assert [m["step"] for m, _ in frames] == [1, 2, 3]
+    assert frames[0][1]["height"].shape == (64, 64)
+    assert frames[0][1]["normal"].shape == (64, 64, 3)
+
+    # the wire carries exactly the offline trajectory (same seed, same math)
+    offline = Simulation(CFG, fft_backend="matmul")
+    for meta, planes in frames:
+        out = offline.step()
+        assert meta["t"] == pytest.approx(meta["step"] * offline.dt)
+        for name in fields:
+            np.testing.assert_array_equal(planes[name],
+                                          np.asarray(getattr(out, name)))
+
+
+def test_slow_client_drops_frames_not_blocks():
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height", "foam"), queue_frames=1) as server:
+        host, port = server.address
+        # subscribe but never read — with a tiny receive window so the
+        # kernel cannot absorb the stream: the sender blocks, the 1-frame
+        # queue overflows → drops, never backpressure on the solver loop
+        lazy = socket.socket()
+        lazy.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        lazy.connect((host, port))
+        try:
+            while server.client_count == 0:
+                pass
+            server.run(steps=64)         # must complete promptly
+            assert server.dropped_frames > 0
+        finally:
+            lazy.close()
+
+
+def test_rejects_unknown_field_and_foreign_stream():
+    with pytest.raises(ValueError, match="stream"):
+        FrameServer(Simulation(CFG, fft_backend="matmul"),
+                    fields=("height", "velocity"))
+
+    imposter = socket.create_server(("127.0.0.1", 0))
+    host, port = imposter.getsockname()
+
+    def fake():
+        conn, _ = imposter.accept()
+        conn.sendall(json.dumps({"proto": "nope/9"}).encode() + b"\n")
+        conn.close()
+
+    t = threading.Thread(target=fake, daemon=True)
+    t.start()
+    with pytest.raises(ConnectionError, match="tpu-ocean"):
+        list(stream_frames(host, port, max_frames=1))
+    imposter.close()
+    assert PROTO == "tpu-ocean/1"

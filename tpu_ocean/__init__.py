@@ -49,4 +49,5 @@ __all__ = [
 #   tpu_ocean.ensemble.EnsembleOceanSolver         (data parallel)
 #   tpu_ocean.cascade.CascadeSolver                (multi-band / expert)
 #   tpu_ocean.lod.LODCascadeSolver                 (per-band refresh rates)
+#   tpu_ocean.serve.FrameServer / stream_frames    (real-time frame serving)
 #   tpu_ocean.checkpoint / observe / viz / diagnostics / native

@@ -160,6 +160,29 @@ def run_cascade(args) -> int:
     return 0
 
 
+def run_serve(args) -> int:
+    """Serve the ocean demo as a real-time field stream (serve.py): the
+    deployment shape of the reference's per-frame render loop — remote
+    clients consume what Unity composited locally (OceanRenderer.cs:98-136).
+    Connect with serve.stream_frames or examples/stream_client.py."""
+    from tpu_ocean.config import OCEAN_DEMO
+    from tpu_ocean.runtime import Simulation
+    from tpu_ocean.serve import FrameServer
+
+    cfg = OCEAN_DEMO if not args.res else OCEAN_DEMO.replace(
+        resolution=args.res, length=float(args.res))
+    sim = Simulation(cfg, fft_backend=args.backend,
+                     seed_key=jax.random.PRNGKey(args.seed))
+    with FrameServer(sim, fields=tuple(args.fields.split(",")),
+                     host=args.host, port=args.port) as server:
+        host, port = server.address
+        print(f"# serving {cfg.resolution}^2 [{args.fields}] on "
+              f"{host}:{port} ({args.steps or 'unlimited'} steps)",
+              file=sys.stderr)
+        server.run(steps=args.steps or None)
+    return 0
+
+
 def main(argv=None) -> int:
     # honor an explicit JAX_PLATFORMS=cpu even where a device plugin
     # overrides the env var during registration (the axon tunnel does)
@@ -191,10 +214,22 @@ def main(argv=None) -> int:
     p.add_argument("--camera", type=float, default=0.0,
                    help="camera distance in m (>0 enables LOD scheduling)")
 
+    p = sub.add_parser("serve",
+                       help="stream solver fields to TCP clients "
+                            "(real-time drop policy; serve.py)")
+    _add_common(p, default_steps=0)
+    p.add_argument("--res", type=int, default=0)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=0,
+                   help="0 = ephemeral (printed on stderr)")
+    p.add_argument("--fields", type=str, default="height,foam",
+                   help="comma-separated OceanFields leaves to stream")
+
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     return {"ocean": run_ocean, "fftmesh": run_fftmesh,
-            "pond": run_pond, "cascade": run_cascade}[args.cmd](args)
+            "pond": run_pond, "cascade": run_cascade,
+            "serve": run_serve}[args.cmd](args)
 
 
 if __name__ == "__main__":
