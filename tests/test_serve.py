@@ -73,6 +73,30 @@ def test_slow_client_drops_frames_not_blocks():
             lazy.close()
 
 
+def test_serves_sharded_simulation():
+    """A domain-decomposed Simulation streams identically — device_get
+    gathers the Z-sharded field shards into the same wire planes."""
+    from tpu_ocean.parallel.mesh import make_mesh
+    sharded = Simulation(CFG, fft_backend="matmul", mesh=make_mesh(shard=8))
+    with FrameServer(sharded, fields=("height",)) as server:
+        host, port = server.address
+        frames = []
+        t = threading.Thread(target=lambda: frames.extend(
+            stream_frames(host, port, max_frames=2)))
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=3)
+        t.join(timeout=30)
+        assert not t.is_alive()
+
+    offline = Simulation(CFG, fft_backend="matmul")
+    for _, planes in frames:
+        out = offline.step()
+        np.testing.assert_allclose(planes["height"], np.asarray(out.height),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_rejects_unknown_field_and_foreign_stream():
     with pytest.raises(ValueError, match="stream"):
         FrameServer(Simulation(CFG, fft_backend="matmul"),
