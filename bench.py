@@ -235,7 +235,12 @@ def main():
     best_parity = None   # fastest valid PARITY-GRADE (non-packed) variant
     attempted = 0
     for backend, fields in backends:
-        label = backend + ("+fields" if fields else "")
+        # the label must carry EVERY variant switch the child will apply
+        # (--pack-channels rides _run_child's argv): a packed measurement
+        # published under a bare backend name would masquerade as
+        # parity-grade in the evidence artifacts
+        label = (backend if backend == "realsweep"
+                 else _variant_label(backend, fields, args.pack_channels))
         if (attempted > 0
                 and time.perf_counter() - t_start > args.budget_s):
             print(f"# budget exceeded, skipping {label}", file=sys.stderr)

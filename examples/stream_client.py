@@ -46,8 +46,18 @@ def main():
                          seed_key=jax.random.PRNGKey(0))
         server = FrameServer(sim, fields=("height", "normal", "foam"))
         host, port = server.address
-        threading.Thread(target=server.run,
-                         args=(args.frames + 2,), daemon=True).start()
+
+        def pump():
+            # wait for our own subscription so no frame precedes the client,
+            # then stop() → EOF so the client can never block forever even
+            # if the drop policy thinned the stream below --frames
+            import time
+            while server.client_count == 0 and not server._stop.is_set():
+                time.sleep(0.01)
+            server.run(args.frames + 4)
+            server.stop()
+
+        threading.Thread(target=pump, daemon=True).start()
 
     last = None
     for meta, planes in stream_frames(host, port, max_frames=args.frames):

@@ -171,7 +171,9 @@ def run_serve(args) -> int:
 
     cfg = OCEAN_DEMO if not args.res else OCEAN_DEMO.replace(
         resolution=args.res, length=float(args.res))
-    sim = Simulation(cfg, fft_backend=args.backend,
+    sim = Simulation(cfg, fft_backend=args.backend, out_dir=args.out,
+                     checkpoint_every=args.checkpoint_every,
+                     export_every=args.dump_every,
                      seed_key=jax.random.PRNGKey(args.seed))
     with FrameServer(sim, fields=tuple(args.fields.split(",")),
                      host=args.host, port=args.port) as server:

@@ -123,7 +123,14 @@ class FrameServer:
     def _send_loop(self, q: queue.Queue, conn: socket.socket):
         try:
             while True:
-                payload = q.get()
+                try:
+                    # bounded wait so a consumed/lost sentinel can never
+                    # park this thread forever — stop() is always observed
+                    payload = q.get(timeout=0.5)
+                except queue.Empty:
+                    if self._stop.is_set():
+                        return
+                    continue
                 if payload is None:      # stop() sentinel
                     return
                 conn.sendall(payload)
@@ -136,6 +143,8 @@ class FrameServer:
                                  if cq is not q]
 
     def _broadcast(self, payload: bytes):
+        if self._stop.is_set():          # racing stop(): don't bury sentinels
+            return
         with self._lock:
             clients = list(self._clients)
         for q, _ in clients:
@@ -145,7 +154,13 @@ class FrameServer:
                     break
                 except queue.Full:       # real-time policy: drop its oldest
                     try:
-                        q.get_nowait()
+                        oldest = q.get_nowait()
+                        if oldest is None:   # stop() sentinel, not a frame:
+                            try:             # hand it straight back and give
+                                q.put_nowait(None)   # up on this payload
+                            except queue.Full:
+                                pass         # sender will time out on stop
+                            break
                         self.dropped_frames += 1
                     except queue.Empty:
                         pass
