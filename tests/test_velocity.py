@@ -1,0 +1,75 @@
+"""OceanSolver.velocity — the analytic ∂h/∂t must match finite differences
+of the height trajectory itself, in both evolution modes and for every state
+representation (complex / real-plane / packed)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+
+
+def _cfg(mode):
+    return OceanConfig(resolution=64, length=64.0, wind=(8.0, 5.0),
+                       amplitude=0.3, evolution_mode=mode,
+                       dispersion_mode="capillary", spectrum_layout="fft",
+                       normals_mode="stencil")
+
+
+def _rel_l2(a, b):
+    return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+
+def test_velocity_matches_fd_absolute_mode():
+    solver = OceanSolver(_cfg("absolute"), fft_backend="matmul")
+    state = solver.init(jax.random.PRNGKey(0))
+    t, eps = 2.0, 5e-3
+    v = np.asarray(solver.velocity(state, t))
+    hp = np.asarray(solver.fields_at(state, t + eps).height)
+    hm = np.asarray(solver.fields_at(state, t - eps).height)
+    fd = (hp - hm) / (2 * eps)
+    assert np.isfinite(v).all() and np.abs(v).max() > 0
+    assert _rel_l2(v, fd) < 2e-2      # fp32 FD cancellation sets the floor
+
+
+def test_velocity_matches_fd_phase_mode():
+    solver = OceanSolver(_cfg("phase"), fft_backend="reference")
+    state = solver.init(jax.random.PRNGKey(1))
+    dt = 1.0 / 60.0
+    for _ in range(3):
+        state, _ = solver.step(state, dt)
+    v = np.asarray(solver.velocity(state))
+    # step() evaluates fields at the UPDATED phase, so stepping ±dt yields
+    # the heights surrounding this state's phase (accumulation reverses);
+    # step donates its input, so each probe gets its own copy
+    _, f_prev = solver.step(jax.tree.map(jnp.copy, state), -dt)
+    _, f_next = solver.step(jax.tree.map(jnp.copy, state), dt)
+    fd = (np.asarray(f_next.height) - np.asarray(f_prev.height)) / (2 * dt)
+    assert _rel_l2(v, fd) < 2e-2
+    with pytest.raises(ValueError, match="phase mode"):
+        solver.velocity(state, t=1.0)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(fft_backend="pallas", real_state=True, pallas_fields=True),
+    dict(fft_backend="pallas", real_state=True, pack_channels=True),
+    dict(fft_backend="pallas_fused"),
+])
+def test_velocity_consistent_across_representations(kw):
+    """Real-plane, packed, and fused solvers report the same velocity as the
+    plain complex path (same injected h0)."""
+    cfg = _cfg("phase")
+    ref = OceanSolver(cfg, fft_backend="reference")
+    other = OceanSolver(cfg, **kw)
+    s_ref = ref.init(jax.random.PRNGKey(2))
+    s_oth = other.init(jax.random.PRNGKey(2))
+    dt = 1.0 / 60.0
+    for _ in range(2):
+        s_ref, _ = ref.step(s_ref, dt)
+        s_oth, _ = other.step(s_oth, dt)
+    v_ref = np.asarray(ref.velocity(s_ref))
+    v_oth = np.asarray(other.velocity(s_oth))
+    scale = np.abs(v_ref).max()
+    assert np.abs(v_ref - v_oth).max() < 2e-3 * scale

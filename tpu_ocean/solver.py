@@ -546,6 +546,43 @@ class OceanSolver:
         return self._extract_fields(self._evolved_transform(state, phase, c),
                                     c)
 
+    def velocity(self, state, t: Optional[float] = None) -> jax.Array:
+        """Vertical surface velocity ∂h/∂t [N, N] — exact from the
+        dispersion relation, no finite differencing:
+
+            ∂ₜ h̃(k) = iω·(h0·e^{iφ} − h0*·e^{−iφ}),   v = Re F(∂ₜ h̃)
+
+        Beyond-reference output (a fragment pipeline has no time axis to
+        differentiate along) for spray/wake seeding, Doppler audio cues, and
+        fluid-structure coupling. 'absolute' mode evaluates at ``t``
+        (default: the state's own clock); 'phase' mode uses the accumulated
+        per-mode phase (pass no t). Diagnostic-grade: rides the generic
+        complex transform, not the packed hot loop.
+        """
+        c = self._consts
+        if isinstance(state, OceanStateReal):
+            h0 = state.h0_re + 1j * state.h0_im
+            h0c = state.h0c_re + 1j * state.h0c_im
+        else:
+            h0, h0c = state.h0, state.h0_conj
+        if self.cfg.evolution_mode == "absolute":
+            tt = state.t if t is None else jnp.asarray(t, jnp.float32)
+            phase = c["omega"] * tt
+        else:
+            if t is not None:
+                raise ValueError("phase mode accumulates incrementally: "
+                                 "velocity is defined at the state's "
+                                 "current phase (pass no t)")
+            phase = state.phase
+        pv = jnp.cos(phase) + 1j * jnp.sin(phase)
+        vspec = 1j * c["omega"] * (h0 * pv - h0c * jnp.conj(pv))
+        if self._ifft2 is None and self.eval_mode == "fft":
+            # pallas_fused keeps no standalone transform: the reference
+            # (jnp.fft) path is exact and this is not a hot loop
+            n = self.cfg.resolution
+            return jnp.real(jnp.fft.ifft2(vspec) * (n * n))
+        return jnp.real(self._transform(vspec[None], c)[0])
+
     # ---------------------------------------------------------------- internals
 
     def _evolved_transform(self, state: OceanState, phase, c) -> jax.Array:
