@@ -97,6 +97,28 @@ def test_serves_sharded_simulation():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_serves_cascade_simulation():
+    """CascadeSimulation satisfies the same serving contract (cfg/dt/step):
+    the combined multi-band surface streams like a single-patch one."""
+    from tpu_ocean.runtime import CascadeSimulation
+    from tpu_ocean.cascade import default_cascade
+    sim = CascadeSimulation(default_cascade(n=32), fft_backend="reference")
+    with FrameServer(sim, fields=("height", "foam")) as server:
+        host, port = server.address
+        frames = []
+        t = threading.Thread(target=lambda: frames.extend(
+            stream_frames(host, port, max_frames=2)))
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=3)
+        t.join(timeout=30)
+        assert not t.is_alive()
+    assert len(frames) == 2
+    assert frames[0][1]["height"].shape == (32, 32)
+    assert np.isfinite(frames[0][1]["height"]).all()
+
+
 def test_rejects_unknown_field_and_foreign_stream():
     with pytest.raises(ValueError, match="stream"):
         FrameServer(Simulation(CFG, fft_backend="matmul"),
