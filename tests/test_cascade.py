@@ -74,3 +74,70 @@ def test_cascade_honors_spectrum_model():
     # same key, different spectrum model ⇒ different h0 magnitudes
     assert not np.allclose(np.abs(np.asarray(a.h0)),
                            np.abs(np.asarray(b.h0)))
+
+
+def test_cascade_live_channel_cut_is_real():
+    """Stencil-mode cascades transform B×3 channels (slopes are dead);
+    spectral-mode keeps B×5. Packed: B×2 / B×3."""
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))    # stencil preset
+    assert CascadeSolver(cfgs)._coeffs.shape[1] == 3
+    assert CascadeSolver(cfgs, pack_channels=True)._coeffs.shape[1] == 2 * 2
+    spec = [c.replace(normals_mode="spectral") for c in cfgs]
+    assert CascadeSolver(spec)._coeffs.shape[1] == 5
+    assert CascadeSolver(spec, pack_channels=True)._coeffs.shape[1] == 2 * 3
+
+
+@pytest.mark.parametrize("normals", ["stencil", "spectral"])
+def test_packed_cascade_matches_unpacked_on_hermitized_state(normals):
+    """Same hermitized per-band h0 into packed and unpacked cascades →
+    combined fields equal to f32 rounding (the OceanSolver packing parity
+    claim, lifted over the band axis)."""
+    from tpu_ocean.evolve import hermitize_pair
+    cfgs = [c.replace(normals_mode=normals)
+            for c in default_cascade(n=64, lengths=(100.0, 13.0))]
+    key = jax.random.PRNGKey(7)
+
+    plain = CascadeSolver(cfgs)
+    packed = CascadeSolver(cfgs, pack_channels=True)
+    sp = plain.init(key)
+    # align starts: project the unpacked state like packed.init did
+    a, ac = jax.vmap(hermitize_pair)(sp.h0, sp.h0_conj)
+    sp = sp._replace(h0=a, h0_conj=ac)
+    sq = packed.init(key)
+
+    for _ in range(3):
+        sp, fp = plain.step(sp, 1 / 60)
+        sq, fq = packed.step(sq, 1 / 60)
+    for name in ("height", "disp_x", "disp_z", "normal", "foam"):
+        p = np.asarray(getattr(fp, name))
+        q = np.asarray(getattr(fq, name))
+        scale = max(np.abs(p).max(), 1e-6)
+        assert np.abs(p - q).max() < 5e-6 * scale, name
+
+
+def test_cascade_simulation_pack_threading(tmp_path):
+    """CascadeSimulation forwards pack_channels; resume from an UNPACKED
+    checkpoint hermitizes the state (symmetrize on restore); LOD + packing
+    is rejected with a clear error."""
+    from tpu_ocean.runtime import CascadeSimulation
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
+    out = str(tmp_path / "run")
+
+    sim1 = CascadeSimulation(cfgs, out_dir=out, checkpoint_every=2)
+    for _ in range(2):
+        sim1.step()
+    sim1.close()
+
+    sim2 = CascadeSimulation(cfgs, out_dir=out, checkpoint_every=2,
+                             pack_channels=True)
+    assert sim2.solver.pack_channels
+    assert sim2.step_count == 2
+    # the restored state went through the Hermitian projection
+    from tpu_ocean.evolve import hermitize_pair
+    a, _ = jax.vmap(hermitize_pair)(sim2.state.h0, sim2.state.h0_conj)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(sim2.state.h0))
+    sim2.step()
+    sim2.close()
+
+    with pytest.raises(ValueError, match="LOD"):
+        CascadeSimulation(cfgs, camera_distance=300.0, pack_channels=True)

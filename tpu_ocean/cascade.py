@@ -63,7 +63,8 @@ class CascadeSolver:
     def __init__(self, cfgs: Sequence[OceanConfig],
                  fft_backend: str = "reference",
                  display_length: Optional[float] = None,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 pack_channels: bool = False):
         if not cfgs:
             raise ValueError("need at least one band config")
         n = cfgs[0].resolution
@@ -89,9 +90,26 @@ class CascadeSolver:
         self._omega = jax.device_put(
             np.stack([np.asarray(omega_grid(c), np.float32)
                       for c in cfgs]))                             # [B, N, N]
-        self._coeffs = jax.device_put(
-            np.stack([np.asarray(spectrum_coefficients(c).real, np.float32)
-                      for c in cfgs]))                             # [B, 5, N, N]
+        # stencil normals never read the slope spectra: B×3 transforms, not
+        # B×5 (same live-channel rule as OceanSolver._nch); Hermitian
+        # packing (evolve.packed_coefficients) further pairs fields into
+        # shared transforms — B×2 — under the same default-off parity-ledger
+        # terms as the single-patch solver (docs/parity.md)
+        self._nch = 3 if cfgs[0].normals_mode == "stencil" else 5
+        self.pack_channels = bool(pack_channels)
+        self._pch = ((2 if self._nch == 3 else 3) if pack_channels
+                     else self._nch)
+        if pack_channels:
+            from tpu_ocean.evolve import packed_coefficients
+            self._coeffs = jax.device_put(
+                np.stack([np.asarray(packed_coefficients(c, self._nch),
+                                     np.float32)
+                          for c in cfgs]))                        # [B, 2P, N, N]
+        else:
+            self._coeffs = jax.device_put(
+                np.stack([np.asarray(spectrum_coefficients(c).real,
+                                     np.float32)[:self._nch]
+                          for c in cfgs]))                        # [B, C, N, N]
         self._chop = np.asarray([c.choppiness for c in cfgs], np.float32)
         self._dtmul = np.asarray([c.dt_multiplier for c in cfgs], np.float32)
         x1d = (np.arange(n, dtype=np.float32)
@@ -129,8 +147,14 @@ class CascadeSolver:
                            jonswap_kw=c.jonswap_kw)
             h0s.append(h0)
             h0cs.append(h0c)
+        h0 = jnp.stack(h0s)
+        h0c = jnp.stack(h0cs)
+        if self.pack_channels:
+            # per-band Hermitian projection, exactly as OceanSolver.init
+            from tpu_ocean.evolve import hermitize_pair
+            h0, h0c = jax.vmap(hermitize_pair)(h0, h0c)
         st = CascadeState(
-            h0=jnp.stack(h0s), h0_conj=jnp.stack(h0cs),
+            h0=h0, h0_conj=h0c,
             phase=jnp.zeros((self.b, self.n, self.n), jnp.float32),
             t=jnp.zeros((), jnp.float32),
             step=jnp.zeros((), jnp.int32))
@@ -150,6 +174,16 @@ class CascadeSolver:
                               self._omega, self._coeffs,
                               self._x0, self._z0)
 
+    def symmetrize(self, state: CascadeState) -> CascadeState:
+        """Per-band Hermitian projection when packing (idempotent — see
+        OceanSolver.symmetrize); no-op otherwise. Applied to resumed
+        checkpoints so pre-packing snapshots continue correctly."""
+        if not self.pack_channels:
+            return state
+        from tpu_ocean.evolve import hermitize_pair
+        a, ac = jax.vmap(hermitize_pair)(state.h0, state.h0_conj)
+        return state._replace(h0=a, h0_conj=ac)
+
     def _step_impl(self, state: CascadeState, dt: jax.Array,
                    omega=None, coeffs=None, x0=None, z0=None):
         cfg0 = self.cfgs[0]
@@ -167,18 +201,35 @@ class CascadeSolver:
             phase_state = phase
             t_new = state.t + dt
 
-        # [B, 5, N, N] band spectra, one batched IFFT over the trailing axes
-        spectra = jax.vmap(assemble_spectra)(state.h0, state.h0_conj,
-                                             phase, coeffs)
+        # [B, C, N, N] band spectra (C = live or packed channels), one
+        # batched IFFT over the trailing axes
+        if self.pack_channels:
+            from tpu_ocean.evolve import assemble_spectra_packed
+            spectra = jax.vmap(assemble_spectra_packed)(
+                state.h0, state.h0_conj, phase, coeffs)
+        else:
+            spectra = jax.vmap(assemble_spectra)(state.h0, state.h0_conj,
+                                                 phase, coeffs)
         f = self._ifft2(spectra)
 
         chop = self._chop[:, None, None]
-        # combine bands at shared UV: Σ over B (the EP all-reduce)
-        height = jnp.sum(jnp.real(f[:, 0]), axis=0)
-        disp_x = jnp.sum(chop * jnp.imag(f[:, 1]), axis=0)
-        disp_z = jnp.sum(chop * jnp.imag(f[:, 2]), axis=0)
-        slope_x = jnp.sum(jnp.imag(f[:, 3]), axis=0)
-        slope_z = jnp.sum(jnp.imag(f[:, 4]), axis=0)
+        # combine bands at shared UV: Σ over B (the EP all-reduce). Plane
+        # map mirrors OceanSolver._extract_fields (packed: Re/Im pairs
+        # share transforms; unpacked: Re f0 / Im f1..)
+        if self.pack_channels:
+            height = jnp.sum(jnp.real(f[:, 0]), axis=0)
+            disp_x = jnp.sum(chop * jnp.imag(f[:, 0]), axis=0)
+            disp_z = jnp.sum(chop * jnp.real(f[:, 1]), axis=0)
+            if self._nch == 5:
+                slope_x = jnp.sum(jnp.imag(f[:, 1]), axis=0)
+                slope_z = jnp.sum(jnp.real(f[:, 2]), axis=0)
+        else:
+            height = jnp.sum(jnp.real(f[:, 0]), axis=0)
+            disp_x = jnp.sum(chop * jnp.imag(f[:, 1]), axis=0)
+            disp_z = jnp.sum(chop * jnp.imag(f[:, 2]), axis=0)
+            if self._nch == 5:
+                slope_x = jnp.sum(jnp.imag(f[:, 3]), axis=0)
+                slope_z = jnp.sum(jnp.imag(f[:, 4]), axis=0)
 
         texel = self.display_length / self.n
         if cfg0.normals_mode == "spectral":

@@ -171,7 +171,8 @@ class CascadeSimulation(Simulation):
                  out_dir: Optional[str] = None, dt: float = 1.0 / 60.0,
                  periods=None, camera_distance: float = 0.0,
                  checkpoint_every: int = 0, export_every: int = 0,
-                 metrics_stream=None, seed_key: Optional[jax.Array] = None):
+                 metrics_stream=None, seed_key: Optional[jax.Array] = None,
+                 pack_channels: bool = False):
         from tpu_ocean.cascade import CascadeSolver
         from tpu_ocean.checkpoint import (save_cascade_checkpoint,
                                           load_cascade_checkpoint)
@@ -181,6 +182,11 @@ class CascadeSimulation(Simulation):
         self.dt = dt
         self._lod = periods is not None or camera_distance > 0
         if self._lod:
+            if pack_channels:
+                raise ValueError(
+                    "pack_channels is not supported with LOD scheduling: "
+                    "the LOD plane caches store unpacked field planes "
+                    "(lod.LODCascadeSolver docstring)")
             from tpu_ocean.lod import LODCascadeSolver, periods_for_distance
             if periods is None:
                 periods = periods_for_distance(self.cfgs, dt,
@@ -188,7 +194,8 @@ class CascadeSimulation(Simulation):
             self.solver = LODCascadeSolver(self.cfgs, periods=periods,
                                            fft_backend=fft_backend, dt=dt)
         else:
-            self.solver = CascadeSolver(self.cfgs, fft_backend=fft_backend)
+            self.solver = CascadeSolver(self.cfgs, fft_backend=fft_backend,
+                                        pack_channels=pack_channels)
         self.out_dir = out_dir
         self.metrics = Metrics(grid_points=self.cfg.resolution ** 2,
                                emit=metrics_stream)
@@ -231,7 +238,11 @@ class CascadeSimulation(Simulation):
                         f"{list(self.solver.periods)}; restored band caches "
                         f"would be misaligned — use a fresh out_dir or the "
                         f"saved schedule")
-            self.state = state
+            # hermitize packed resumes (no-op for unpacked / already-packed
+            # snapshots — see CascadeSolver.symmetrize); LODState has no
+            # symmetrize (pack_channels is rejected above for LOD)
+            self.state = (state if self._lod
+                          else self.solver.symmetrize(state))
             if self._lod:
                 self._steps_done = state.frame   # host-side by design
             else:
