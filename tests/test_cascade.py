@@ -139,5 +139,9 @@ def test_cascade_simulation_pack_threading(tmp_path):
     sim2.step()
     sim2.close()
 
-    with pytest.raises(ValueError, match="LOD"):
-        CascadeSimulation(cfgs, camera_distance=300.0, pack_channels=True)
+    # LOD composes with packing too (refreshes transform B×2 channels; the
+    # plane cache stores the extracted live planes either way)
+    lod = CascadeSimulation(cfgs, camera_distance=300.0, pack_channels=True)
+    assert lod.solver.inner.pack_channels
+    f = lod.step()
+    assert np.isfinite(np.asarray(f.height)).all()

@@ -151,3 +151,48 @@ def test_absolute_mode_lod_matches_plain():
             np.testing.assert_allclose(np.asarray(fl.height),
                                        np.asarray(fp.height),
                                        rtol=0, atol=1e-4)
+
+
+def test_lod_plane_cache_is_live_channels_only():
+    """Stencil bands cache 3 planes per band (slopes are dead), spectral 5;
+    packing changes the refresh transform, never the cache layout."""
+    solver = LODCascadeSolver(_bands(), dt=DT)
+    assert solver.plane_count == 3
+    assert solver.init().planes.shape == (3, 3, N, N)
+    packed = LODCascadeSolver(_bands(), dt=DT, pack_channels=True)
+    assert packed.plane_count == 3
+    assert packed.init().planes.shape == (3, 3, N, N)
+    spec = [c.replace(normals_mode="spectral") for c in _bands()]
+    assert LODCascadeSolver(spec, dt=DT).init().planes.shape == (3, 5, N, N)
+
+
+def test_lod_packed_matches_unpacked_on_hermitized_state():
+    """Packed LOD refreshes reproduce the unpacked LOD trajectory exactly
+    (same hermitized h0) — held frames, refresh frames, all of it."""
+    import jax
+    from tpu_ocean.evolve import hermitize_pair
+
+    periods = [4, 2, 1]
+    plain = LODCascadeSolver(_bands(), periods=periods, dt=DT)
+    packed = LODCascadeSolver(_bands(), periods=periods, dt=DT,
+                              pack_channels=True)
+    key = jax.numpy.asarray(jax.random.PRNGKey(9))
+    sp = plain.init(key)
+    a, ac = jax.vmap(hermitize_pair)(sp.cascade.h0, sp.cascade.h0_conj)
+    cst = sp.cascade._replace(h0=a, h0_conj=ac)
+    sp = sp._replace(cascade=cst,
+                     planes=jax.jit(plain._planes_at)(
+                         a, ac, cst.phase, plain.inner._coeffs))
+    sq = packed.init(key)
+
+    for _ in range(5):
+        sp, fp = plain.step(sp)
+        sq, fq = packed.step(sq)
+        for name in ("height", "disp_x", "normal", "foam"):
+            p = np.asarray(getattr(fp, name))
+            q = np.asarray(getattr(fq, name))
+            scale = max(np.abs(p).max(), 1e-6)
+            # normals renormalize O(1) vectors: fusion-order noise lands
+            # a shade above the raw-plane bound
+            tol = 2e-5 if name == "normal" else 5e-6
+            assert np.abs(p - q).max() < tol * scale, name

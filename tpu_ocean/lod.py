@@ -118,7 +118,10 @@ def periods_for_distance(cfgs: Sequence[OceanConfig], dt: float,
 
 class LODState(NamedTuple):
     cascade: CascadeState     # shared band state (phase NOT advanced for held bands)
-    planes: jax.Array         # [B, 5, N, N] f32 cached per-band field planes
+    planes: jax.Array         # [B, C, N, N] f32 cached per-band field planes
+                              # (C = live channels: 3 stencil / 5 spectral —
+                              # always the EXTRACTED planes, independent of
+                              # whether the refresh transform was packed)
     frame: int                # HOST-side frame counter — the schedule slot is
                               # dispatch-time static; a device scalar here
                               # would force a per-frame scalar pull (hangs on
@@ -139,9 +142,11 @@ class LODCascadeSolver:
                  periods: Optional[Sequence[int]] = None,
                  fft_backend: str = "reference",
                  display_length: Optional[float] = None,
-                 dt: float = 1.0 / 60.0):
+                 dt: float = 1.0 / 60.0,
+                 pack_channels: bool = False):
         self.inner = CascadeSolver(cfgs, fft_backend=fft_backend,
-                                   display_length=display_length)
+                                   display_length=display_length,
+                                   pack_channels=pack_channels)
         b = self.inner.b
         self.dt = float(dt)
         if periods is None:
@@ -177,13 +182,41 @@ class LODCascadeSolver:
                                           cst.phase, self.inner._coeffs)
         return LODState(cascade=cst, planes=planes, frame=0)
 
-    def _planes_at(self, h0, h0c, phase, coeffs):
+    @property
+    def plane_count(self) -> int:
+        """Cached planes per band (= the inner solver's live channels)."""
+        return self.inner._nch
+
+    def symmetrize(self, state: LODState) -> LODState:
+        """Hermitize the cascade h0 pair when packing (idempotent; the plane
+        cache is the held display content and stays as written)."""
+        return state._replace(cascade=self.inner.symmetrize(state.cascade))
+
+    def _extract_planes(self, f) -> jax.Array:
+        """[S, C_transform, N, N] complex transforms → [S, C, N, N] live
+        field planes. Plane map mirrors CascadeSolver._step_impl (packed:
+        Re/Im pairs share transforms; unpacked: Re f0 / Im f1..)."""
+        inner = self.inner
+        if inner.pack_channels:
+            rows = [jnp.real(f[:, 0]), jnp.imag(f[:, 0]), jnp.real(f[:, 1])]
+            if inner._nch == 5:
+                rows += [jnp.imag(f[:, 1]), jnp.real(f[:, 2])]
+        else:
+            rows = [jnp.real(f[:, 0]), jnp.imag(f[:, 1]), jnp.imag(f[:, 2])]
+            if inner._nch == 5:
+                rows += [jnp.imag(f[:, 3]), jnp.imag(f[:, 4])]
+        return jnp.stack(rows, axis=1)
+
+    def _assemble(self, h0, h0c, phase, coeffs):
+        if self.inner.pack_channels:
+            from tpu_ocean.evolve import assemble_spectra_packed
+            return jax.vmap(assemble_spectra_packed)(h0, h0c, phase, coeffs)
         from tpu_ocean.evolve import assemble_spectra
-        spectra = jax.vmap(assemble_spectra)(h0, h0c, phase, coeffs)
-        f = self.inner._ifft2(spectra)
-        return jnp.stack([jnp.real(f[:, 0]),
-                          jnp.imag(f[:, 1]), jnp.imag(f[:, 2]),
-                          jnp.imag(f[:, 3]), jnp.imag(f[:, 4])], axis=1)
+        return jax.vmap(assemble_spectra)(h0, h0c, phase, coeffs)
+
+    def _planes_at(self, h0, h0c, phase, coeffs):
+        return self._extract_planes(
+            self.inner._ifft2(self._assemble(h0, h0c, phase, coeffs)))
 
     # ---------------------------------------------------------------- step
 
@@ -223,8 +256,7 @@ class LODCascadeSolver:
         om = omega[idx]
         co = coeffs[idx]
 
-        from tpu_ocean.evolve import (assemble_spectra,
-                                      evolve_phase_accumulate)
+        from tpu_ocean.evolve import evolve_phase_accumulate
         cfg0 = inner.cfgs[0]
         if cfg0.evolution_mode == "absolute":
             # absolute mode re-derives phase from global t each refresh;
@@ -239,11 +271,8 @@ class LODCascadeSolver:
             phase_out = phase_in.at[idx].set(ph_new)
             t_new = cst.t + dt
 
-        spectra = jax.vmap(assemble_spectra)(h0, h0c, ph_new, co)
-        f = inner._ifft2(spectra)                     # [S, 5, N, N] complex
-        fresh = jnp.stack([jnp.real(f[:, 0]),
-                           jnp.imag(f[:, 1]), jnp.imag(f[:, 2]),
-                           jnp.imag(f[:, 3]), jnp.imag(f[:, 4])], axis=1)
+        f = inner._ifft2(self._assemble(h0, h0c, ph_new, co))
+        fresh = self._extract_planes(f)               # [S, C, N, N]
         planes = planes_in.at[idx].set(fresh)
 
         # combine ALL bands from the cache (Σ over B) — cascade.py contract
@@ -251,8 +280,9 @@ class LODCascadeSolver:
         height = jnp.sum(planes[:, 0], axis=0)
         disp_x = jnp.sum(chop * planes[:, 1], axis=0)
         disp_z = jnp.sum(chop * planes[:, 2], axis=0)
-        slope_x = jnp.sum(planes[:, 3], axis=0)
-        slope_z = jnp.sum(planes[:, 4], axis=0)
+        if inner._nch == 5:
+            slope_x = jnp.sum(planes[:, 3], axis=0)
+            slope_z = jnp.sum(planes[:, 4], axis=0)
 
         texel = inner.display_length / inner.n
         if cfg0.normals_mode == "spectral":

@@ -182,17 +182,13 @@ class CascadeSimulation(Simulation):
         self.dt = dt
         self._lod = periods is not None or camera_distance > 0
         if self._lod:
-            if pack_channels:
-                raise ValueError(
-                    "pack_channels is not supported with LOD scheduling: "
-                    "the LOD plane caches store unpacked field planes "
-                    "(lod.LODCascadeSolver docstring)")
             from tpu_ocean.lod import LODCascadeSolver, periods_for_distance
             if periods is None:
                 periods = periods_for_distance(self.cfgs, dt,
                                                camera_distance=camera_distance)
             self.solver = LODCascadeSolver(self.cfgs, periods=periods,
-                                           fft_backend=fft_backend, dt=dt)
+                                           fft_backend=fft_backend, dt=dt,
+                                           pack_channels=pack_channels)
         else:
             self.solver = CascadeSolver(self.cfgs, fft_backend=fft_backend,
                                         pack_channels=pack_channels)
@@ -238,11 +234,20 @@ class CascadeSimulation(Simulation):
                         f"{list(self.solver.periods)}; restored band caches "
                         f"would be misaligned — use a fresh out_dir or the "
                         f"saved schedule")
+            if self._lod:
+                nch = self.solver.plane_count
+                if state.planes.shape[1] > nch:
+                    # pre-live-channel-cut checkpoint (5 cached planes with
+                    # stencil cfgs): the leading planes are the live ones
+                    state = state._replace(planes=state.planes[:, :nch])
+                elif state.planes.shape[1] < nch:
+                    raise ValueError(
+                        f"checkpoint caches {state.planes.shape[1]} planes "
+                        f"per band, this solver needs {nch} — it was "
+                        f"written under a different normals_mode")
             # hermitize packed resumes (no-op for unpacked / already-packed
-            # snapshots — see CascadeSolver.symmetrize); LODState has no
-            # symmetrize (pack_channels is rejected above for LOD)
-            self.state = (state if self._lod
-                          else self.solver.symmetrize(state))
+            # snapshots — CascadeSolver/LODCascadeSolver.symmetrize)
+            self.state = self.solver.symmetrize(state)
             if self._lod:
                 self._steps_done = state.frame   # host-side by design
             else:
