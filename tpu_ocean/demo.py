@@ -134,11 +134,13 @@ def run_cascade(args) -> int:
         periods = periods_for_distance(cfgs, dt,
                                        camera_distance=args.camera)
         solver = LODCascadeSolver(cfgs, periods=periods,
-                                  fft_backend=args.backend, dt=dt)
+                                  fft_backend=args.backend, dt=dt,
+                                  pack_channels=args.pack)
         print(f"# LOD periods {periods} (camera {args.camera:.0f} m)",
               file=sys.stderr)
     else:
-        solver = CascadeSolver(cfgs, fft_backend=args.backend)
+        solver = CascadeSolver(cfgs, fft_backend=args.backend,
+                               pack_channels=args.pack)
     state = solver.init(jax.random.PRNGKey(args.seed))
     metrics = Metrics(grid_points=n ** 2, emit=sys.stderr)
     fields = None
@@ -215,6 +217,8 @@ def main(argv=None) -> int:
     p.add_argument("--res", type=int, default=0)
     p.add_argument("--camera", type=float, default=0.0,
                    help="camera distance in m (>0 enables LOD scheduling)")
+    p.add_argument("--pack", action="store_true",
+                   help="Hermitian channel packing (B×2 transforms)")
 
     p = sub.add_parser("serve",
                        help="stream solver fields to TCP clients "
