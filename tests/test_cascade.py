@@ -117,8 +117,8 @@ def test_packed_cascade_matches_unpacked_on_hermitized_state(normals):
 
 def test_cascade_simulation_pack_threading(tmp_path):
     """CascadeSimulation forwards pack_channels; resume from an UNPACKED
-    checkpoint hermitizes the state (symmetrize on restore); LOD + packing
-    is rejected with a clear error."""
+    checkpoint hermitizes the state (symmetrize on restore); LOD composes
+    with packing (the plane cache is extraction-side)."""
     from tpu_ocean.runtime import CascadeSimulation
     cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
     out = str(tmp_path / "run")

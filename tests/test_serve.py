@@ -99,10 +99,14 @@ def test_serves_sharded_simulation():
 
 def test_serves_cascade_simulation():
     """CascadeSimulation satisfies the same serving contract (cfg/dt/step):
-    the combined multi-band surface streams like a single-patch one."""
+    the combined multi-band surface streams like a single-patch one, and
+    the advertised length is the cascade's display_length (= max band), not
+    band 0's — bands here are ordered shortest-first to pin that."""
     from tpu_ocean.runtime import CascadeSimulation
     from tpu_ocean.cascade import default_cascade
-    sim = CascadeSimulation(default_cascade(n=32), fft_backend="reference")
+    sim = CascadeSimulation(default_cascade(n=32,
+                                            lengths=(17.0, 130.0, 1000.0)),
+                            fft_backend="reference")
     with FrameServer(sim, fields=("height", "foam")) as server:
         host, port = server.address
         frames = []
@@ -117,6 +121,16 @@ def test_serves_cascade_simulation():
     assert len(frames) == 2
     assert frames[0][1]["height"].shape == (32, 32)
     assert np.isfinite(frames[0][1]["height"]).all()
+
+    # header check on the raw wire: the planes span 1000 m, not 17 m
+    import json as _json
+    sim2 = CascadeSimulation(default_cascade(n=32,
+                                             lengths=(17.0, 130.0, 1000.0)),
+                             fft_backend="reference")
+    with FrameServer(sim2, fields=("height",)) as srv:
+        with socket.create_connection(srv.address) as conn:
+            header = _json.loads(conn.makefile("rb").readline())
+    assert header["length"] == 1000.0
 
 
 def test_rejects_unknown_field_and_foreign_stream():

@@ -52,6 +52,39 @@ def test_velocity_matches_fd_phase_mode():
         solver.velocity(state, t=1.0)
 
 
+def test_velocity_honors_dt_multiplier_phase_mode():
+    """Phase mode advances φ by ω·dt·dt_multiplier per wall dt (the OCEAN
+    preset uses 1.5) — the reported ∂h/∂t must carry that factor or every
+    consumer is systematically slow."""
+    solver = OceanSolver(_cfg("phase").replace(dt_multiplier=1.5),
+                         fft_backend="reference")
+    state = solver.init(jax.random.PRNGKey(3))
+    dt = 1.0 / 60.0
+    for _ in range(2):
+        state, _ = solver.step(state, dt)
+    v = np.asarray(solver.velocity(state))
+    _, f_prev = solver.step(jax.tree.map(jnp.copy, state), -dt)
+    _, f_next = solver.step(jax.tree.map(jnp.copy, state), dt)
+    fd = (np.asarray(f_next.height) - np.asarray(f_prev.height)) / (2 * dt)
+    assert _rel_l2(v, fd) < 2e-2
+
+
+def test_velocity_direct_mode():
+    """eval_mode='direct' (the oracle-convention MXU DFT) must also report
+    velocity — it rides the same generic transform."""
+    cfg = OceanConfig(resolution=32, length=40.0, unit_width=1.0,
+                      wind=(8.0, 5.0), amplitude=0.3,
+                      evolution_mode="absolute", dispersion_mode="quantized",
+                      spectrum_layout="centered", normals_mode="spectral")
+    solver = OceanSolver(cfg, eval_mode="direct")
+    state = solver.init(jax.random.PRNGKey(4))
+    t, eps = 1.0, 5e-3
+    v = np.asarray(solver.velocity(state, t))
+    hp = np.asarray(solver.fields_at(state, t + eps).height)
+    hm = np.asarray(solver.fields_at(state, t - eps).height)
+    assert _rel_l2(v, (hp - hm) / (2 * eps)) < 2e-2
+
+
 @pytest.mark.parametrize("kw", [
     dict(fft_backend="pallas", real_state=True, pallas_fields=True),
     dict(fft_backend="pallas", real_state=True, pack_channels=True),

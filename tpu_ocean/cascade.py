@@ -52,6 +52,27 @@ class CascadeState(NamedTuple):
     step: jax.Array      # scalar
 
 
+def extract_live_planes(f: jnp.ndarray, nch: int,
+                        packed: bool) -> jnp.ndarray:
+    """[S, C_transform, N, N] complex transforms → [S, C_live, N, N] live
+    field planes (height, disp_x, disp_z[, slope_x, slope_z]).
+
+    The SINGLE home of the packed/unpacked Re-Im plane map for band-stacked
+    transforms (mirrors OceanSolver._extract_fields; packed pairing defined
+    by evolve.packed_coefficients) — CascadeSolver and lod.LODCascadeSolver
+    both consume it, so a pairing change lands in one place.
+    """
+    if packed:
+        rows = [jnp.real(f[:, 0]), jnp.imag(f[:, 0]), jnp.real(f[:, 1])]
+        if nch == 5:
+            rows += [jnp.imag(f[:, 1]), jnp.real(f[:, 2])]
+    else:
+        rows = [jnp.real(f[:, 0]), jnp.imag(f[:, 1]), jnp.imag(f[:, 2])]
+        if nch == 5:
+            rows += [jnp.imag(f[:, 3]), jnp.imag(f[:, 4])]
+    return jnp.stack(rows, axis=1)
+
+
 class CascadeSolver:
     """B spectral bands stepped and combined in one jitted call.
 
@@ -110,6 +131,10 @@ class CascadeSolver:
                 np.stack([np.asarray(spectrum_coefficients(c).real,
                                      np.float32)[:self._nch]
                           for c in cfgs]))                        # [B, C, N, N]
+        # coefficient layout contract: 2P stacked (A, B) halves when packed
+        # (evolve.packed_coefficients), C live channels otherwise
+        assert self._coeffs.shape[1] == (2 * self._pch if pack_channels
+                                         else self._nch)
         self._chop = np.asarray([c.choppiness for c in cfgs], np.float32)
         self._dtmul = np.asarray([c.dt_multiplier for c in cfgs], np.float32)
         x1d = (np.arange(n, dtype=np.float32)
@@ -213,23 +238,14 @@ class CascadeSolver:
         f = self._ifft2(spectra)
 
         chop = self._chop[:, None, None]
-        # combine bands at shared UV: Σ over B (the EP all-reduce). Plane
-        # map mirrors OceanSolver._extract_fields (packed: Re/Im pairs
-        # share transforms; unpacked: Re f0 / Im f1..)
-        if self.pack_channels:
-            height = jnp.sum(jnp.real(f[:, 0]), axis=0)
-            disp_x = jnp.sum(chop * jnp.imag(f[:, 0]), axis=0)
-            disp_z = jnp.sum(chop * jnp.real(f[:, 1]), axis=0)
-            if self._nch == 5:
-                slope_x = jnp.sum(jnp.imag(f[:, 1]), axis=0)
-                slope_z = jnp.sum(jnp.real(f[:, 2]), axis=0)
-        else:
-            height = jnp.sum(jnp.real(f[:, 0]), axis=0)
-            disp_x = jnp.sum(chop * jnp.imag(f[:, 1]), axis=0)
-            disp_z = jnp.sum(chop * jnp.imag(f[:, 2]), axis=0)
-            if self._nch == 5:
-                slope_x = jnp.sum(jnp.imag(f[:, 3]), axis=0)
-                slope_z = jnp.sum(jnp.imag(f[:, 4]), axis=0)
+        # combine bands at shared UV: Σ over B (the EP all-reduce)
+        planes = extract_live_planes(f, self._nch, self.pack_channels)
+        height = jnp.sum(planes[:, 0], axis=0)
+        disp_x = jnp.sum(chop * planes[:, 1], axis=0)
+        disp_z = jnp.sum(chop * planes[:, 2], axis=0)
+        if self._nch == 5:
+            slope_x = jnp.sum(planes[:, 3], axis=0)
+            slope_z = jnp.sum(planes[:, 4], axis=0)
 
         texel = self.display_length / self.n
         if cfg0.normals_mode == "spectral":

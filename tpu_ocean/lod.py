@@ -194,18 +194,10 @@ class LODCascadeSolver:
 
     def _extract_planes(self, f) -> jax.Array:
         """[S, C_transform, N, N] complex transforms → [S, C, N, N] live
-        field planes. Plane map mirrors CascadeSolver._step_impl (packed:
-        Re/Im pairs share transforms; unpacked: Re f0 / Im f1..)."""
-        inner = self.inner
-        if inner.pack_channels:
-            rows = [jnp.real(f[:, 0]), jnp.imag(f[:, 0]), jnp.real(f[:, 1])]
-            if inner._nch == 5:
-                rows += [jnp.imag(f[:, 1]), jnp.real(f[:, 2])]
-        else:
-            rows = [jnp.real(f[:, 0]), jnp.imag(f[:, 1]), jnp.imag(f[:, 2])]
-            if inner._nch == 5:
-                rows += [jnp.imag(f[:, 3]), jnp.imag(f[:, 4])]
-        return jnp.stack(rows, axis=1)
+        field planes (shared map: cascade.extract_live_planes)."""
+        from tpu_ocean.cascade import extract_live_planes
+        return extract_live_planes(f, self.inner._nch,
+                                   self.inner.pack_channels)
 
     def _assemble(self, h0, h0c, phase, coeffs):
         if self.inner.pack_channels:

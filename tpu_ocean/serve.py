@@ -80,10 +80,17 @@ class FrameServer:
         self._listener = socket.create_server((host, port))
         self._listener.settimeout(0.2)   # so the accept loop can observe stop
         self.address = self._listener.getsockname()
+        # cascade sims lay their combined planes out at display_length
+        # (= max band length), not band 0's length — advertise the spacing
+        # the planes actually have
+        length = getattr(sim.solver, "display_length", None)
+        if length is None:
+            length = getattr(getattr(sim.solver, "inner", None),
+                             "display_length", sim.cfg.length)
         self._header = (json.dumps({
             "proto": PROTO,
             "resolution": sim.cfg.resolution,
-            "length": sim.cfg.length,
+            "length": length,
             "fields": list(self.fields),
             "dtype": "float32",
         }) + "\n").encode()

@@ -242,6 +242,7 @@ class OceanSolver:
             consts["ex_re"] = np.asarray(ex.real, np.float32)
             consts["ex_im"] = np.asarray(ex.imag, np.float32)
             self._has_modulation = False
+            self._ifft2 = None   # _transform takes the direct-DFT path
 
         self._consts = {k: jax.device_put(v) for k, v in consts.items()}
         self._step_jit = jax.jit(self._step_impl, donate_argnums=(0,))
@@ -575,7 +576,13 @@ class OceanSolver:
                                  "current phase (pass no t)")
             phase = state.phase
         pv = jnp.cos(phase) + 1j * jnp.sin(phase)
-        vspec = 1j * c["omega"] * (h0 * pv - h0c * jnp.conj(pv))
+        # phase mode advances φ by ω·dt·dt_multiplier per wall dt
+        # (_step_impl), so dφ/dt — and hence ∂h/∂t — carries that factor;
+        # absolute mode's clock is the t axis fields_at exposes, already
+        # consistent without it
+        rate = (self.cfg.dt_multiplier
+                if self.cfg.evolution_mode == "phase" else 1.0)
+        vspec = (1j * rate) * c["omega"] * (h0 * pv - h0c * jnp.conj(pv))
         if self._ifft2 is None and self.eval_mode == "fft":
             # pallas_fused keeps no standalone transform: the reference
             # (jnp.fft) path is exact and this is not a hot loop
