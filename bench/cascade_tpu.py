@@ -1,0 +1,65 @@
+"""TPU timing for the multi-band cascade step (D7) — real-state path.
+
+The cascade solver's complex state cannot be timed on the tunneled runtime
+(any complex64 op breaks forcing — CLAUDE.md), which is exactly why
+CascadeSolver(real_state=True) exists: the banded step in pure f32 planes.
+This script ladder-times the production 3-band cascade via benchlib's
+validated fori+tinypull scheme and prints one JSON line per config.
+
+    python bench/cascade_tpu.py [--res 512] [--bands 3] [--steps 64] [--pack]
+
+Constants ride benchlib's ``extra`` pytree (device-resident jit ARGUMENTS —
+closure constants embed in the program or re-fetch over the tunnel).
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--bands", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--pack", action="store_true")
+    ap.add_argument("--forcing", type=str, default="auto")
+    args = ap.parse_args()
+
+    import jax
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    from tpu_ocean.benchlib import time_steps_ladder
+
+    lengths = (1000.0, 130.0, 17.0)[:args.bands]
+    cfgs = default_cascade(n=args.res, lengths=lengths)
+    solver = CascadeSolver(cfgs, fft_backend="pallas", real_state=True,
+                           pack_channels=args.pack)
+    state = solver.init(jax.random.PRNGKey(0))
+
+    def step_impl(st, dt, ex):
+        omega, coeffs, x0, z0 = ex
+        return solver._step_impl_real(st, dt, omega, coeffs, x0, z0)
+
+    extra = (solver._omega, solver._coeffs, solver._x0, solver._z0)
+    k2 = args.steps
+    lad = time_steps_ladder(step_impl, state, 1.0 / 60.0,
+                            ks=(max(2, k2 // 8), max(4, k2 // 2), k2),
+                            extra=extra, forcing=args.forcing)
+    out = {
+        "what": f"cascade {args.bands}x{args.res}^2 real_state"
+                + ("+packed" if args.pack else ""),
+        "ms_per_step": round(lad.per_step_s * 1e3, 4),
+        "updates_per_s": round(1.0 / lad.per_step_s, 1),
+        "suspect": lad.suspect,
+        "forcing": lad.forcing,
+        "ladder_ks": list(lad.ks),
+        "ladder_walls_s": [round(w, 5) for w in lad.walls_s],
+        "fit_max_rel_resid": round(lad.max_rel_resid, 6),
+        "intercept_ms": round(lad.intercept_s * 1e3, 2),
+    }
+    print(json.dumps(out))
+    return 1 if lad.suspect else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,3 +145,37 @@ def test_cascade_simulation_pack_threading(tmp_path):
     assert lod.solver.inner.pack_channels
     f = lod.step()
     assert np.isfinite(np.asarray(f.height)).all()
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_real_state_cascade_matches_complex(pack):
+    """CascadeSolver(real_state=True): the all-f32 banded step (bit-identical
+    plane draw + plane-based Pallas transform) reproduces the complex step —
+    the cascade analogue of OceanSolver's real_state contract."""
+    from tpu_ocean.cascade import CascadeStateReal
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    cplx = CascadeSolver(cfgs, fft_backend="pallas", pack_channels=pack)
+    real = CascadeSolver(cfgs, fft_backend="pallas", pack_channels=pack,
+                         real_state=True)
+    key = jax.random.PRNGKey(5)
+    sc, sr = cplx.init(key), real.init(key)
+    assert isinstance(sr, CascadeStateReal)
+    np.testing.assert_array_equal(np.asarray(jax.numpy.real(sc.h0)),
+                                  np.asarray(sr.h0_re))   # bit-identical draw
+    for _ in range(3):
+        sc, fc = cplx.step(sc, 1 / 60)
+        sr, fr = real.step(sr, 1 / 60)
+    for name in ("height", "disp_x", "disp_z", "normal", "foam"):
+        p, q = np.asarray(getattr(fc, name)), np.asarray(getattr(fr, name))
+        assert np.abs(p - q).max() < 2e-5 * max(np.abs(p).max(), 1e-6), name
+    # real_state hermitize is idempotent (checkpoint-resume contract)
+    sym = real.symmetrize(sr)
+    if pack:
+        np.testing.assert_array_equal(np.asarray(sym.h0_re),
+                                      np.asarray(sr.h0_re))
+
+
+def test_real_state_cascade_requires_pallas():
+    with pytest.raises(ValueError, match="pallas"):
+        CascadeSolver(default_cascade(n=32), fft_backend="reference",
+                      real_state=True)

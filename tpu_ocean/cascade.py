@@ -52,6 +52,34 @@ class CascadeState(NamedTuple):
     step: jax.Array      # scalar
 
 
+class CascadeStateReal(NamedTuple):
+    """All-float32 twin of CascadeState (complex64 never formed) — the
+    banded analogue of solver.OceanStateReal, for runtimes whose complex
+    support is unreliable and for the timing harness (CLAUDE.md)."""
+    h0_re: jax.Array      # [B, N, N] each
+    h0_im: jax.Array
+    h0c_re: jax.Array
+    h0c_im: jax.Array
+    phase: jax.Array
+    t: jax.Array
+    step: jax.Array
+
+
+def extract_live_planes_real(re: jnp.ndarray, im: jnp.ndarray, nch: int,
+                             packed: bool) -> jnp.ndarray:
+    """Real-plane twin of extract_live_planes: (re, im) [S, C_t, N, N] f32
+    transform planes → [S, C_live, N, N] live field planes."""
+    if packed:
+        rows = [re[:, 0], im[:, 0], re[:, 1]]
+        if nch == 5:
+            rows += [im[:, 1], re[:, 2]]
+    else:
+        rows = [re[:, 0], im[:, 1], im[:, 2]]
+        if nch == 5:
+            rows += [im[:, 3], im[:, 4]]
+    return jnp.stack(rows, axis=1)
+
+
 def extract_live_planes(f: jnp.ndarray, nch: int,
                         packed: bool) -> jnp.ndarray:
     """[S, C_transform, N, N] complex transforms → [S, C_live, N, N] live
@@ -85,9 +113,17 @@ class CascadeSolver:
                  fft_backend: str = "reference",
                  display_length: Optional[float] = None,
                  mesh: Optional[Mesh] = None,
-                 pack_channels: bool = False):
+                 pack_channels: bool = False,
+                 real_state: bool = False):
         if not cfgs:
             raise ValueError("need at least one band config")
+        if real_state and fft_backend != "pallas":
+            # the all-real step rides the plane-based Pallas transform
+            # (fft.pallas_fft.ifft2_planes_auto) — same rule as
+            # OceanSolver(real_state=True)
+            raise ValueError("real_state cascades require "
+                             "fft_backend='pallas'")
+        self.real_state = bool(real_state)
         n = cfgs[0].resolution
         for c in cfgs[1:]:
             if (c.resolution != n
@@ -143,12 +179,20 @@ class CascadeSolver:
         self._x0 = jax.device_put(np.ascontiguousarray(x0))
         self._z0 = jax.device_put(np.ascontiguousarray(z0))
         self._ifft2 = get_ifft2(fft_backend, n)
+        self._mxu_precision = (jax.lax.Precision.DEFAULT
+                               if cfgs[0].precision == "bfloat16"
+                               else jax.lax.Precision.HIGHEST)
 
-        step = self._step_impl
+        step = self._step_impl_real if real_state else self._step_impl
         if mesh is not None and "expert" in mesh.axis_names:
             espec = NamedSharding(mesh, P("expert"))
-            state_shardings = CascadeState(h0=espec, h0_conj=espec,
-                                           phase=espec, t=None, step=None)
+            if real_state:
+                state_shardings = CascadeStateReal(
+                    h0_re=espec, h0_im=espec, h0c_re=espec, h0c_im=espec,
+                    phase=espec, t=None, step=None)
+            else:
+                state_shardings = CascadeState(h0=espec, h0_conj=espec,
+                                               phase=espec, t=None, step=None)
             # omega/coeffs shard along their band axis like the state
             self._step_jit = jax.jit(
                 step, donate_argnums=(0,),
@@ -159,10 +203,12 @@ class CascadeSolver:
 
     # ---------------------------------------------------------------- init
 
-    def init(self, key: Optional[jax.Array] = None) -> CascadeState:
+    def init(self, key: Optional[jax.Array] = None):
         if key is None:
             key = jax.random.PRNGKey(self.cfgs[0].seed)
         keys = jax.random.split(key, self.b)
+        if self.real_state:
+            return self._init_real(keys)
         h0s, h0cs = [], []
         for c, k in zip(self.cfgs, keys):
             pair = (h0_pair_centered if c.spectrum_layout == "centered"
@@ -199,12 +245,38 @@ class CascadeSolver:
                               self._omega, self._coeffs,
                               self._x0, self._z0)
 
-    def symmetrize(self, state: CascadeState) -> CascadeState:
+    def _init_real(self, keys) -> CascadeStateReal:
+        """All-f32 init: per-band h0 planes drawn bit-identically to the
+        complex path (spectra.h0_pair_fft_planes), hermitized when packing —
+        complex64 never enters the process."""
+        from tpu_ocean.spectra import h0_pair_fft_planes
+        planes = [h0_pair_fft_planes(k, c.resolution, c.length,
+                                     c.phillips_amplitude, c.wind, c.damping,
+                                     model=c.spectrum_model,
+                                     jonswap_kw=c.jonswap_kw)
+                  for c, k in zip(self.cfgs, keys)]
+        r1, i1, r2, i2 = (jnp.stack([p[j] for p in planes])
+                          for j in range(4))
+        if self.pack_channels:
+            from tpu_ocean.evolve import hermitize_planes
+            r1, i1, r2, i2 = jax.vmap(hermitize_planes)(r1, i1, r2, i2)
+        return CascadeStateReal(
+            h0_re=r1, h0_im=i1, h0c_re=r2, h0c_im=i2,
+            phase=jnp.zeros((self.b, self.n, self.n), jnp.float32),
+            t=jnp.zeros((), jnp.float32),
+            step=jnp.zeros((), jnp.int32))
+
+    def symmetrize(self, state):
         """Per-band Hermitian projection when packing (idempotent — see
         OceanSolver.symmetrize); no-op otherwise. Applied to resumed
         checkpoints so pre-packing snapshots continue correctly."""
         if not self.pack_channels:
             return state
+        if isinstance(state, CascadeStateReal):
+            from tpu_ocean.evolve import hermitize_planes
+            r1, i1, r2, i2 = jax.vmap(hermitize_planes)(
+                state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
+            return state._replace(h0_re=r1, h0_im=i1, h0c_re=r2, h0c_im=i2)
         from tpu_ocean.evolve import hermitize_pair
         a, ac = jax.vmap(hermitize_pair)(state.h0, state.h0_conj)
         return state._replace(h0=a, h0_conj=ac)
@@ -260,6 +332,73 @@ class CascadeSolver:
         new_state = CascadeState(h0=state.h0, h0_conj=state.h0_conj,
                                  phase=phase_state, t=t_new,
                                  step=state.step + 1)
+        return new_state, out
+
+
+    def _step_impl_real(self, state: CascadeStateReal, dt: jax.Array,
+                        omega=None, coeffs=None, x0=None, z0=None):
+        """All-f32 twin of _step_impl: banded real-plane assembly → one
+        plane-based Pallas transform over the flattened [B·C] channel batch
+        → live-plane combine. Same math, complex64 never appears."""
+        from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
+
+        cfg0 = self.cfgs[0]
+        if omega is None:
+            omega, coeffs = self._omega, self._coeffs
+        if x0 is None:
+            x0, z0 = self._x0, self._z0
+        if cfg0.evolution_mode == "absolute":
+            t_new = state.t + dt / cfg0.t_division
+            phase = omega * t_new
+            phase_state = state.phase
+        else:
+            phase = evolve_phase_accumulate(
+                state.phase, omega, dt * self._dtmul[:, None, None])
+            phase_state = phase
+            t_new = state.t + dt
+
+        pair = (state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
+        if self.pack_channels:
+            from tpu_ocean.evolve import assemble_spectra_packed_real
+            re, im = jax.vmap(assemble_spectra_packed_real,
+                              in_axes=((0, 0, 0, 0), 0, 0))(pair, phase,
+                                                            coeffs)
+        else:
+            from tpu_ocean.evolve import assemble_spectra_real
+            re, im = jax.vmap(assemble_spectra_real,
+                              in_axes=((0, 0, 0, 0), 0, 0))(pair, phase,
+                                                            coeffs)
+        b, ct, n = re.shape[0], re.shape[1], self.n
+        # one transform over the flattened band×channel batch
+        re, im = ifft2_planes_auto(re.reshape(b * ct, n, n),
+                                   im.reshape(b * ct, n, n), True,
+                                   self._mxu_precision)
+        planes = extract_live_planes_real(re.reshape(b, ct, n, n),
+                                          im.reshape(b, ct, n, n),
+                                          self._nch, self.pack_channels)
+
+        chop = self._chop[:, None, None]
+        height = jnp.sum(planes[:, 0], axis=0)
+        disp_x = jnp.sum(chop * planes[:, 1], axis=0)
+        disp_z = jnp.sum(chop * planes[:, 2], axis=0)
+        if self._nch == 5:
+            slope_x = jnp.sum(planes[:, 3], axis=0)
+            slope_z = jnp.sum(planes[:, 4], axis=0)
+
+        texel = self.display_length / self.n
+        if cfg0.normals_mode == "spectral":
+            normal = field_ops.normals_spectral(slope_x, slope_z)
+        else:
+            normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
+        foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
+
+        out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
+                          pos_x=x0 - disp_x, pos_z=z0 - disp_z,
+                          normal=normal, foam=foam, jacobian=jac)
+        new_state = CascadeStateReal(
+            h0_re=state.h0_re, h0_im=state.h0_im,
+            h0c_re=state.h0c_re, h0c_im=state.h0c_im,
+            phase=phase_state, t=t_new, step=state.step + 1)
         return new_state, out
 
 
