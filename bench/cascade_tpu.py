@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--bands", type=int, default=3)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--pack", action="store_true")
+    ap.add_argument("--lod", action="store_true",
+                    help="time the LOD schedule: one ladder per distinct "
+                         "refresh subset, schedule-weighted average")
     ap.add_argument("--forcing", type=str, default="auto")
     args = ap.parse_args()
 
@@ -32,6 +35,9 @@ def main():
 
     lengths = (1000.0, 130.0, 17.0)[:args.bands]
     cfgs = default_cascade(n=args.res, lengths=lengths)
+
+    if args.lod:
+        return run_lod(args, cfgs)
     solver = CascadeSolver(cfgs, fft_backend="pallas", real_state=True,
                            pack_channels=args.pack)
     state = solver.init(jax.random.PRNGKey(0))
@@ -59,6 +65,61 @@ def main():
     }
     print(json.dumps(out))
     return 1 if lad.suspect else 0
+
+
+def run_lod(args, cfgs):
+    """Per-subset ladders over the LOD schedule. Each distinct refresh
+    subset is one compiled sub-step; the frame cost is the schedule-weighted
+    average (the real run interleaves slots, but each slot's work is
+    identical every time it occurs — the weighting IS the schedule)."""
+    import jax
+    from tpu_ocean.lod import LODCascadeSolver
+    from tpu_ocean.benchlib import time_steps_ladder
+
+    solver = LODCascadeSolver(cfgs, dt=1.0 / 60.0, fft_backend="pallas",
+                              real_state=True, pack_channels=args.pack)
+    state = solver.init(jax.random.PRNGKey(0))
+    extra = (solver.inner._omega, solver.inner._coeffs,
+             solver.inner._x0, solver.inner._z0)
+    k2 = args.steps
+
+    per_subset = {}
+    suspect = False
+    for subset in sorted(set(solver._slots)):
+        def step_impl(st, dt, ex, _subset=subset):
+            cst, planes = st
+            omega, coeffs, x0, z0 = ex
+            cst, planes, fields = solver._substep_impl(
+                _subset, cst, planes, dt, omega, coeffs, x0, z0)
+            return (cst, planes), fields
+
+        lad = time_steps_ladder(step_impl, (state.cascade, state.planes),
+                                1.0 / 60.0,
+                                ks=(max(2, k2 // 8), max(4, k2 // 2), k2),
+                                extra=extra, forcing=args.forcing)
+        per_subset[str(list(subset))] = {
+            "ms": round(lad.per_step_s * 1e3, 4),
+            "resid": round(lad.max_rel_resid, 6),
+            "forcing": lad.forcing,
+        }
+        suspect |= lad.suspect
+
+    weighted = sum(per_subset[str(list(s))]["ms"] for s in solver._slots)
+    avg_ms = weighted / solver.schedule_len
+    all_ms = per_subset[str(list(range(solver.inner.b)))]["ms"]
+    out = {
+        "what": f"LOD cascade {args.bands}x{args.res}^2 real_state"
+                + ("+packed" if args.pack else ""),
+        "periods": solver.periods,
+        "avg_ms_per_frame": round(avg_ms, 4),
+        "all_bands_ms": all_ms,
+        "lod_speedup": round(all_ms / avg_ms, 3),
+        "updates_per_s": round(1e3 / avg_ms, 1),
+        "per_subset": per_subset,
+        "suspect": suspect,
+    }
+    print(json.dumps(out))
+    return 1 if suspect else 0
 
 
 if __name__ == "__main__":

@@ -182,7 +182,7 @@ def test_lod_packed_matches_unpacked_on_hermitized_state():
     cst = sp.cascade._replace(h0=a, h0_conj=ac)
     sp = sp._replace(cascade=cst,
                      planes=jax.jit(plain._planes_at)(
-                         a, ac, cst.phase, plain.inner._coeffs))
+                         cst, plain.inner._coeffs))
     sq = packed.init(key)
 
     for _ in range(5):
@@ -196,3 +196,29 @@ def test_lod_packed_matches_unpacked_on_hermitized_state():
             # a shade above the raw-plane bound
             tol = 2e-5 if name == "normal" else 5e-6
             assert np.abs(p - q).max() < tol * scale, name
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_lod_real_state_matches_complex(pack):
+    """LOD over the all-f32 cascade state: same trajectory as the complex
+    LOD (held frames, refresh frames, the lot) — this is the combination
+    the TPU LOD measurement rides (bench/cascade_tpu.py --lod)."""
+    import jax
+    periods = [4, 2, 1]
+    cplx = LODCascadeSolver(_bands(), periods=periods, dt=DT,
+                            fft_backend="pallas", pack_channels=pack)
+    real = LODCascadeSolver(_bands(), periods=periods, dt=DT,
+                            fft_backend="pallas", pack_channels=pack,
+                            real_state=True)
+    key = jax.random.PRNGKey(11)
+    sc, sr = cplx.init(key), real.init(key)
+    np.testing.assert_array_equal(np.asarray(jnp.real(sc.cascade.h0)),
+                                  np.asarray(sr.cascade.h0_re))
+    for _ in range(5):
+        sc, fc = cplx.step(sc)
+        sr, fr = real.step(sr)
+        for name in ("height", "disp_x", "foam"):
+            p = np.asarray(getattr(fc, name))
+            q = np.asarray(getattr(fr, name))
+            assert np.abs(p - q).max() < 2e-5 * max(np.abs(p).max(), 1e-6), \
+                name

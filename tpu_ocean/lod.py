@@ -143,10 +143,12 @@ class LODCascadeSolver:
                  fft_backend: str = "reference",
                  display_length: Optional[float] = None,
                  dt: float = 1.0 / 60.0,
-                 pack_channels: bool = False):
+                 pack_channels: bool = False,
+                 real_state: bool = False):
         self.inner = CascadeSolver(cfgs, fft_backend=fft_backend,
                                    display_length=display_length,
-                                   pack_channels=pack_channels)
+                                   pack_channels=pack_channels,
+                                   real_state=real_state)
         b = self.inner.b
         self.dt = float(dt)
         if periods is None:
@@ -178,8 +180,7 @@ class LODCascadeSolver:
         cst = self.inner.init(key)
         # prime every band's planes at t = 0 (phase = 0): the shared "last
         # refresh" all schedules count from
-        planes = jax.jit(self._planes_at)(cst.h0, cst.h0_conj,
-                                          cst.phase, self.inner._coeffs)
+        planes = jax.jit(self._planes_at)(cst, self.inner._coeffs)
         return LODState(cascade=cst, planes=planes, frame=0)
 
     @property
@@ -206,9 +207,38 @@ class LODCascadeSolver:
         from tpu_ocean.evolve import assemble_spectra
         return jax.vmap(assemble_spectra)(h0, h0c, phase, coeffs)
 
-    def _planes_at(self, h0, h0c, phase, coeffs):
-        return self._extract_planes(
-            self.inner._ifft2(self._assemble(h0, h0c, phase, coeffs)))
+    def _transform_planes(self, cst, idx_or_slice, phase, coeffs):
+        """Refresh transform → [S, C, N, N] live planes, for either state
+        representation. ``idx_or_slice`` gathers the refreshing bands."""
+        inner = self.inner
+        i = idx_or_slice
+        if inner.real_state:
+            from tpu_ocean.cascade import extract_live_planes_real
+            from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
+            pair = (cst.h0_re[i], cst.h0_im[i], cst.h0c_re[i], cst.h0c_im[i])
+            if inner.pack_channels:
+                from tpu_ocean.evolve import assemble_spectra_packed_real
+                re, im = jax.vmap(assemble_spectra_packed_real,
+                                  in_axes=((0, 0, 0, 0), 0, 0))(
+                    pair, phase, coeffs)
+            else:
+                from tpu_ocean.evolve import assemble_spectra_real
+                re, im = jax.vmap(assemble_spectra_real,
+                                  in_axes=((0, 0, 0, 0), 0, 0))(
+                    pair, phase, coeffs)
+            s, ct, n = re.shape[0], re.shape[1], re.shape[-1]
+            re, im = ifft2_planes_auto(re.reshape(s * ct, n, n),
+                                       im.reshape(s * ct, n, n), True,
+                                       inner._mxu_precision)
+            return extract_live_planes_real(re.reshape(s, ct, n, n),
+                                            im.reshape(s, ct, n, n),
+                                            inner._nch, inner.pack_channels)
+        f = inner._ifft2(self._assemble(cst.h0[i], cst.h0_conj[i],
+                                        phase, coeffs))
+        return self._extract_planes(f)
+
+    def _planes_at(self, cst, coeffs):
+        return self._transform_planes(cst, slice(None), cst.phase, coeffs)
 
     # ---------------------------------------------------------------- step
 
@@ -242,8 +272,6 @@ class LODCascadeSolver:
                           np.float32)[:, None, None]
 
         # gather the refreshing bands (static indices → slice fusion)
-        h0 = cst.h0[idx]
-        h0c = cst.h0_conj[idx]
         ph = phase_in[idx]
         om = omega[idx]
         co = coeffs[idx]
@@ -263,8 +291,7 @@ class LODCascadeSolver:
             phase_out = phase_in.at[idx].set(ph_new)
             t_new = cst.t + dt
 
-        f = inner._ifft2(self._assemble(h0, h0c, ph_new, co))
-        fresh = self._extract_planes(f)               # [S, C, N, N]
+        fresh = self._transform_planes(cst, idx, ph_new, co)  # [S, C, N, N]
         planes = planes_in.at[idx].set(fresh)
 
         # combine ALL bands from the cache (Σ over B) — cascade.py contract
@@ -286,7 +313,5 @@ class LODCascadeSolver:
         out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
                           pos_x=x0 - disp_x, pos_z=z0 - disp_z,
                           normal=normal, foam=foam, jacobian=jac)
-        new_cst = CascadeState(h0=cst.h0, h0_conj=cst.h0_conj,
-                               phase=phase_out, t=t_new,
-                               step=cst.step + 1)
+        new_cst = cst._replace(phase=phase_out, t=t_new, step=cst.step + 1)
         return new_cst, planes, out
