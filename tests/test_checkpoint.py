@@ -169,3 +169,64 @@ def test_lod_checkpoint_roundtrip_resumes_bitwise(tmp_path):
     b, fb = solver.step(st2)
     np.testing.assert_array_equal(np.asarray(fa.height), np.asarray(fb.height))
     np.testing.assert_array_equal(np.asarray(a.planes), np.asarray(b.planes))
+
+
+def test_real_state_simulation_checkpoint_resume(tmp_path):
+    """real_state runs checkpoint and resume COMPLEX-FREE (the wire format
+    is (re, im) plane pairs either way), and the resumed trajectory
+    continues bitwise — the production-TPU mode's lifecycle works."""
+    import jax
+    from tpu_ocean.runtime import Simulation
+
+    cfg = OceanConfig(resolution=32, length=32.0, wind=(8.0, 5.0),
+                      amplitude=0.4, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True)
+    out = str(tmp_path / "run")
+
+    sim1 = Simulation(cfg, out_dir=out, checkpoint_every=2, **kw)
+    for _ in range(2):
+        sim1.step()
+    sim1.close()
+
+    # uninterrupted twin for the ground-truth trajectory
+    ref = Simulation(cfg, **kw)
+    for _ in range(4):
+        f_ref = ref.step()
+
+    sim2 = Simulation(cfg, out_dir=out, checkpoint_every=2, **kw)
+    from tpu_ocean.solver import OceanStateReal
+    assert isinstance(sim2.state, OceanStateReal)   # complex never formed
+    assert sim2.step_count == 2
+    for _ in range(2):
+        f2 = sim2.step()
+    sim2.close()
+    np.testing.assert_array_equal(np.asarray(f2.height),
+                                  np.asarray(f_ref.height))
+
+
+def test_checkpoint_cross_representation_round_trip(tmp_path):
+    """A checkpoint written by a REAL-state run restores into a complex
+    solver (and vice versa) — one wire format, both representations."""
+    from tpu_ocean.solver import OceanSolver, OceanStateReal
+
+    cfg = OceanConfig(resolution=32, length=32.0, wind=(8.0, 5.0),
+                      amplitude=0.4, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    import jax
+    real = OceanSolver(cfg, fft_backend="pallas", real_state=True)
+    sr = real.init(jax.random.PRNGKey(6))
+    p = str(tmp_path / "real_ckpt")
+    save_checkpoint(p, sr, cfg)
+
+    import jax.numpy as jnp
+    sc, cfg2 = load_checkpoint(p)                    # complex view
+    assert cfg2 == cfg
+    np.testing.assert_array_equal(np.asarray(jnp.real(sc.h0)),
+                                  np.asarray(sr.h0_re))
+    sr2, _ = load_checkpoint(p, real_state=True)     # real view
+    assert isinstance(sr2, OceanStateReal)
+    np.testing.assert_array_equal(np.asarray(sr2.h0_im),
+                                  np.asarray(sr.h0_im))

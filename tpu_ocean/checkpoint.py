@@ -82,15 +82,26 @@ def _open_checkpoint(path: str):
     return z
 
 
-def save_checkpoint(path: str, state: OceanState,
+def save_checkpoint(path: str, state,
                     cfg: Optional[OceanConfig] = None) -> None:
-    """Write state (+ config) to ``path`` (.npz appended if missing)."""
+    """Write state (+ config) to ``path`` (.npz appended if missing).
+
+    Accepts OceanState or OceanStateReal — the wire format is identical
+    (complex leaves travel as stacked (re, im) f32 pairs anyway), so real
+    and complex runs share checkpoints bidirectionally."""
+    from tpu_ocean.solver import OceanStateReal
     if not path.endswith(".npz"):
         path = path + ".npz"
+    if isinstance(state, OceanStateReal):
+        h0_pair = np.stack([_pull(state.h0_re), _pull(state.h0_im)])
+        h0c_pair = np.stack([_pull(state.h0c_re), _pull(state.h0c_im)])
+    else:
+        h0_pair = _pull(state.h0)
+        h0c_pair = _pull(state.h0_conj)
     payload = {
         "version": np.int64(_FORMAT_VERSION),
-        "h0_pair": _pull(state.h0),
-        "h0_conj_pair": _pull(state.h0_conj),
+        "h0_pair": h0_pair,
+        "h0_conj_pair": h0c_pair,
         "phase": _pull(state.phase),
         "t": _pull(state.t),
         "step": _pull(state.step),
@@ -102,8 +113,14 @@ def save_checkpoint(path: str, state: OceanState,
     _atomic_savez(path, payload)
 
 
-def load_checkpoint(path: str) -> Tuple[OceanState, Optional[OceanConfig]]:
-    """Read (state, config-or-None) from ``path``."""
+def load_checkpoint(path: str, real_state: bool = False
+                    ) -> Tuple[OceanState, Optional[OceanConfig]]:
+    """Read (state, config-or-None) from ``path``.
+
+    ``real_state=True`` rebuilds an OceanStateReal DIRECTLY from the stored
+    f32 plane pairs — complex64 is never formed, so a real-state solver can
+    resume on runtimes whose complex support is unreliable (the wire format
+    is plane pairs either way; any checkpoint restores either way)."""
     with _open_checkpoint(path) as z:
         if "kind" in z.files:
             raise ValueError(
@@ -115,12 +132,29 @@ def load_checkpoint(path: str) -> Tuple[OceanState, Optional[OceanConfig]]:
         foam_accum = (jnp.asarray(z["foam_accum"], jnp.float32)
                       if "foam_accum" in z.files
                       else jnp.zeros_like(phase))
+        t = jnp.asarray(z["t"], jnp.float32)
+        step = jnp.asarray(z["step"], jnp.int32)
+        if real_state:
+            from tpu_ocean.solver import OceanStateReal
+            h0, h0c = z["h0_pair"], z["h0_conj_pair"]
+            state = OceanStateReal(
+                h0_re=jnp.asarray(h0[0], jnp.float32),
+                h0_im=jnp.asarray(h0[1], jnp.float32),
+                h0c_re=jnp.asarray(h0c[0], jnp.float32),
+                h0c_im=jnp.asarray(h0c[1], jnp.float32),
+                phase=phase, t=t, step=step, foam_accum=foam_accum)
+            cfg = None
+            if "config_json" in z.files:
+                d = json.loads(bytes(z["config_json"]).decode())
+                d["wind"] = tuple(d["wind"])
+                cfg = OceanConfig(**d)
+            return state, cfg
         state = OceanState(
             h0=push(z["h0_pair"]),
             h0_conj=push(z["h0_conj_pair"]),
             phase=phase,
-            t=jnp.asarray(z["t"], jnp.float32),
-            step=jnp.asarray(z["step"], jnp.int32),
+            t=t,
+            step=step,
             foam_accum=foam_accum,
         )
         cfg = None

@@ -53,8 +53,14 @@ class Simulation:
 
         self._ckpt = None
         if out_dir and checkpoint_every:
-            self._ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"),
-                                           interval=checkpoint_every)
+            from tpu_ocean.checkpoint import load_checkpoint
+            # real-state solvers resume complex-free (plane pairs straight
+            # from the wire — the whole point of real_state on runtimes
+            # with unreliable complex support)
+            want_real = bool(getattr(self.solver, "real_state", False))
+            self._ckpt = CheckpointManager(
+                os.path.join(out_dir, "ckpt"), interval=checkpoint_every,
+                load_fn=lambda p: load_checkpoint(p, real_state=want_real))
         self._exporter = None
         self._export_every = export_every
         self._dropped_exports = 0
