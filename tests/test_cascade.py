@@ -179,3 +179,46 @@ def test_real_state_cascade_requires_pallas():
     with pytest.raises(ValueError, match="pallas"):
         CascadeSolver(default_cascade(n=32), fft_backend="reference",
                       real_state=True)
+
+
+def test_cascade_simulation_real_state_resume(tmp_path):
+    """CascadeSimulation(real_state=True): checkpoint and resume are
+    complex-free (plane pairs on the wire) and the trajectory continues
+    bitwise — plain and LOD modes both."""
+    from tpu_ocean.runtime import CascadeSimulation
+    from tpu_ocean.cascade import CascadeStateReal
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True)
+
+    out = str(tmp_path / "plain")
+    sim1 = CascadeSimulation(cfgs, out_dir=out, checkpoint_every=2, **kw)
+    for _ in range(2):
+        sim1.step()
+    sim1.close()
+
+    ref = CascadeSimulation(cfgs, **kw)
+    for _ in range(4):
+        f_ref = ref.step()
+
+    sim2 = CascadeSimulation(cfgs, out_dir=out, checkpoint_every=2, **kw)
+    assert isinstance(sim2.state, CascadeStateReal)
+    assert sim2.step_count == 2
+    for _ in range(2):
+        f2 = sim2.step()
+    sim2.close()
+    np.testing.assert_array_equal(np.asarray(f2.height),
+                                  np.asarray(f_ref.height))
+
+    # LOD mode round-trips its real cascade + plane cache too
+    out2 = str(tmp_path / "lod")
+    lod1 = CascadeSimulation(cfgs, out_dir=out2, checkpoint_every=2,
+                             periods=[2, 1], **kw)
+    for _ in range(2):
+        lod1.step()
+    lod1.close()
+    lod2 = CascadeSimulation(cfgs, out_dir=out2, checkpoint_every=2,
+                             periods=[2, 1], **kw)
+    assert isinstance(lod2.state.cascade, CascadeStateReal)
+    assert lod2.step_count == 2
+    f = lod2.step()
+    assert np.isfinite(np.asarray(f.height)).all()

@@ -271,14 +271,22 @@ def save_cascade_checkpoint(path: str, state, cfgs=None,
     only meaningful relative to the schedule that wrote them.
     """
     from tpu_ocean.lod import LODState
+    from tpu_ocean.cascade import CascadeStateReal
 
     is_lod = isinstance(state, LODState)
     cst = state.cascade if is_lod else state
+    if isinstance(cst, CascadeStateReal):
+        # same wire format as the complex state (plane pairs)
+        h0_pair = np.stack([_pull(cst.h0_re), _pull(cst.h0_im)])
+        h0c_pair = np.stack([_pull(cst.h0c_re), _pull(cst.h0c_im)])
+    else:
+        h0_pair = _pull(cst.h0)
+        h0c_pair = _pull(cst.h0_conj)
     payload = {
         "version": np.int64(_FORMAT_VERSION),
         "kind": np.bytes_(b"lod" if is_lod else b"cascade"),
-        "h0_pair": _pull(cst.h0),
-        "h0_conj_pair": _pull(cst.h0_conj),
+        "h0_pair": h0_pair,
+        "h0_conj_pair": h0c_pair,
         "phase": _pull(cst.phase),
         "t": _pull(cst.t),
         "step": _pull(cst.step),
@@ -294,9 +302,13 @@ def save_cascade_checkpoint(path: str, state, cfgs=None,
     _atomic_savez(path, payload)
 
 
-def load_cascade_checkpoint(path: str):
-    """Read (CascadeState-or-LODState, [OceanConfig]-or-None)."""
-    from tpu_ocean.cascade import CascadeState
+def load_cascade_checkpoint(path: str, real_state: bool = False):
+    """Read (CascadeState-or-LODState, [OceanConfig]-or-None).
+
+    ``real_state=True`` rebuilds CascadeStateReal straight from the stored
+    f32 plane pairs — complex64 never formed (same contract as
+    load_checkpoint)."""
+    from tpu_ocean.cascade import CascadeState, CascadeStateReal
     from tpu_ocean.lod import LODState
 
     with _open_checkpoint(path) as z:
@@ -304,13 +316,25 @@ def load_cascade_checkpoint(path: str):
             raise ValueError(
                 f"{path!r} is a single-patch checkpoint; "
                 f"use load_checkpoint")
-        cst = CascadeState(
-            h0=_push_pair(z["h0_pair"]),
-            h0_conj=_push_pair(z["h0_conj_pair"]),
-            phase=jnp.asarray(z["phase"], jnp.float32),
-            t=jnp.asarray(z["t"], jnp.float32),
-            step=jnp.asarray(z["step"], jnp.int32),
-        )
+        phase = jnp.asarray(z["phase"], jnp.float32)
+        t = jnp.asarray(z["t"], jnp.float32)
+        step = jnp.asarray(z["step"], jnp.int32)
+        if real_state:
+            h0, h0c = z["h0_pair"], z["h0_conj_pair"]
+            cst = CascadeStateReal(
+                h0_re=jnp.asarray(h0[0], jnp.float32),
+                h0_im=jnp.asarray(h0[1], jnp.float32),
+                h0c_re=jnp.asarray(h0c[0], jnp.float32),
+                h0c_im=jnp.asarray(h0c[1], jnp.float32),
+                phase=phase, t=t, step=step)
+        else:
+            cst = CascadeState(
+                h0=_push_pair(z["h0_pair"]),
+                h0_conj=_push_pair(z["h0_conj_pair"]),
+                phase=phase,
+                t=t,
+                step=step,
+            )
         if bytes(z["kind"]).decode() == "lod":
             state = LODState(cascade=cst,
                              planes=jnp.asarray(z["planes"], jnp.float32),

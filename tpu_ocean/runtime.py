@@ -178,7 +178,7 @@ class CascadeSimulation(Simulation):
                  periods=None, camera_distance: float = 0.0,
                  checkpoint_every: int = 0, export_every: int = 0,
                  metrics_stream=None, seed_key: Optional[jax.Array] = None,
-                 pack_channels: bool = False):
+                 pack_channels: bool = False, real_state: bool = False):
         from tpu_ocean.cascade import CascadeSolver
         from tpu_ocean.checkpoint import (save_cascade_checkpoint,
                                           load_cascade_checkpoint)
@@ -194,10 +194,12 @@ class CascadeSimulation(Simulation):
                                                camera_distance=camera_distance)
             self.solver = LODCascadeSolver(self.cfgs, periods=periods,
                                            fft_backend=fft_backend, dt=dt,
-                                           pack_channels=pack_channels)
+                                           pack_channels=pack_channels,
+                                           real_state=real_state)
         else:
             self.solver = CascadeSolver(self.cfgs, fft_backend=fft_backend,
-                                        pack_channels=pack_channels)
+                                        pack_channels=pack_channels,
+                                        real_state=real_state)
         self.out_dir = out_dir
         self.metrics = Metrics(grid_points=self.cfg.resolution ** 2,
                                emit=metrics_stream)
@@ -216,7 +218,8 @@ class CascadeSimulation(Simulation):
                 os.path.join(out_dir, "ckpt"), interval=checkpoint_every,
                 save_fn=lambda p, s, c: save_cascade_checkpoint(
                     p, s, c, periods=periods_meta),
-                load_fn=load_cascade_checkpoint)
+                load_fn=lambda p: load_cascade_checkpoint(
+                    p, real_state=real_state))
 
         restored = self._ckpt.restore_latest() if self._ckpt else (None, None)
         if restored[0] is not None:
