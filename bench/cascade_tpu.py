@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--bands", type=int, default=3)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--pack", action="store_true")
+    ap.add_argument("--fields", action="store_true",
+                    help="fused normals+whitecap stencil on the combine")
     ap.add_argument("--lod", action="store_true",
                     help="time the LOD schedule: one ladder per distinct "
                          "refresh subset, schedule-weighted average")
@@ -39,7 +41,8 @@ def main():
     if args.lod:
         return run_lod(args, cfgs)
     solver = CascadeSolver(cfgs, fft_backend="pallas", real_state=True,
-                           pack_channels=args.pack)
+                           pack_channels=args.pack,
+                           pallas_fields=args.fields)
     state = solver.init(jax.random.PRNGKey(0))
 
     def step_impl(st, dt, ex):
@@ -53,7 +56,8 @@ def main():
                             extra=extra, forcing=args.forcing)
     out = {
         "what": f"cascade {args.bands}x{args.res}^2 real_state"
-                + ("+packed" if args.pack else ""),
+                + ("+packed" if args.pack else "")
+                + ("+fields" if args.fields else ""),
         "ms_per_step": round(lad.per_step_s * 1e3, 4),
         "updates_per_s": round(1.0 / lad.per_step_s, 1),
         "suspect": lad.suspect,
@@ -77,7 +81,8 @@ def run_lod(args, cfgs):
     from tpu_ocean.benchlib import time_steps_ladder
 
     solver = LODCascadeSolver(cfgs, dt=1.0 / 60.0, fft_backend="pallas",
-                              real_state=True, pack_channels=args.pack)
+                              real_state=True, pack_channels=args.pack,
+                              pallas_fields=args.fields)
     state = solver.init(jax.random.PRNGKey(0))
     extra = (solver.inner._omega, solver.inner._coeffs,
              solver.inner._x0, solver.inner._z0)
@@ -109,7 +114,8 @@ def run_lod(args, cfgs):
     all_ms = per_subset[str(list(range(solver.inner.b)))]["ms"]
     out = {
         "what": f"LOD cascade {args.bands}x{args.res}^2 real_state"
-                + ("+packed" if args.pack else ""),
+                + ("+packed" if args.pack else "")
+                + ("+fields" if args.fields else ""),
         "periods": solver.periods,
         "avg_ms_per_frame": round(avg_ms, 4),
         "all_bands_ms": all_ms,

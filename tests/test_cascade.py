@@ -222,3 +222,24 @@ def test_cascade_simulation_real_state_resume(tmp_path):
     assert lod2.step_count == 2
     f = lod2.step()
     assert np.isfinite(np.asarray(f.height)).all()
+
+
+def test_cascade_pallas_fields_matches_jnp_stencil():
+    """pallas_fields on the cascade combine is output-identical to the jnp
+    stencil path (the OceanSolver C10/C11 fused-kernel contract, applied to
+    the COMBINED effective-displacement planes)."""
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    plain = CascadeSolver(cfgs, fft_backend="pallas", real_state=True)
+    fused = CascadeSolver(cfgs, fft_backend="pallas", real_state=True,
+                          pallas_fields=True)
+    key = jax.random.PRNGKey(8)
+    sp, sq = plain.init(key), fused.init(key)
+    for _ in range(2):
+        sp, fp = plain.step(sp, 1 / 60)
+        sq, fq = fused.step(sq, 1 / 60)
+    for name in ("height", "normal", "foam", "jacobian"):
+        p, q = np.asarray(getattr(fp, name)), np.asarray(getattr(fq, name))
+        assert np.abs(p - q).max() < 1e-5 * max(np.abs(p).max(), 1e-6), name
+    with pytest.raises(ValueError, match="pallas_fields"):
+        CascadeSolver([c.replace(normals_mode="spectral") for c in cfgs],
+                      pallas_fields=True)

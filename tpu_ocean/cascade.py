@@ -114,9 +114,15 @@ class CascadeSolver:
                  display_length: Optional[float] = None,
                  mesh: Optional[Mesh] = None,
                  pack_channels: bool = False,
-                 real_state: bool = False):
+                 real_state: bool = False,
+                 pallas_fields: bool = False):
         if not cfgs:
             raise ValueError("need at least one band config")
+        if pallas_fields and (cfgs[0].normals_mode != "stencil"
+                              or cfgs[0].resolution % 8 != 0):
+            raise ValueError("pallas_fields requires normals_mode='stencil' "
+                             "and a resolution divisible by 8")
+        self.pallas_fields = bool(pallas_fields)
         if real_state and fft_backend != "pallas":
             # the all-real step rides the plane-based Pallas transform
             # (fft.pallas_fft.ifft2_planes_auto) — same rule as
@@ -309,30 +315,40 @@ class CascadeSolver:
                                                  phase, coeffs)
         f = self._ifft2(spectra)
 
-        chop = self._chop[:, None, None]
         # combine bands at shared UV: Σ over B (the EP all-reduce)
         planes = extract_live_planes(f, self._nch, self.pack_channels)
-        height = jnp.sum(planes[:, 0], axis=0)
-        disp_x = jnp.sum(chop * planes[:, 1], axis=0)
-        disp_z = jnp.sum(chop * planes[:, 2], axis=0)
-        if self._nch == 5:
-            slope_x = jnp.sum(planes[:, 3], axis=0)
-            slope_z = jnp.sum(planes[:, 4], axis=0)
-
-        texel = self.display_length / self.n
-        if cfg0.normals_mode == "spectral":
-            normal = field_ops.normals_spectral(slope_x, slope_z)
-        else:
-            normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
-        foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
-
-        out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
-                          pos_x=x0 - disp_x, pos_z=z0 - disp_z,
-                          normal=normal, foam=foam, jacobian=jac)
+        out = self._combine_fields(planes, x0, z0)
         new_state = CascadeState(h0=state.h0, h0_conj=state.h0_conj,
                                  phase=phase_state, t=t_new,
                                  step=state.step + 1)
         return new_state, out
+
+    def _combine_fields(self, planes: jnp.ndarray, x0, z0) -> OceanFields:
+        """[B, C, N, N] live planes → combined OceanFields (Σ over bands,
+        then normals/foam — optionally the fused Pallas stencil kernel).
+        Shared by both state representations and the LOD scheduler."""
+        cfg0 = self.cfgs[0]
+        chop = self._chop[:, None, None]
+        height = jnp.sum(planes[:, 0], axis=0)
+        disp_x = jnp.sum(chop * planes[:, 1], axis=0)
+        disp_z = jnp.sum(chop * planes[:, 2], axis=0)
+        texel = self.display_length / self.n
+        if cfg0.normals_mode == "spectral":
+            slope_x = jnp.sum(planes[:, 3], axis=0)
+            slope_z = jnp.sum(planes[:, 4], axis=0)
+            normal = field_ops.normals_spectral(slope_x, slope_z)
+            foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
+        elif self.pallas_fields:
+            # cascades carry EFFECTIVE (post-choppiness) displacements, so
+            # the fused kernel's inputs need no further chop scaling
+            from tpu_ocean.solver import _pallas_fields
+            normal, foam, jac = _pallas_fields(disp_x, height, disp_z, texel)
+        else:
+            normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
+            foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
+        return OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
+                           pos_x=x0 - disp_x, pos_z=z0 - disp_z,
+                           normal=normal, foam=foam, jacobian=jac)
 
 
     def _step_impl_real(self, state: CascadeStateReal, dt: jax.Array,
@@ -376,25 +392,7 @@ class CascadeSolver:
         planes = extract_live_planes_real(re.reshape(b, ct, n, n),
                                           im.reshape(b, ct, n, n),
                                           self._nch, self.pack_channels)
-
-        chop = self._chop[:, None, None]
-        height = jnp.sum(planes[:, 0], axis=0)
-        disp_x = jnp.sum(chop * planes[:, 1], axis=0)
-        disp_z = jnp.sum(chop * planes[:, 2], axis=0)
-        if self._nch == 5:
-            slope_x = jnp.sum(planes[:, 3], axis=0)
-            slope_z = jnp.sum(planes[:, 4], axis=0)
-
-        texel = self.display_length / self.n
-        if cfg0.normals_mode == "spectral":
-            normal = field_ops.normals_spectral(slope_x, slope_z)
-        else:
-            normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
-        foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
-
-        out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
-                          pos_x=x0 - disp_x, pos_z=z0 - disp_z,
-                          normal=normal, foam=foam, jacobian=jac)
+        out = self._combine_fields(planes, x0, z0)
         new_state = CascadeStateReal(
             h0_re=state.h0_re, h0_im=state.h0_im,
             h0c_re=state.h0c_re, h0c_im=state.h0c_im,

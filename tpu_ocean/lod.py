@@ -144,11 +144,13 @@ class LODCascadeSolver:
                  display_length: Optional[float] = None,
                  dt: float = 1.0 / 60.0,
                  pack_channels: bool = False,
-                 real_state: bool = False):
+                 real_state: bool = False,
+                 pallas_fields: bool = False):
         self.inner = CascadeSolver(cfgs, fft_backend=fft_backend,
                                    display_length=display_length,
                                    pack_channels=pack_channels,
-                                   real_state=real_state)
+                                   real_state=real_state,
+                                   pallas_fields=pallas_fields)
         b = self.inner.b
         self.dt = float(dt)
         if periods is None:
@@ -295,23 +297,7 @@ class LODCascadeSolver:
         planes = planes_in.at[idx].set(fresh)
 
         # combine ALL bands from the cache (Σ over B) — cascade.py contract
-        chop = inner._chop[:, None, None]
-        height = jnp.sum(planes[:, 0], axis=0)
-        disp_x = jnp.sum(chop * planes[:, 1], axis=0)
-        disp_z = jnp.sum(chop * planes[:, 2], axis=0)
-        if inner._nch == 5:
-            slope_x = jnp.sum(planes[:, 3], axis=0)
-            slope_z = jnp.sum(planes[:, 4], axis=0)
-
-        texel = inner.display_length / inner.n
-        if cfg0.normals_mode == "spectral":
-            normal = field_ops.normals_spectral(slope_x, slope_z)
-        else:
-            normal = field_ops.normals_stencil(disp_x, height, disp_z, texel)
-        foam, jac = field_ops.whitecap_gpu(disp_x, disp_z, normal)
-
-        out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
-                          pos_x=x0 - disp_x, pos_z=z0 - disp_z,
-                          normal=normal, foam=foam, jacobian=jac)
+        # (optionally the fused Pallas stencil, shared via _combine_fields)
+        out = inner._combine_fields(planes, x0, z0)
         new_cst = cst._replace(phase=phase_out, t=t_new, step=cst.step + 1)
         return new_cst, planes, out
