@@ -35,6 +35,10 @@ def main():
     from tpu_ocean.cascade import CascadeSolver, default_cascade
     from tpu_ocean.benchlib import time_steps_ladder
 
+    if not 1 <= args.bands <= 3:
+        ap.error("--bands must be 1..3 (the production band set)")
+    if args.steps < 16:
+        ap.error("--steps must be ≥ 16 (a degenerate ladder cannot fit)")
     lengths = (1000.0, 130.0, 17.0)[:args.bands]
     cfgs = default_cascade(n=args.res, lengths=lengths)
 

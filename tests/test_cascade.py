@@ -243,3 +243,21 @@ def test_cascade_pallas_fields_matches_jnp_stencil():
     with pytest.raises(ValueError, match="pallas_fields"):
         CascadeSolver([c.replace(normals_mode="spectral") for c in cfgs],
                       pallas_fields=True)
+
+
+def test_real_state_cascade_expert_sharding():
+    """mesh + real_state: init pre-places the plane state band-sharded (so
+    the step's donation can alias) and the sharded step matches unsharded."""
+    cfgs = default_cascade(n=32, lengths=(200.0, 50.0, 12.0, 3.0))
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("expert",))
+    plain = CascadeSolver(cfgs, fft_backend="pallas", real_state=True)
+    sharded = CascadeSolver(cfgs, fft_backend="pallas", real_state=True,
+                            mesh=mesh)
+    key = jax.random.PRNGKey(7)
+    s1, s2 = plain.init(key), sharded.init(key)
+    assert "expert" in str(s2.h0_re.sharding)       # pre-placed on the mesh
+    for _ in range(2):
+        s1, f1 = plain.step(s1, 1 / 60)
+        s2, f2 = sharded.step(s2, 1 / 60)
+    np.testing.assert_allclose(np.asarray(f2.height), np.asarray(f1.height),
+                               atol=1e-4)

@@ -266,11 +266,22 @@ class CascadeSolver:
         if self.pack_channels:
             from tpu_ocean.evolve import hermitize_planes
             r1, i1, r2, i2 = jax.vmap(hermitize_planes)(r1, i1, r2, i2)
-        return CascadeStateReal(
+        st = CascadeStateReal(
             h0_re=r1, h0_im=i1, h0c_re=r2, h0c_im=i2,
             phase=jnp.zeros((self.b, self.n, self.n), jnp.float32),
             t=jnp.zeros((), jnp.float32),
             step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None and "expert" in self.mesh.axis_names:
+            # pre-place band-sharded like the complex init: otherwise the
+            # first step reshards and the state donation cannot alias
+            espec = NamedSharding(self.mesh, P("expert"))
+            st = st._replace(
+                h0_re=jax.device_put(st.h0_re, espec),
+                h0_im=jax.device_put(st.h0_im, espec),
+                h0c_re=jax.device_put(st.h0c_re, espec),
+                h0c_im=jax.device_put(st.h0c_im, espec),
+                phase=jax.device_put(st.phase, espec))
+        return st
 
     def symmetrize(self, state):
         """Per-band Hermitian projection when packing (idempotent — see
@@ -323,6 +334,30 @@ class CascadeSolver:
                                  step=state.step + 1)
         return new_state, out
 
+    def _real_planes(self, pair, phase, coeffs) -> jnp.ndarray:
+        """Banded all-f32 assembly + ONE plane transform over the flattened
+        band×channel batch → [S, C_live, N, N] live planes. The single home
+        of the real-state refresh math (consumed by _step_impl_real and the
+        LOD scheduler's refresh — lod._transform_planes)."""
+        from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
+        if self.pack_channels:
+            from tpu_ocean.evolve import assemble_spectra_packed_real
+            re, im = jax.vmap(assemble_spectra_packed_real,
+                              in_axes=((0, 0, 0, 0), 0, 0))(pair, phase,
+                                                            coeffs)
+        else:
+            from tpu_ocean.evolve import assemble_spectra_real
+            re, im = jax.vmap(assemble_spectra_real,
+                              in_axes=((0, 0, 0, 0), 0, 0))(pair, phase,
+                                                            coeffs)
+        s, ct, n = re.shape[0], re.shape[1], re.shape[-1]
+        re, im = ifft2_planes_auto(re.reshape(s * ct, n, n),
+                                   im.reshape(s * ct, n, n), True,
+                                   self._mxu_precision)
+        return extract_live_planes_real(re.reshape(s, ct, n, n),
+                                        im.reshape(s, ct, n, n),
+                                        self._nch, self.pack_channels)
+
     def _combine_fields(self, planes: jnp.ndarray, x0, z0) -> OceanFields:
         """[B, C, N, N] live planes → combined OceanFields (Σ over bands,
         then normals/foam — optionally the fused Pallas stencil kernel).
@@ -374,24 +409,7 @@ class CascadeSolver:
             t_new = state.t + dt
 
         pair = (state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
-        if self.pack_channels:
-            from tpu_ocean.evolve import assemble_spectra_packed_real
-            re, im = jax.vmap(assemble_spectra_packed_real,
-                              in_axes=((0, 0, 0, 0), 0, 0))(pair, phase,
-                                                            coeffs)
-        else:
-            from tpu_ocean.evolve import assemble_spectra_real
-            re, im = jax.vmap(assemble_spectra_real,
-                              in_axes=((0, 0, 0, 0), 0, 0))(pair, phase,
-                                                            coeffs)
-        b, ct, n = re.shape[0], re.shape[1], self.n
-        # one transform over the flattened band×channel batch
-        re, im = ifft2_planes_auto(re.reshape(b * ct, n, n),
-                                   im.reshape(b * ct, n, n), True,
-                                   self._mxu_precision)
-        planes = extract_live_planes_real(re.reshape(b, ct, n, n),
-                                          im.reshape(b, ct, n, n),
-                                          self._nch, self.pack_channels)
+        planes = self._real_planes(pair, phase, coeffs)
         out = self._combine_fields(planes, x0, z0)
         new_state = CascadeStateReal(
             h0_re=state.h0_re, h0_im=state.h0_im,

@@ -143,20 +143,15 @@ def load_checkpoint(path: str, real_state: bool = False
                 h0c_re=jnp.asarray(h0c[0], jnp.float32),
                 h0c_im=jnp.asarray(h0c[1], jnp.float32),
                 phase=phase, t=t, step=step, foam_accum=foam_accum)
-            cfg = None
-            if "config_json" in z.files:
-                d = json.loads(bytes(z["config_json"]).decode())
-                d["wind"] = tuple(d["wind"])
-                cfg = OceanConfig(**d)
-            return state, cfg
-        state = OceanState(
-            h0=push(z["h0_pair"]),
-            h0_conj=push(z["h0_conj_pair"]),
-            phase=phase,
-            t=t,
-            step=step,
-            foam_accum=foam_accum,
-        )
+        else:
+            state = OceanState(
+                h0=push(z["h0_pair"]),
+                h0_conj=push(z["h0_conj_pair"]),
+                phase=phase,
+                t=t,
+                step=step,
+                foam_accum=foam_accum,
+            )
         cfg = None
         if "config_json" in z.files:
             d = json.loads(bytes(z["config_json"]).decode())

@@ -56,8 +56,6 @@ import jax.numpy as jnp
 
 from tpu_ocean.config import OceanConfig, G
 from tpu_ocean.cascade import CascadeSolver, CascadeState
-from tpu_ocean.solver import OceanFields
-from tpu_ocean import fields as field_ops
 
 
 def band_max_omega(cfg: OceanConfig) -> float:
@@ -117,7 +115,9 @@ def periods_for_distance(cfgs: Sequence[OceanConfig], dt: float,
 
 
 class LODState(NamedTuple):
-    cascade: CascadeState     # shared band state (phase NOT advanced for held bands)
+    cascade: "CascadeState | CascadeStateReal"  # shared band state (phase
+                              # NOT advanced for held bands; real-plane
+                              # twin when real_state=True)
     planes: jax.Array         # [B, C, N, N] f32 cached per-band field planes
                               # (C = live channels: 3 stencil / 5 spectral —
                               # always the EXTRACTED planes, independent of
@@ -215,26 +215,8 @@ class LODCascadeSolver:
         inner = self.inner
         i = idx_or_slice
         if inner.real_state:
-            from tpu_ocean.cascade import extract_live_planes_real
-            from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
             pair = (cst.h0_re[i], cst.h0_im[i], cst.h0c_re[i], cst.h0c_im[i])
-            if inner.pack_channels:
-                from tpu_ocean.evolve import assemble_spectra_packed_real
-                re, im = jax.vmap(assemble_spectra_packed_real,
-                                  in_axes=((0, 0, 0, 0), 0, 0))(
-                    pair, phase, coeffs)
-            else:
-                from tpu_ocean.evolve import assemble_spectra_real
-                re, im = jax.vmap(assemble_spectra_real,
-                                  in_axes=((0, 0, 0, 0), 0, 0))(
-                    pair, phase, coeffs)
-            s, ct, n = re.shape[0], re.shape[1], re.shape[-1]
-            re, im = ifft2_planes_auto(re.reshape(s * ct, n, n),
-                                       im.reshape(s * ct, n, n), True,
-                                       inner._mxu_precision)
-            return extract_live_planes_real(re.reshape(s, ct, n, n),
-                                            im.reshape(s, ct, n, n),
-                                            inner._nch, inner.pack_channels)
+            return inner._real_planes(pair, phase, coeffs)
         f = inner._ifft2(self._assemble(cst.h0[i], cst.h0_conj[i],
                                         phase, coeffs))
         return self._extract_planes(f)
