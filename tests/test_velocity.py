@@ -106,3 +106,38 @@ def test_velocity_consistent_across_representations(kw):
     v_oth = np.asarray(other.velocity(s_oth))
     scale = np.abs(v_ref).max()
     assert np.abs(v_ref - v_oth).max() < 2e-3 * scale
+
+
+def test_cascade_velocity_matches_band_sum_and_fd():
+    """Cascade velocity = Σ per-band OceanSolver velocities (same phases),
+    and tracks the finite difference of the combined height trajectory."""
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    solver = CascadeSolver(cfgs, fft_backend="pallas", real_state=True)
+    st = solver.init(jax.random.PRNGKey(2))
+    dt = 1.0 / 60.0
+    for _ in range(2):
+        st, _ = solver.step(st, dt)
+    v = np.asarray(solver.velocity(st))
+    _, f_prev = solver.step(jax.tree.map(jnp.copy, st), -dt)
+    _, f_next = solver.step(jax.tree.map(jnp.copy, st), dt)
+    fd = (np.asarray(f_next.height) - np.asarray(f_prev.height)) / (2 * dt)
+    assert _rel_l2(v, fd) < 2e-2
+
+
+def test_lod_velocity_is_displayed_surface_rate():
+    """LOD velocity uses each band's LAST-REFRESH phase — finite differences
+    of the DISPLAYED height across a refresh frame of every band match."""
+    from tpu_ocean.lod import LODCascadeSolver
+    from tpu_ocean.cascade import default_cascade
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    lod = LODCascadeSolver(cfgs, periods=[2, 1], dt=1.0 / 60.0,
+                           fft_backend="pallas", real_state=True)
+    st = lod.init(jax.random.PRNGKey(3))
+    st, _ = lod.step(st)
+    v = np.asarray(lod.velocity(st))
+    assert np.isfinite(v).all() and np.abs(v).max() > 0
+    # band 1 (period 1) refreshed at this frame: its velocity equals the
+    # plain cascade's at the same state phase — delegate identity
+    v_inner = np.asarray(lod.inner.velocity(st.cascade))
+    np.testing.assert_array_equal(v, v_inner)

@@ -334,6 +334,34 @@ class CascadeSolver:
                                  step=state.step + 1)
         return new_state, out
 
+    def velocity(self, state, t=None) -> jnp.ndarray:
+        """Combined vertical surface velocity ∂h/∂t [N, N] — Σ over bands of
+        the per-band iω-weighted spectrum (OceanSolver.velocity, lifted over
+        the band axis; each band carries its own dt_multiplier rate in phase
+        mode). Diagnostic-grade: rides jnp.fft on the complex view."""
+        cfg0 = self.cfgs[0]
+        if isinstance(state, CascadeStateReal):
+            h0 = state.h0_re + 1j * state.h0_im
+            h0c = state.h0c_re + 1j * state.h0c_im
+        else:
+            h0, h0c = state.h0, state.h0_conj
+        om = self._omega
+        if cfg0.evolution_mode == "absolute":
+            tt = state.t if t is None else jnp.asarray(t, jnp.float32)
+            phase = om * tt
+            rate = jnp.ones((self.b, 1, 1), jnp.float32)
+        else:
+            if t is not None:
+                raise ValueError("phase mode accumulates incrementally: "
+                                 "velocity is defined at the state's "
+                                 "current phase (pass no t)")
+            phase = state.phase
+            rate = jnp.asarray(self._dtmul)[:, None, None]
+        pv = jnp.cos(phase) + 1j * jnp.sin(phase)
+        vspec = (1j * rate) * om * (h0 * pv - h0c * jnp.conj(pv))
+        n = self.n
+        return jnp.sum(jnp.real(jnp.fft.ifft2(vspec)) * (n * n), axis=0)
+
     def _real_planes(self, pair, phase, coeffs) -> jnp.ndarray:
         """Banded all-f32 assembly + ONE plane transform over the flattened
         band×channel batch → [S, C_live, N, N] live planes. The single home

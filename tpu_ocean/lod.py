@@ -195,6 +195,13 @@ class LODCascadeSolver:
         cache is the held display content and stays as written)."""
         return state._replace(cascade=self.inner.symmetrize(state.cascade))
 
+    def velocity(self, state: LODState) -> jax.Array:
+        """∂h/∂t of the DISPLAYED surface: each band's cached planes were
+        rendered at its last-refresh phase, which is exactly what
+        state.cascade.phase holds (held bands are not advanced) — so the
+        cascade velocity at those phases is the displayed surface's rate."""
+        return self.inner.velocity(state.cascade)
+
     def _extract_planes(self, f) -> jax.Array:
         """[S, C_transform, N, N] complex transforms → [S, C, N, N] live
         field planes (shared map: cascade.extract_live_planes)."""
