@@ -56,9 +56,13 @@ def _assert_fields_close(got, want, tol_scale, foam_scale=25.0):
         b = np.asarray(getattr(got, name))
         if name == "normal":
             # normalization amplifies f32 rounding where the slope is tiny
-            # (house style: test_parity's 1e-3 band); packed-vs-unpacked
-            # reordering stays well under 1e-4
-            tol = 1e-4
+            # (house style: test_parity's 1e-3 band). 2e-4: the Gauss 3-dot
+            # complex product (pallas_fft._gauss_cmul, a measured 13% step
+            # win) costs ~1 ulp of cancellation in its imaginary part, which
+            # the near-flat-normal renormalization amplifies to just over
+            # 1e-4 on isolated texels (worst observed: 1 texel in 12288 at
+            # 1.24e-4); every other field stays on the tight band below
+            tol = 2e-4
         else:
             scale = foam_scale if name == "foam" else 1.0
             tol = scale * tol_scale * max(np.abs(a).max(), 1e-9)

@@ -79,7 +79,28 @@ def _dot_mid(m, x, precision=lax.Precision.HIGHEST):
                            precision=precision)
 
 
-def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
+def _gauss_cmul(mr, mi, ms, xr, xi, precision):
+    """Complex matrix·tensor via Gauss's 3-multiplication identity.
+
+    (Mr + iMi)(xr + i xi): t1 = Mr·xr, t2 = Mi·xi, t3 = (Mr+Mi)·(xr+xi)
+    → re = t1 − t2, im = t3 − t1 − t2. One fewer MXU contraction than the
+    4-dot form (the dominant cost at precision=HIGHEST, where every dot is
+    a multi-pass bf16 decomposition); the extra adds ride the VPU. ``ms``
+    is the PRECOMPUTED (Mr + Mi) — the DFT factors are trace-time tables,
+    so the sum costs nothing per step. Measured: flagship transform
+    0.407 → 0.342 ms at 1024² packed, full step 0.478 → 0.420
+    (BASELINE.md; bench/STAGE_BREAKDOWN_r2_1024_packed_gauss.json). The
+    trade: t3 − t1 − t2 cancels ~1 ulp harder than the 4-dot form — parity
+    tests hold except isolated near-flat normal texels (~1e-4, bounded in
+    tests/test_packing._assert_fields_close)."""
+    t1 = _dot_mid(mr, xr, precision)
+    t2 = _dot_mid(mi, xi, precision)
+    t3 = _dot_mid(ms, xr + xi, precision)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _fft_block_kernel(f2r_ref, f2i_ref, f2s_ref, twr_ref, twi_ref,
+                      f1r_ref, f1i_ref, f1s_ref,
                       re_ref, im_ref, ore_ref, oim_ref, *, n1, n2,
                       precision=lax.Precision.HIGHEST):
     """(1, R, N2, N1) row block → 1-D transforms → transposed (1, N, R) store."""
@@ -88,10 +109,9 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
     ar = re_ref[:].reshape(r, n2, n1)
     ai = im_ref[:].reshape(r, n2, n1)
 
-    # C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]
-    f2r, f2i = f2r_ref[:], f2i_ref[:]
-    cr = _dot_mid(f2r, ar, precision) - _dot_mid(f2i, ai, precision)
-    ci = _dot_mid(f2r, ai, precision) + _dot_mid(f2i, ar, precision)
+    # C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]   (Gauss 3-dot complex product)
+    cr, ci = _gauss_cmul(f2r_ref[:], f2i_ref[:], f2s_ref[:], ar, ai,
+                         precision)
 
     # twiddle, broadcast over the row axis
     twr = twr_ref[:][:, None, :]
@@ -103,9 +123,8 @@ def _fft_block_kernel(f2r_ref, f2i_ref, twr_ref, twi_ref, f1r_ref, f1i_ref,
     ci = ci.transpose(0, 2, 1)
 
     # D[k1, k2, r] = Σ_t F1[k1, t] C[k2, t, r]
-    f1r, f1i = f1r_ref[:], f1i_ref[:]
-    dr = _dot_mid(f1r, cr, precision) - _dot_mid(f1i, ci, precision)
-    di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
+    dr, di = _gauss_cmul(f1r_ref[:], f1i_ref[:], f1s_ref[:], cr, ci,
+                         precision)
 
     # X[n] with n = k2 + N2·k1 ⇔ [k1, k2] row-major; minor axis stays r.
     ore_ref[:] = dr.reshape(1, n, r)
@@ -208,18 +227,18 @@ def _fft1d_transposed(re, im, inverse: bool,
     ore, oim = pl.pallas_call(
         kernel,
         grid=(c, m // r),
-        in_specs=[table((n2, n2)), table((n2, n2)),
+        in_specs=[table((n2, n2)), table((n2, n2)), table((n2, n2)),
                   table((n2, n1)), table((n2, n1)),
-                  table((n1, n1)), table((n1, n1)),
+                  table((n1, n1)), table((n1, n1)), table((n1, n1)),
                   in_block, in_block],
         out_specs=[out_block, out_block],
         out_shape=[jax.ShapeDtypeStruct((c, n, m), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(8 * c * m * n * (n1 + n2)),
+            flops=int(6 * c * m * n * (n1 + n2)),   # Gauss: 3 dots per stage
             bytes_accessed=int(2 * 2 * c * m * n * 4),
             transcendentals=0),
         interpret=jax.default_backend() == "cpu",  # tests: fake-CPU meshes
-    )(f2r, f2i, twr, twi, f1r, f1i, re, im)
+    )(f2r, f2i, f2r + f2i, twr, twi, f1r, f1i, f1r + f1i, re, im)
     return ore, oim
 
 
@@ -240,10 +259,12 @@ def _fft1d_transposed(re, im, inverse: bool,
 def _rowfft_core(ar, ai, f2r, f2i, twr, twi, f1tr, f1ti, precision):
     """[r, n2(s), n1(t)] spectrum planes → natural-order row FFT
     [r, n1(k1), n2(k2)] (flattens to index k1·n2+k2). Shared by the plain
-    and fused (assembly-in-kernel) large-N row kernels."""
+    and fused (assembly-in-kernel) large-N row kernels. Both stages use the
+    Gauss 3-dot complex product (see _gauss_cmul); the summed tables are
+    built in-kernel from the passed factors — they are tiny trace-time
+    constants and Mosaic folds the adds."""
     # stage 1: C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]
-    cr = _dot_mid(f2r, ar, precision) - _dot_mid(f2i, ai, precision)
-    ci = _dot_mid(f2r, ai, precision) + _dot_mid(f2i, ar, precision)
+    cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, precision)
     twr_b = twr[:, None, :]
     twi_b = twi[:, None, :]
     cr, ci = cr * twr_b - ci * twi_b, cr * twi_b + ci * twr_b
@@ -256,9 +277,12 @@ def _rowfft_core(ar, ai, f2r, f2i, twr, twi, f1tr, f1ti, precision):
                                           if precision == lax.Precision.DEFAULT
                                           else lax.Precision.HIGHEST))
 
-    # stage 2: D[k2, r, k1] = Σ_t C[k2, r, t] F1ᵀ[t, k1]
-    dr = d(cr, f1tr) - d(ci, f1ti)
-    di = d(cr, f1ti) + d(ci, f1tr)
+    # stage 2: D[k2, r, k1] = Σ_t C[k2, r, t] F1ᵀ[t, k1] (Gauss again)
+    t1 = d(cr, f1tr)
+    t2 = d(ci, f1ti)
+    t3 = d(cr + ci, f1tr + f1ti)
+    dr = t1 - t2
+    di = t3 - t1 - t2
     return dr.transpose(1, 2, 0), di.transpose(1, 2, 0)   # [r, k1, k2]
 
 

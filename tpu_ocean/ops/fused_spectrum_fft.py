@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ocean.fft.pallas_fft import (
-    _tables_np, _dot_mid, _fft1d_transposed, _rowfft_core,
+    _tables_np, _dot_mid, _gauss_cmul, _fft1d_transposed, _rowfft_core,
     _pick_block_rows_natural, MAX_FUSED_N)
 
 NUM_CHANNELS = 5
@@ -140,18 +140,17 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
                              ch=ch, bi=bi, r=r,
                              row_off=row_off_ref[0, 0], packed=packed,
                              nch_live=nch_live, kz_nyq=kz_nyq)
-    # four-step row FFT (see pallas_fft._fft_block_kernel for layout notes)
+    # four-step row FFT (see pallas_fft._fft_block_kernel for layout notes;
+    # Gauss 3-dot complex products, pallas_fft._gauss_cmul)
     f2r, f2i = f2r_ref[:], f2i_ref[:]
-    cr = _dot_mid(f2r, ar, precision) - _dot_mid(f2i, ai, precision)
-    ci = _dot_mid(f2r, ai, precision) + _dot_mid(f2i, ar, precision)
+    cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, precision)
     twr = twr_ref[:][:, None, :]
     twi = twi_ref[:][:, None, :]
     cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
     cr = cr.transpose(0, 2, 1)
     ci = ci.transpose(0, 2, 1)
     f1r, f1i = f1r_ref[:], f1i_ref[:]
-    dr = _dot_mid(f1r, cr, precision) - _dot_mid(f1i, ci, precision)
-    di = _dot_mid(f1r, ci, precision) + _dot_mid(f1i, cr, precision)
+    dr, di = _gauss_cmul(f1r, f1i, f1r + f1i, cr, ci, precision)
     ore_ref[:] = dr.reshape(1, n, r)
     oim_ref[:] = di.reshape(1, n, r)
 
