@@ -44,6 +44,14 @@ def test_buoys_streams_csv():
     assert len(lines) == 5      # header + 4 steps
 
 
+def test_spray_seeds_from_velocity_and_foam(tmp_path):
+    out = str(tmp_path / "spray.png")
+    r = _run(["examples/spray.py", "--n", "48", "--steps", "8",
+              "--out", out])
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-800:]
+    assert "spawned" in r.stdout and os.path.getsize(out) > 300
+
+
 def test_stream_client_receives_and_renders(tmp_path):
     out = str(tmp_path / "stream.png")
     r = _run(["examples/stream_client.py", "--frames", "3", "--res", "32",
