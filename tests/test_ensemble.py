@@ -105,3 +105,38 @@ def test_dp_sp_composition_with_fused_backend():
     st, f = combo.step(st, 1 / 60)
     assert f.height.shape == (2, 32, 32)
     assert np.isfinite(np.asarray(f.height)).all()
+
+
+def test_ensemble_threads_member_solver_switches():
+    """pack_channels / real_state / pallas_fields pass through to every
+    member: the packed-real ensemble matches standalone packed-real solvers
+    member-exactly (the production member variant ensembles identically)."""
+    from tpu_ocean.solver import OceanStateReal
+    cfg = _cfg()
+    mesh = make_mesh(batch=4, shard=2)
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+              pallas_fields=True)
+    ens = EnsembleOceanSolver(cfg, mesh, ensemble_size=4, **kw)
+    key = jax.random.PRNGKey(9)
+    state = ens.init(key)
+    assert isinstance(state, OceanStateReal)
+    state, fields = ens.step(state, 1 / 60)
+
+    single = OceanSolver(cfg, **kw)
+    keys = jax.random.split(key, 4)
+    for i in [0, 2]:
+        st = single.init(keys[i])
+        st, f = single.step(st, 1 / 60)
+        np.testing.assert_allclose(np.asarray(fields.height[i]),
+                                   np.asarray(f.height), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fields.foam[i]),
+                                   np.asarray(f.foam), atol=1e-5)
+
+    # DP × SP composition threads too
+    from tpu_ocean.ensemble import EnsembleDistributedSolver
+    combo = EnsembleDistributedSolver(cfg, mesh, ensemble_size=4,
+                                      pack_channels=True)
+    cstate = combo.init(key)
+    cstate, cfields = combo.step(cstate, 1 / 60)
+    assert cfields.height.shape == (4, 32, 32)
+    assert np.isfinite(np.asarray(cfields.height)).all()

@@ -31,7 +31,7 @@ class EnsembleOceanSolver:
     """
 
     def __init__(self, cfg: OceanConfig, mesh: Mesh, ensemble_size: int,
-                 fft_backend: str = "reference"):
+                 fft_backend: str = "reference", **solver_kw):
         if "batch" not in mesh.axis_names:
             raise ValueError("mesh needs a 'batch' axis (parallel.make_mesh)")
         n_batch = mesh.shape["batch"]
@@ -41,14 +41,23 @@ class EnsembleOceanSolver:
         self.cfg = cfg
         self.mesh = mesh
         self.ensemble_size = ensemble_size
-        self._inner = OceanSolver(cfg, fft_backend=fft_backend)
+        # extra member-solver switches (pack_channels, pallas_fields,
+        # real_state, ...) pass straight through — every member variant the
+        # single-patch solver supports ensembles identically
+        self._inner = OceanSolver(cfg, fft_backend=fft_backend, **solver_kw)
 
         def spec(*tail):
             return NamedSharding(mesh, P("batch", *tail))
 
-        state_shardings = OceanState(
-            h0=spec(), h0_conj=spec(), phase=spec(), t=spec(), step=spec(),
-            foam_accum=spec())
+        if getattr(self._inner, "real_state", False):
+            from tpu_ocean.solver import OceanStateReal
+            state_shardings = OceanStateReal(
+                h0_re=spec(), h0_im=spec(), h0c_re=spec(), h0c_im=spec(),
+                phase=spec(), t=spec(), step=spec(), foam_accum=spec())
+        else:
+            state_shardings = OceanState(
+                h0=spec(), h0_conj=spec(), phase=spec(), t=spec(),
+                step=spec(), foam_accum=spec())
         # constants ride as a (replicated) jit argument — embedding them in
         # the program bloats it and re-fetching closures is unreliable
         vstep = jax.vmap(self._inner._step_impl, in_axes=(0, None, None))
@@ -83,7 +92,8 @@ class EnsembleDistributedSolver:
     """
 
     def __init__(self, cfg, mesh: Mesh, ensemble_size: int,
-                 fft_backend: str = "reference", overlap_chunks: int = 1):
+                 fft_backend: str = "reference", overlap_chunks: int = 1,
+                 **solver_kw):
         from tpu_ocean.solver_dist import DistributedOceanSolver
 
         for axis in ("batch", "shard"):
@@ -98,7 +108,7 @@ class EnsembleDistributedSolver:
         self.ensemble_size = ensemble_size
         self._inner = DistributedOceanSolver(
             cfg, mesh, fft_backend=fft_backend,
-            overlap_chunks=overlap_chunks)
+            overlap_chunks=overlap_chunks, **solver_kw)
 
         # placement comes from init's device_put; jit propagates it.
         # vmap the per-member shard_map'ped body over the leading member
