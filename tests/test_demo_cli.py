@@ -99,3 +99,12 @@ def test_profile_trace_writes_artifacts(tmp_path):
     for root, _, files in os.walk(str(tmp_path)):
         found += files
     assert found, "profiler wrote nothing"
+
+
+def test_serve_cli_runs_headless(tmp_path, capsys):
+    """`python -m tpu_ocean serve --steps K` runs the solver loop with no
+    clients (no broadcast work) and exits cleanly."""
+    rc = main(["serve", "--res", "32", "--steps", "3",
+               "--out", str(tmp_path)])
+    assert rc == 0
+    assert "serving 32^2" in capsys.readouterr().err
