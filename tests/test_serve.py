@@ -3,6 +3,7 @@ fidelity vs an offline run of the same seed, and the real-time drop policy
 (the solver loop must never block on a slow client)."""
 
 import json
+import os
 import socket
 import threading
 
@@ -152,3 +153,32 @@ def test_rejects_unknown_field_and_foreign_stream():
         list(stream_frames(host, port, max_frames=1))
     imposter.close()
     assert PROTO == "tpu-ocean/1"
+
+
+def test_native_cpp_client_consumes_stream():
+    """The dependency-free C++ client (native/stream_client.cpp — the
+    engine-side consumer a production deployment embeds) reads the header
+    and N intact frames from a live FrameServer."""
+    import shutil
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    binary = os.path.join(root, "native", "tpu_ocean_stream_client")
+    if not os.path.exists(binary):
+        make = shutil.which("make")
+        if make is None:
+            pytest.skip("no make; native client not built")
+        subprocess.run([make, "-C", os.path.join(root, "native")],
+                       check=True, capture_output=True)
+
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height", "normal", "foam")) as server:
+        host, port = server.address
+        proc = subprocess.Popen([binary, host, str(port), "3"],
+                                stdout=subprocess.PIPE, text=True)
+        while server.client_count == 0 and proc.poll() is None:
+            pass
+        server.run(steps=5)
+        out, _ = proc.communicate(timeout=60)
+    assert proc.returncode == 0, out[-800:]
+    assert "received 3/3 frames" in out
+    assert out.count("height in [") == 3
