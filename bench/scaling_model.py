@@ -212,17 +212,24 @@ HBM_PLANES = 22           # fused-backend f32 planes of HBM traffic per step
 
 
 def project(n: int, d: int, chip: str = "v5e",
-            mxu_frac: float = 0.6) -> dict:
+            mxu_frac: float = 0.6, pack_channels: bool = False) -> dict:
     """Projected per-step times and weak-scaling efficiency at side N on D
-    chips (1-D ring decomposition, a2a rides the ring both ways)."""
+    chips (1-D ring decomposition, a2a rides the ring both ways).
+
+    ``pack_channels`` models the production packed step: 2 transform
+    channels instead of 3 (wire AND the channel-proportional HBM/MXU
+    terms shrink by the same third) and the Gauss 3-dot kernels
+    (6 real MACs per complex MAC instead of 8 — pallas_fft._gauss_cmul)."""
     h = CHIPS[chip]
-    m = step_collectives_model(n, d)
+    m = step_collectives_model(n, d, pack_channels=pack_channels)
+    ch = 2 if pack_channels else C
+    mac = 6 if pack_channels else 8       # Gauss kernels ship with packing
     local = n * n // d
-    t_hbm = HBM_PLANES * local * F32 / h["hbm"]
-    # four-step FFT flops per point ≈ 8·(n1+n2) real MACs × 2 passes × C
+    t_hbm = (HBM_PLANES / C) * ch * local * F32 / h["hbm"]
+    # four-step FFT flops per point ≈ mac·(n1+n2) real MACs × 2 passes × ch
     n1 = 128 if n % 128 == 0 else n // 2
     n2 = max(n // n1, 1)
-    flops = 2 * C * local * 8 * (n1 + n2) * 2
+    flops = 2 * ch * local * mac * (n1 + n2) * 2
     t_mxu = flops / (h["mxu"] * mxu_frac)
     t_compute = max(t_hbm, t_mxu)
     # ring (2 of 4 ICI links) = conservative; XLA routes all_to_all across
@@ -255,6 +262,19 @@ def main():
             n = int(4096 * (d / 4) ** 0.5)
             n = (n // 128) * 128
             p = project(n, d, chip)
+            print(f"| {chip} | {n}² | {d} | {p['t_compute_us']} | "
+                  f"{p['t_comm_us']} | {p['eff_no_overlap']} | "
+                  f"{p['eff_full_overlap']} | {p['eff_overlap_torus']} | "
+                  f"{p['updates_per_s_overlap_torus']} |")
+    print("\npacked (2-channel transpose + Gauss kernels):")
+    print("| chip | N (weak) | D | t_comp µs | t_comm µs (ring) | eff "
+          "serial | eff overlap (ring) | eff overlap (torus) | updates/s |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for chip in ("v5e", "v5p"):
+        for d in (4, 16, 64, 256):
+            n = int(4096 * (d / 4) ** 0.5)
+            n = (n // 128) * 128
+            p = project(n, d, chip, pack_channels=True)
             print(f"| {chip} | {n}² | {d} | {p['t_compute_us']} | "
                   f"{p['t_comm_us']} | {p['eff_no_overlap']} | "
                   f"{p['eff_full_overlap']} | {p['eff_overlap_torus']} | "
