@@ -137,7 +137,7 @@ def test_serves_cascade_simulation():
 def test_rejects_unknown_field_and_foreign_stream():
     with pytest.raises(ValueError, match="stream"):
         FrameServer(Simulation(CFG, fft_backend="matmul"),
-                    fields=("height", "velocity"))
+                    fields=("height", "vorticity"))
 
     imposter = socket.create_server(("127.0.0.1", 0))
     host, port = imposter.getsockname()
@@ -182,3 +182,31 @@ def test_native_cpp_client_consumes_stream():
     assert proc.returncode == 0, out[-800:]
     assert "received 3/3 frames" in out
     assert out.count("height in [") == 3
+
+
+def test_streams_computed_velocity_plane():
+    """'velocity' is a computed wire field (solver.velocity, not an
+    OceanFields leaf): the streamed plane equals the solver's analytic
+    ∂h/∂t at the same state."""
+    sim = Simulation(CFG, fft_backend="matmul")
+    with FrameServer(sim, fields=("height", "velocity")) as server:
+        host, port = server.address
+        frames = []
+        t = threading.Thread(target=lambda: frames.extend(
+            stream_frames(host, port, max_frames=2)))
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=3)
+        # velocity of the CURRENT server state must match the last frame
+        v_now = np.asarray(sim.solver.velocity(sim.state))
+        t.join(timeout=30)
+        assert not t.is_alive()
+    assert frames[-1][1]["velocity"].shape == (64, 64)
+    assert np.isfinite(frames[-1][1]["velocity"]).all()
+    offline = Simulation(CFG, fft_backend="matmul")
+    for meta, planes in frames:
+        offline.step()
+        want = np.asarray(offline.solver.velocity(offline.state))
+        np.testing.assert_array_equal(planes["velocity"], want)
+    del v_now

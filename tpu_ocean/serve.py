@@ -47,7 +47,12 @@ PROTO = "tpu-ocean/1"
 
 #: fields streamable per frame (OceanFields leaves with a fixed wire shape)
 STREAMABLE = ("height", "disp_x", "disp_z", "pos_x", "pos_z", "normal",
-              "foam", "jacobian")
+              "foam", "jacobian",
+              # computed per frame from the solver, not an OceanFields leaf:
+              # the analytic ∂h/∂t (solver.velocity) — what remote spray /
+              # Doppler / FSI clients consume (examples/spray.py logic,
+              # server-side fields, client-side particles)
+              "velocity")
 
 
 class FrameServer:
@@ -66,6 +71,9 @@ class FrameServer:
         if unknown:
             raise ValueError(f"cannot stream {sorted(unknown)}; "
                              f"streamable: {STREAMABLE}")
+        if "velocity" in fields and not hasattr(sim.solver, "velocity"):
+            raise ValueError(f"{type(sim.solver).__name__} does not "
+                             f"provide velocity (∂h/∂t)")
         self.sim = sim
         self.fields = tuple(fields)
         self._queue_frames = queue_frames
@@ -185,11 +193,16 @@ class FrameServer:
         meta = (json.dumps({"step": self.sim.step_count,
                             "t": self.sim.step_count * self.sim.dt})
                 + "\n").encode()
-        planes = [np.ascontiguousarray(
-                      np.asarray(jax.device_get(getattr(fields, name))),
-                      dtype="<f4").tobytes()
-                  for name in self.fields]
-        return meta + b"".join(planes)
+
+        def plane(name):
+            if name == "velocity":
+                x = self.sim.solver.velocity(self.sim.state)
+            else:
+                x = getattr(fields, name)
+            return np.ascontiguousarray(
+                np.asarray(jax.device_get(x)), dtype="<f4").tobytes()
+
+        return meta + b"".join(plane(name) for name in self.fields)
 
     def run(self, steps: Optional[int] = None):
         """Step the simulation, broadcasting every frame; None = until
