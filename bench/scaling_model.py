@@ -209,6 +209,11 @@ CHIPS = {
     "v5p": dict(hbm=2765e9, mxu=459e12, ici_link=90e9, links=2),
 }
 HBM_PLANES = 22           # fused-backend f32 planes of HBM traffic per step
+                          # at C = 3 live channels, of which:
+HBM_PLANES_FIXED = 8      # output-field planes (height, disp×2, normal×3,
+                          # foam, jacobian) — independent of the transform
+                          # channel count
+HBM_PLANES_PER_CH = (HBM_PLANES - HBM_PLANES_FIXED) / C   # transform passes
 
 
 def project(n: int, d: int, chip: str = "v5e",
@@ -225,7 +230,10 @@ def project(n: int, d: int, chip: str = "v5e",
     ch = 2 if pack_channels else C
     mac = 6 if pack_channels else 8       # Gauss kernels ship with packing
     local = n * n // d
-    t_hbm = (HBM_PLANES / C) * ch * local * F32 / h["hbm"]
+    # only the transform-pass planes shrink with the channel count; the
+    # output-field planes are fixed
+    planes = HBM_PLANES_FIXED + HBM_PLANES_PER_CH * ch
+    t_hbm = planes * local * F32 / h["hbm"]
     # four-step FFT flops per point ≈ mac·(n1+n2) real MACs × 2 passes × ch
     n1 = 128 if n % 128 == 0 else n // 2
     n2 = max(n // n1, 1)

@@ -38,6 +38,8 @@ def main():
                     help="strongest launch sites kept per frame")
     ap.add_argument("--out", type=str, default="out/spray.png")
     args = ap.parse_args()
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
 
     cfg = OceanConfig(resolution=args.n, length=float(args.n),
                       wind=(13.0, 8.0), amplitude=0.8, choppiness=1.2,

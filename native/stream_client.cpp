@@ -20,6 +20,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -121,6 +122,11 @@ int main(int argc, char** argv) {
     return 2;
   }
   const size_t n = static_cast<size_t>(n_d);
+  if (n == 0 || n > (1u << 16)) {
+    std::fprintf(stderr, "implausible resolution %zu\n", n);
+    ::close(fd);
+    return 2;
+  }
   const auto fields = find_string_list(header, "fields");
   std::printf("# connected: %zux%zu, %zu field(s)\n", n, n, fields.size());
 

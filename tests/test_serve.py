@@ -198,8 +198,6 @@ def test_streams_computed_velocity_plane():
         while server.client_count == 0 and t.is_alive():
             pass
         server.run(steps=3)
-        # velocity of the CURRENT server state must match the last frame
-        v_now = np.asarray(sim.solver.velocity(sim.state))
         t.join(timeout=30)
         assert not t.is_alive()
     assert frames[-1][1]["velocity"].shape == (64, 64)
@@ -209,4 +207,3 @@ def test_streams_computed_velocity_plane():
         offline.step()
         want = np.asarray(offline.solver.velocity(offline.state))
         np.testing.assert_array_equal(planes["velocity"], want)
-    del v_now

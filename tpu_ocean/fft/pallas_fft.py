@@ -346,7 +346,7 @@ def fft1d_natural_large(re, im, inverse: bool,
         out_specs=[out_block, out_block],
         out_shape=[jax.ShapeDtypeStruct((c, m, n1, n2), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(8 * c * m * n * (n1 + n2)),
+            flops=int(6 * c * m * n * (n1 + n2)),   # Gauss: 3 dots/stage
             bytes_accessed=int(2 * 2 * c * m * n * 4),
             transcendentals=0),
         interpret=jax.default_backend() == "cpu",

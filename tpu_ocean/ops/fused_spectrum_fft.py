@@ -236,7 +236,7 @@ def assemble_rowfft_natural(h0_pair, phase, length: float, dz_sign: float,
         out_shape=[jax.ShapeDtypeStruct((ch_count, m, n1, n2),
                                         jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(ch_count * 8 * m * n * (n1 + n2)),
+            flops=int(ch_count * 6 * m * n * (n1 + n2)),  # Gauss: 3 dots
             bytes_accessed=int((5 + 2 * ch_count) * m * n * 4),
             transcendentals=int(2 * ch_count * m * n)),
         interpret=jax.default_backend() == "cpu",
@@ -320,7 +320,7 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
         out_shape=[jax.ShapeDtypeStruct((ch_count, n, m),
                                         jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(ch_count * 8 * m * n * (n1 + n2)),
+            flops=int(ch_count * 6 * m * n * (n1 + n2)),  # Gauss: 3 dots
             bytes_accessed=int((5 + 2 * ch_count) * m * n * 4),
             transcendentals=int(2 * ch_count * m * n)),
         interpret=jax.default_backend() == "cpu",
