@@ -169,3 +169,34 @@ def test_stage_breakdown_real_state():
     stc = sc.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="real"):
         stage_breakdown(sc, stc)
+
+
+def test_phase_evolution_is_long_run_stable():
+    """Physics/numerics invariant: phase accumulation only ROTATES each
+    mode (Dispersion.shader does the same), so over hundreds of steps the
+    surface variance must stay inside the beat envelope set by the h0/h0*
+    cross terms — it may oscillate (it does, ±30%: the independently drawn
+    conjugate pair beats), but it must neither decay to zero nor blow up,
+    and the mod-2π phase wrap must keep everything finite forever."""
+    import jax
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+
+    cfg = OceanConfig(resolution=64, length=64.0, wind=(9.0, 5.0),
+                      amplitude=0.4, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    solver = OceanSolver(cfg, fft_backend="reference")
+    state = solver.init(jax.random.PRNGKey(12))
+    variances = []
+    for _ in range(400):
+        state, f = solver.step(state, 1 / 60)
+        variances.append(float(diagnostics.surface_variance(f.height)))
+    v = np.asarray(variances)
+    assert np.isfinite(v).all()
+    mean = v.mean()
+    assert 0.2 * mean < v.min() and v.max() < 3.0 * mean, \
+        f"variance left the beat envelope: [{v.min():.1f}, {v.max():.1f}] " \
+        f"around {mean:.1f}"
+    # the first and last quarters carry comparable energy: no secular trend
+    assert 0.5 < v[:100].mean() / v[-100:].mean() < 2.0
