@@ -52,7 +52,7 @@ def main():
             # then stop() → EOF so the client can never block forever even
             # if the drop policy thinned the stream below --frames
             import time
-            while server.client_count == 0 and not server._stop.is_set():
+            while server.client_count == 0 and not server.stopped:
                 time.sleep(0.01)
             server.run(args.frames + 4)
             server.stop()

@@ -100,6 +100,14 @@ class Simulation:
         # device sync per step (and scalar pulls can hang on tunneled TPUs)
         return self._steps_done
 
+    @property
+    def world_length(self) -> float:
+        """Physical extent (m) of the produced field planes — what a
+        consumer (serve.FrameServer, renderers) needs to map texels to
+        world space. CascadeSimulation overrides: combined planes span
+        display_length (= max band), not band 0's length."""
+        return self.cfg.length
+
     def step(self):
         """One solver step with metrics; returns the fields."""
         with self.metrics.measure(sim_dt=self.dt):
@@ -273,6 +281,11 @@ class CascadeSimulation(Simulation):
                 self._exporter = AsyncExporter(os.path.join(out_dir, "fields"))
             except Exception:
                 self._exporter = None
+
+    @property
+    def world_length(self) -> float:
+        inner = getattr(self.solver, "inner", self.solver)   # LOD wraps
+        return inner.display_length
 
     def step(self):
         with self.metrics.measure(sim_dt=self.dt):

@@ -88,17 +88,12 @@ class FrameServer:
         self._listener = socket.create_server((host, port))
         self._listener.settimeout(0.2)   # so the accept loop can observe stop
         self.address = self._listener.getsockname()
-        # cascade sims lay their combined planes out at display_length
-        # (= max band length), not band 0's length — advertise the spacing
-        # the planes actually have
-        length = getattr(sim.solver, "display_length", None)
-        if length is None:
-            length = getattr(getattr(sim.solver, "inner", None),
-                             "display_length", sim.cfg.length)
         self._header = (json.dumps({
             "proto": PROTO,
             "resolution": sim.cfg.resolution,
-            "length": length,
+            # the PLANES' physical extent (cascades: display_length, not
+            # band 0's length) — Simulation.world_length owns that rule
+            "length": getattr(sim, "world_length", sim.cfg.length),
             "fields": list(self.fields),
             "dtype": "float32",
         }) + "\n").encode()
@@ -186,6 +181,10 @@ class FrameServer:
     def client_count(self) -> int:
         with self._lock:
             return len(self._clients)
+
+    @property
+    def stopped(self) -> bool:
+        return self._stop.is_set()
 
     def frame_payload(self, fields) -> bytes:
         """meta line + raw planes for one OceanFields — exposed for tests."""
