@@ -178,6 +178,11 @@ def main():
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         jax.config.update("jax_platforms", "cpu")
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+    wants_parity = {1, 2} & {int(x) for x in args.configs.split(",")}
+    if wants_parity and jax.default_backend() != "cpu":
+        print("# NOTE: configs 1-2 are CPU oracle-parity runs (host pulls "
+              "of complex comparisons are unreliable over experimental TPU "
+              "runtimes) — run them with JAX_PLATFORMS=cpu", file=sys.stderr)
     fns = {1: config1, 2: config2, 3: config3,
            4: lambda: config4(args.backend), 5: lambda: config5(args.backend)}
     results = []
