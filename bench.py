@@ -284,9 +284,21 @@ def main():
         print(f"# calibration: {calib}", file=sys.stderr)
 
     if best is None:
-        print(json.dumps({"metric": "grid-points/s/chip", "value": None,
-                          "unit": "gp/s", "vs_baseline": None,
-                          "error": "all backends failed"}))
+        out = {"metric": "grid-points/s/chip", "value": None,
+               "unit": "gp/s", "vs_baseline": None,
+               "error": "all backends failed"}
+        # the tunnel has multi-hour outages (every child times out cold);
+        # a failed RUN is not a missing MEASUREMENT — point at the archived
+        # validated evidence so the null is auditable, never substituted
+        evidence = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench", "BENCH_evidence_r2_gauss_1024.json")
+        try:
+            with open(evidence) as f:
+                out["last_validated"] = {"file": os.path.relpath(evidence),
+                                         "result": json.load(f)}
+        except Exception:
+            pass
+        print(json.dumps(out))
         return 1
 
     backend, step_s = best["backend"], best["per_step_s"]
