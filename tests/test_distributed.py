@@ -67,6 +67,45 @@ def test_distributed_ifft2_matches_single_device(backend):
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
 
 
+@pytest.mark.parametrize("backend", ["matmul", "pallas"])
+def test_distributed_ifft2_precision_reaches_backend(backend):
+    """cfg.precision='bfloat16' must tier the distributed transform's MXU
+    dots (ADVICE r2: it was computed but dropped on the non-fused paths) —
+    verified structurally in the lowered program, since CPU executes every
+    tier identically."""
+    import re
+    mesh = _mesh()
+    n = 64
+    x = jnp.ones((3, n, n), jnp.complex64)
+    for prec, name in [(jax.lax.Precision.DEFAULT, "DEFAULT"),
+                       (jax.lax.Precision.HIGHEST, "HIGHEST")]:
+        fn = shard_map(lambda a: ifft2_x_sharded(a, "shard", backend,
+                                                 precision=prec),
+                       mesh=mesh, in_specs=(P(None, "shard", None),),
+                       out_specs=P(None, None, "shard"), check_vma=False)
+        found = set(re.findall(r'precision = \[(\w+)',
+                               jax.jit(fn).lower(x).as_text()))
+        assert found == {name}, (backend, name, found)
+
+
+def test_distributed_solver_bf16_precision_plumbed():
+    """DistributedOceanSolver(precision='bfloat16') lowers its non-fused
+    transform dots at DEFAULT, not silently HIGHEST."""
+    import re
+    mesh = _mesh()
+    cfg = OceanConfig(resolution=32, length=32.0, wind=(8.0, 5.0),
+                      amplitude=0.5, evolution_mode="phase",
+                      spectrum_layout="fft", normals_mode="stencil",
+                      precision="bfloat16")
+    s = DistributedOceanSolver(cfg, mesh, fft_backend="matmul")
+    st = s.init(jax.random.PRNGKey(0))
+    txt = s._step_jit.lower(st, jnp.float32(1 / 60), s._omega, s._coeffs,
+                            s._pre_re, s._pre_im, s._post_re, s._post_im,
+                            s._x0, s._z0).as_text()
+    found = set(re.findall(r'precision = \[(\w+)', txt))
+    assert "HIGHEST" not in found, found
+
+
 @pytest.mark.parametrize("layout,normals,quirk", [
     ("centered", "spectral", True),
     ("fft", "stencil", False),

@@ -125,6 +125,82 @@ def test_cascade_velocity_matches_band_sum_and_fd():
     assert _rel_l2(v, fd) < 2e-2
 
 
+def test_velocity_real_state_is_complex_free_and_cached():
+    """The real-state velocity path must (a) trace to a program with NO
+    complex dtype anywhere (the whole point of OceanStateReal on
+    complex-hostile runtimes — ADVICE r2 medium), and (b) cache its jitted
+    callable so serve.FrameServer pays one trace per stream, not per frame."""
+    solver = OceanSolver(_cfg("phase"), fft_backend="pallas",
+                         real_state=True)
+    state = solver.init(jax.random.PRNGKey(5))
+    state, _ = solver.step(state, 1.0 / 60.0)
+    assert solver._velocity_real_jit is None      # lazy until first use
+    v1 = solver.velocity(state)
+    fn = solver._velocity_real_jit
+    assert fn is not None
+    v2 = solver.velocity(state)
+    assert solver._velocity_real_jit is fn        # reused, not re-jitted
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    jaxpr = jax.make_jaxpr(solver._velocity_real_impl)(
+        state, state.t, solver._consts["omega"])
+    assert "complex" not in str(jaxpr)
+
+
+def test_cascade_velocity_real_state_complex_free():
+    """Banded twin of the above: CascadeStateReal velocity traces all-real."""
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
+    solver = CascadeSolver(cfgs, fft_backend="pallas", real_state=True)
+    st = solver.init(jax.random.PRNGKey(6))
+    st, _ = solver.step(st, 1.0 / 60.0)
+    v = np.asarray(solver.velocity(st))
+    assert np.isfinite(v).all() and np.abs(v).max() > 0
+    from functools import partial
+    jaxpr = jax.make_jaxpr(partial(solver._velocity_real_impl, False))(
+        st, st.t, solver._omega)
+    assert "complex" not in str(jaxpr)
+    # complex twin agrees (same injected state content)
+    from tpu_ocean.cascade import CascadeState
+    cst = CascadeState(h0=st.h0_re + 1j * st.h0_im,
+                       h0_conj=st.h0c_re + 1j * st.h0c_im,
+                       phase=st.phase, t=st.t, step=st.step)
+    v_c = np.asarray(solver._velocity_complex(cst, st.t, held_phase=False))
+    assert np.abs(v - v_c).max() < 2e-3 * max(np.abs(v_c).max(), 1e-9)
+
+
+def test_lod_velocity_absolute_mode_uses_refresh_phase():
+    """Absolute mode: a held band's velocity must be evaluated at its
+    LAST-REFRESH phase (what its displayed planes show), not the current
+    clock (ADVICE r2 low). The substep caches the refresh phase in
+    cascade.phase; velocity reads it via velocity_at_held_phase."""
+    from tpu_ocean.lod import LODCascadeSolver
+    from tpu_ocean.cascade import default_cascade
+    cfgs = [c.replace(evolution_mode="absolute")
+            for c in default_cascade(n=32, lengths=(100.0, 13.0))]
+    dt = 1.0 / 60.0
+    lod = LODCascadeSolver(cfgs, periods=[2, 1], dt=dt,
+                           fft_backend="reference")
+    st = lod.init(jax.random.PRNGKey(7))
+    st, _ = lod.step(st)                      # frame 1: band 1 only
+    ph = np.asarray(st.cascade.phase)
+    om = np.asarray(lod.inner._omega)
+    t1 = float(np.asarray(st.cascade.t))
+    np.testing.assert_array_equal(ph[0], np.zeros_like(ph[0]))  # held at t=0
+    np.testing.assert_allclose(ph[1], om[1] * np.float32(t1), rtol=1e-6)
+    v = np.asarray(lod.velocity(st))
+    # expected: each band at ITS refresh phase (band 0 at t=0, band 1 at t1)
+    from tpu_ocean.cascade import CascadeState
+    h0, h0c = st.cascade.h0, st.cascade.h0_conj
+    pv = np.exp(1j * ph)
+    vspec = 1j * om * (np.asarray(h0) * pv - np.asarray(h0c) * np.conj(pv))
+    n = cfgs[0].resolution
+    expected = np.sum(np.real(np.fft.ifft2(vspec)) * (n * n), axis=0)
+    assert _rel_l2(v, expected) < 1e-4
+    # and it DIFFERS from the clock-phase evaluation (the pre-fix behavior)
+    v_clock = np.asarray(lod.inner.velocity(st.cascade))
+    assert _rel_l2(v, v_clock) > 1e-3
+
+
 def test_lod_velocity_is_displayed_surface_rate():
     """LOD velocity uses each band's LAST-REFRESH phase — finite differences
     of the DISPLAYED height across a refresh frame of every band match."""

@@ -214,7 +214,10 @@ def time_steps_ladder(step_impl, state, dt: float, ks=(16, 48, 128),
     # dispatch constant where relative error is meaningless; flat ladders
     # are caught by signal_ok/monotone, not by the fit
     resid = float(_np.max(_np.abs(ws - pred)) / max(float(ws[-1]), 1e-12))
-    monotone = bool(_np.all(_np.diff(ws) > 0))
+    # non-strict within 2% of the top wall: two fast rungs tying at timer
+    # resolution must not null an otherwise valid ladder; genuinely flat
+    # ladders are rejected by signal_ok and the fit residual
+    monotone = bool(_np.all(_np.diff(ws) > -0.02 * float(ws[-1])))
     per_step = max(float(slope), 1e-9)
     suspect = not (monotone and signal_ok and resid < 0.35)
     return LadderResult(per_step_s=per_step, intercept_s=float(intercept),

@@ -188,6 +188,10 @@ class CascadeSolver:
         self._mxu_precision = (jax.lax.Precision.DEFAULT
                                if cfgs[0].precision == "bfloat16"
                                else jax.lax.Precision.HIGHEST)
+        # lazily traced all-real velocity programs (one trace each, reused
+        # per streamed frame — ADVICE r2 medium)
+        self._velocity_real_jit = None
+        self._velocity_held_jit = None
 
         step = self._step_impl_real if real_state else self._step_impl
         if mesh is not None and "expert" in mesh.axis_names:
@@ -338,29 +342,83 @@ class CascadeSolver:
         """Combined vertical surface velocity ∂h/∂t [N, N] — Σ over bands of
         the per-band iω-weighted spectrum (OceanSolver.velocity, lifted over
         the band axis; each band carries its own dt_multiplier rate in phase
-        mode). Diagnostic-grade: rides jnp.fft on the complex view."""
+        mode).
+
+        CascadeStateReal rides a cached jitted all-real program (safe and
+        cheap to stream from a real_state CascadeSimulation, ADVICE r2); the
+        complex state keeps the diagnostic-grade jnp.fft path."""
         cfg0 = self.cfgs[0]
-        if isinstance(state, CascadeStateReal):
-            h0 = state.h0_re + 1j * state.h0_im
-            h0c = state.h0c_re + 1j * state.h0c_im
-        else:
-            h0, h0c = state.h0, state.h0_conj
-        om = self._omega
         if cfg0.evolution_mode == "absolute":
             tt = state.t if t is None else jnp.asarray(t, jnp.float32)
-            phase = om * tt
-            rate = jnp.ones((self.b, 1, 1), jnp.float32)
         else:
             if t is not None:
                 raise ValueError("phase mode accumulates incrementally: "
                                  "velocity is defined at the state's "
                                  "current phase (pass no t)")
+            tt = state.t
+        if isinstance(state, CascadeStateReal):
+            if self._velocity_real_jit is None:
+                from functools import partial
+                self._velocity_real_jit = jax.jit(
+                    partial(self._velocity_real_impl, False))
+            return self._velocity_real_jit(state, tt, self._omega)
+        return self._velocity_complex(state, tt, held_phase=False)
+
+    def velocity_at_held_phase(self, state) -> jnp.ndarray:
+        """Velocity with every band evaluated at the phase stored in
+        ``state.phase`` regardless of evolution mode — the LOD scheduler's
+        contract (lod.py keeps each band's LAST-REFRESH phase there, even in
+        absolute mode), so the returned rate matches the DISPLAYED (held)
+        surface, not the current clock. Rate factor: dt_multiplier in phase
+        mode (φ advances by ω·dt·mul per wall dt), 1 in absolute mode."""
+        if isinstance(state, CascadeStateReal):
+            if self._velocity_held_jit is None:
+                from functools import partial
+                self._velocity_held_jit = jax.jit(
+                    partial(self._velocity_real_impl, True))
+            return self._velocity_held_jit(state, state.t, self._omega)
+        return self._velocity_complex(state, state.t, held_phase=True)
+
+    def _velocity_complex(self, state, tt, held_phase: bool) -> jnp.ndarray:
+        cfg0 = self.cfgs[0]
+        h0, h0c = state.h0, state.h0_conj
+        om = self._omega
+        if cfg0.evolution_mode == "absolute" and not held_phase:
+            phase = om * tt
+        else:
             phase = state.phase
+        if cfg0.evolution_mode == "absolute":
+            rate = jnp.ones((self.b, 1, 1), jnp.float32)
+        else:
             rate = jnp.asarray(self._dtmul)[:, None, None]
         pv = jnp.cos(phase) + 1j * jnp.sin(phase)
         vspec = (1j * rate) * om * (h0 * pv - h0c * jnp.conj(pv))
         n = self.n
         return jnp.sum(jnp.real(jnp.fft.ifft2(vspec)) * (n * n), axis=0)
+
+    def _velocity_real_impl(self, held_phase: bool, state, tt, omega):
+        """All-real banded ∂h/∂t (algebra: solver._velocity_real_impl),
+        one plane transform over the band batch, Σ over bands."""
+        from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
+        cfg0 = self.cfgs[0]
+        if cfg0.evolution_mode == "absolute" and not held_phase:
+            phase = omega * tt
+        else:
+            phase = state.phase
+        if cfg0.evolution_mode == "absolute":
+            rate = np.ones((self.b, 1, 1), np.float32)
+        else:
+            rate = np.asarray(self._dtmul, np.float32)[:, None, None]
+        cph = jnp.cos(phase)
+        sph = jnp.sin(phase)
+        a, b = state.h0_re, state.h0_im
+        cc, d = state.h0c_re, state.h0c_im
+        diff_re = (a - cc) * cph - (b + d) * sph
+        diff_im = (b - d) * cph + (a + cc) * sph
+        w = rate * omega
+        re, _ = ifft2_planes_auto(-(w * diff_im), w * diff_re, True,
+                                  self._mxu_precision)
+        return jnp.sum(re, axis=0)
 
     def _real_planes(self, pair, phase, coeffs) -> jnp.ndarray:
         """Banded all-f32 assembly + ONE plane transform over the flattened

@@ -23,8 +23,11 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _ifft1d_local(x: jnp.ndarray, backend: str) -> jnp.ndarray:
-    """Unnormalized inverse DFT along the last axis with a local backend."""
+def _ifft1d_local(x: jnp.ndarray, backend: str,
+                  precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Unnormalized inverse DFT along the last axis with a local backend.
+    ``precision`` reaches the MXU backends only (matmul/pallas); reference
+    and stockham have no dot products to tier."""
     if backend == "reference":
         return jnp.fft.ifft(x) * x.shape[-1]
     if backend == "stockham":
@@ -32,12 +35,13 @@ def _ifft1d_local(x: jnp.ndarray, backend: str) -> jnp.ndarray:
         return fft_stockham_1d(x, inverse=True)
     if backend == "matmul":
         from tpu_ocean.fft.matmul import fft_matmul_1d
-        return fft_matmul_1d(x, inverse=True)
+        return fft_matmul_1d(x, inverse=True, precision=precision)
     raise ValueError(f"unknown local backend {backend!r}")
 
 
 def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
-                            overlap_chunks: int = 1) -> jnp.ndarray:
+                            overlap_chunks: int = 1,
+                            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Distributed 2-D IFFT built from the transposed-store Pallas passes
     (fft.pallas_fft): because each fused pass already writes its output
     transposed, the all_to_all swaps (split=-2, concat=-1) and no local
@@ -62,7 +66,8 @@ def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
         from tpu_ocean.fft.matmul import ifft1d_planes_axis2
 
         def large_chunk(re_c, im_c):
-            re_c, im_c = fft1d_natural_large(re_c, im_c, True)  # [c, X/D, N]
+            re_c, im_c = fft1d_natural_large(re_c, im_c, True,
+                                             precision)  # [c, X/D, N]
             if lax.axis_size(axis_name) > 1:
                 both = jnp.stack([re_c, im_c])
                 both = lax.all_to_all(both, axis_name, split_axis=3,
@@ -80,12 +85,13 @@ def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
             im = jnp.concatenate([p[1] for p in parts])
         else:
             re, im = large_chunk(re, im)
-        re, im = ifft1d_planes_axis2(re, im, True)
+        re, im = ifft1d_planes_axis2(re, im, True, precision)
         out = re + 1j * im
         return out.reshape(lead + out.shape[-2:])
 
     def row_pass_and_transpose(re_c, im_c):
-        re_c, im_c = _fft1d_transposed(re_c, im_c, inverse=True)  # [c, N, X/D]
+        re_c, im_c = _fft1d_transposed(re_c, im_c, inverse=True,
+                                       precision=precision)  # [c, N, X/D]
         if lax.axis_size(axis_name) > 1:
             both = jnp.stack([re_c, im_c])                   # one collective
             both = lax.all_to_all(both, axis_name, split_axis=2,
@@ -106,14 +112,16 @@ def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
         im = jnp.concatenate([p[1] for p in parts])
     else:
         re, im = row_pass_and_transpose(re, im)
-    re, im = _fft1d_transposed(re, im, inverse=True)      # [C, X, N/D]
+    re, im = _fft1d_transposed(re, im, inverse=True,
+                               precision=precision)       # [C, X, N/D]
     out = re + 1j * im
     return out.reshape(lead + out.shape[-2:])
 
 
 def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
                     backend: str = "reference",
-                    overlap_chunks: int = 1) -> jnp.ndarray:
+                    overlap_chunks: int = 1,
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """[..., X_local, Z_full] x-sharded spectra → [..., X_full, Z_local]
     z-sharded spatial fields. Call inside shard_map over ``axis_name``.
 
@@ -128,7 +136,8 @@ def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
     semaphores. Chunking is a no-op for correctness (tests sweep it).
     """
     if backend == "pallas":
-        return _ifft2_x_sharded_pallas(x, axis_name, overlap_chunks)
+        return _ifft2_x_sharded_pallas(x, axis_name, overlap_chunks,
+                                       precision)
     if overlap_chunks > 1 and (x.ndim < 3
                                or x.shape[0] % overlap_chunks != 0):
         raise ValueError(f"overlap_chunks={overlap_chunks} must divide the "
@@ -139,22 +148,22 @@ def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
         # column FFT: row-FFT k → a2a k → (row-FFT k+1 overlaps a2a k) ...
         transposed = []
         for p in parts:
-            p = _ifft1d_local(p, backend)
+            p = _ifft1d_local(p, backend, precision)
             transposed.append(_transpose_x_to_z(p, axis_name))
         outs = []
         for p in transposed:
             p = jnp.swapaxes(p, -1, -2)
-            p = _ifft1d_local(p, backend)
+            p = _ifft1d_local(p, backend, precision)
             outs.append(jnp.swapaxes(p, -1, -2))
         return jnp.concatenate(outs, axis=0)
 
     # 1. row transform: Z is fully local
-    x = _ifft1d_local(x, backend)
+    x = _ifft1d_local(x, backend, precision)
     # 2. distributed transpose: [.., Nx/D, N] → [.., Nx, N/D]
     x = _transpose_x_to_z(x, axis_name)
     # 3. column transform: X is now fully local
     x = jnp.swapaxes(x, -1, -2)
-    x = _ifft1d_local(x, backend)
+    x = _ifft1d_local(x, backend, precision)
     return jnp.swapaxes(x, -1, -2)
 
 
@@ -167,7 +176,8 @@ def _transpose_x_to_z(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 
 def ifft2_channel_sharded(x: jnp.ndarray, axis_name: str,
-                          backend: str = "reference") -> jnp.ndarray:
+                          backend: str = "reference",
+                          precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Tensor-parallel variant (D3): the CHANNEL batch is sharded instead of
     the grid. Each device runs full local 2-D IFFTs for the channels it owns
     ([C/D, N, N] resident), then an all_gather rebuilds the channel stack for
@@ -178,9 +188,9 @@ def ifft2_channel_sharded(x: jnp.ndarray, axis_name: str,
 
     Call inside shard_map with x sharded on axis 0.
     """
-    x = _ifft1d_local(x, backend)
+    x = _ifft1d_local(x, backend, precision)
     x = jnp.swapaxes(x, -1, -2)
-    x = _ifft1d_local(x, backend)
+    x = _ifft1d_local(x, backend, precision)
     x = jnp.swapaxes(x, -1, -2)
     n_dev = lax.axis_size(axis_name)
     if n_dev > 1:

@@ -198,9 +198,11 @@ class LODCascadeSolver:
     def velocity(self, state: LODState) -> jax.Array:
         """∂h/∂t of the DISPLAYED surface: each band's cached planes were
         rendered at its last-refresh phase, which is exactly what
-        state.cascade.phase holds (held bands are not advanced) — so the
-        cascade velocity at those phases is the displayed surface's rate."""
-        return self.inner.velocity(state.cascade)
+        state.cascade.phase holds in BOTH evolution modes (phase mode never
+        advances held bands; absolute mode's substep caches the refresh
+        phase there explicitly) — so evaluating at those phases rates the
+        held surface, not the clock (ADVICE r2 fix)."""
+        return self.inner.velocity_at_held_phase(state.cascade)
 
     def _extract_planes(self, f) -> jax.Array:
         """[S, C_transform, N, N] complex transforms → [S, C, N, N] live
@@ -271,10 +273,14 @@ class LODCascadeSolver:
         cfg0 = inner.cfgs[0]
         if cfg0.evolution_mode == "absolute":
             # absolute mode re-derives phase from global t each refresh;
-            # holding a band simply means not recomputing its planes.
+            # holding a band simply means not recomputing its planes. The
+            # phase field (unused for stepping in this mode) caches each
+            # band's LAST-REFRESH phase so velocity() can rate the DISPLAYED
+            # surface, not the clock (ADVICE r2: a held band's cached planes
+            # were rendered at its refresh time).
             t_new = cst.t + dt / cfg0.t_division
             ph_new = om * t_new
-            phase_out = phase_in
+            phase_out = phase_in.at[idx].set(ph_new)
         else:
             dtm = np.asarray([inner.cfgs[i].dt_multiplier for i in subset],
                              np.float32)[:, None, None]

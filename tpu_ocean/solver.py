@@ -205,6 +205,9 @@ class OceanSolver:
         self._mxu_precision = (jax.lax.Precision.DEFAULT
                                if cfg.precision == "bfloat16"
                                else jax.lax.Precision.HIGHEST)
+        # lazily traced all-real velocity (one trace, reused every frame by
+        # serve.FrameServer — ADVICE r2 medium)
+        self._velocity_real_jit = None
 
         if eval_mode == "fft":
             if fft_backend == "pallas_fused":
@@ -557,15 +560,29 @@ class OceanSolver:
         differentiate along) for spray/wake seeding, Doppler audio cues, and
         fluid-structure coupling. 'absolute' mode evaluates at ``t``
         (default: the state's own clock); 'phase' mode uses the accumulated
-        per-mode phase (pass no t). Diagnostic-grade: rides the generic
-        complex transform, not the packed hot loop.
+        per-mode phase (pass no t).
+
+        Representation split (serving hot path, ADVICE r2): OceanStateReal
+        rides a CACHED JITTED all-real program (cos/sin assembly of the
+        iω-weighted spectrum + ifft2_planes_auto) — complex64 never appears,
+        so streaming velocity from a real_state Simulation stays safe on
+        complex-hostile runtimes and costs one trace total. The complex
+        states keep the diagnostic-grade generic transform.
         """
         c = self._consts
         if isinstance(state, OceanStateReal):
-            h0 = state.h0_re + 1j * state.h0_im
-            h0c = state.h0c_re + 1j * state.h0c_im
-        else:
-            h0, h0c = state.h0, state.h0_conj
+            if self.cfg.evolution_mode == "absolute":
+                tt = state.t if t is None else jnp.asarray(t, jnp.float32)
+            else:
+                if t is not None:
+                    raise ValueError("phase mode accumulates incrementally: "
+                                     "velocity is defined at the state's "
+                                     "current phase (pass no t)")
+                tt = state.t            # unused by the phase-mode closure
+            if self._velocity_real_jit is None:
+                self._velocity_real_jit = jax.jit(self._velocity_real_impl)
+            return self._velocity_real_jit(state, tt, c["omega"])
+        h0, h0c = state.h0, state.h0_conj
         if self.cfg.evolution_mode == "absolute":
             tt = state.t if t is None else jnp.asarray(t, jnp.float32)
             phase = c["omega"] * tt
@@ -589,6 +606,35 @@ class OceanSolver:
             n = self.cfg.resolution
             return jnp.real(jnp.fft.ifft2(vspec) * (n * n))
         return jnp.real(self._transform(vspec[None], c)[0])
+
+    def _velocity_real_impl(self, state: "OceanStateReal", tt, omega):
+        """All-real ∂h/∂t: the complex algebra of ``velocity`` expanded into
+        f32 planes. With h0 = a+ib, h0* = c+id, e^{iφ} = C+iS:
+
+            h0·e^{iφ} − h0*·e^{−iφ} = [(a−c)C − (b+d)S] + i[(b−d)C + (a+c)S]
+            v_spec = iρω·(…)  ⇒  re = −ρω·Im(…), im = ρω·Re(…)
+
+        then v = Re-plane of the unnormalized plane IFFT (ifft2_planes_auto,
+        the same transform family the real-state step rides)."""
+        cfg = self.cfg
+        from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
+        if cfg.evolution_mode == "absolute":
+            phase = omega * tt
+        else:
+            phase = state.phase
+        rate = np.float32(cfg.dt_multiplier
+                          if cfg.evolution_mode == "phase" else 1.0)
+        cph = jnp.cos(phase)
+        sph = jnp.sin(phase)
+        a, b = state.h0_re, state.h0_im
+        cc, d = state.h0c_re, state.h0c_im
+        diff_re = (a - cc) * cph - (b + d) * sph
+        diff_im = (b - d) * cph + (a + cc) * sph
+        w = rate * omega
+        re, im = ifft2_planes_auto((-(w * diff_im))[None],
+                                   (w * diff_re)[None], True,
+                                   self._mxu_precision)
+        return re[0]
 
     # ---------------------------------------------------------------- internals
 

@@ -376,7 +376,8 @@ class DistributedOceanSolver:
             if cfg.spectrum_layout == "centered":
                 spectra = spectra * (pre_re + 1j * pre_im)[None]
             f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
-                                overlap_chunks=self.overlap_chunks)
+                                overlap_chunks=self.overlap_chunks,
+                                precision=self._mxu_precision)
             if cfg.spectrum_layout == "centered":
                 f = f * (post_re + 1j * post_im)[None]
 
