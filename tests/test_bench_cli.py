@@ -1,0 +1,150 @@
+"""bench.py orchestration — the round's artifact of record must be
+outage-proof (VERDICT r2 #1): a dead tunnel is detected by a cheap canary,
+sweep attempts retry past banked variants, and a fully failed run still
+embeds the newest archived validated measurement inline.
+
+The subprocess scheduling is driven here with a scripted fake _run_child
+(no TPU, no subprocesses); one test runs the real --in-process path on CPU
+end to end.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ok_result(label, ms):
+    return {"backend": label, "per_step_s": ms * 1e-3, "suspect": False,
+            "forcing": "tinypull", "ladder_ks": [16, 128, 1024],
+            "ladder_walls_s": [0.03, 0.09, 0.46],
+            "fit_max_rel_resid": 0.003, "intercept_ms": 30.0}
+
+
+def _run_main(mod, monkeypatch, capsys, argv, fake_child):
+    monkeypatch.setattr(mod, "_run_child", fake_child)
+    monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+    monkeypatch.setattr(sys, "argv", ["bench.py"] + argv)
+    rc = mod.main()
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert lines, "main printed no JSON line"
+    return rc, json.loads(lines[-1])
+
+
+def test_outage_recovery_banks_headline(monkeypatch, capsys, tmp_path):
+    """2 dead canaries, then a partial sweep, then the fast-retry tail:
+    the headline must come out non-null with the outage recorded."""
+    mod = _load_bench()
+    monkeypatch.setattr(mod, "_LEDGER", str(tmp_path / "ledger.json"))
+    calls = {"canary": 0, "sweep": 0}
+
+    def fake_child(task, args, timeout_s, fields=False, skip=(), fast=False):
+        if task == "canary":
+            calls["canary"] += 1
+            if calls["canary"] <= 2:
+                return {"error": f"no result (timeout after {timeout_s:.0f}s)"}
+            return {"ok": True, "devices": 1, "startup_s": 45.0}
+        if task == "realsweep":
+            calls["sweep"] += 1
+            if calls["sweep"] == 1:
+                # outage killed the tail: only the flagship streamed out
+                assert skip == [] and not fast
+                return {"sweep": [_ok_result("pallas+fields", 0.55)]}
+            # retry resumes past the banked variant on the reduced ladder
+            assert "pallas+fields" in skip and fast
+            r1 = _ok_result("pallas+fields+packed", 0.42)
+            r2 = _ok_result("pallas", 0.65)
+            r1["ladder"] = r2["ladder"] = "reduced"
+            return {"sweep": [r1, r2]}
+        if task == "calibrate":
+            return {"measurable": True, "achieved_tflops": 172.0,
+                    "intercept_ms": 30.0, "forcing": "tinypull"}
+        raise AssertionError(f"unexpected child {task}")
+
+    rc, out = _run_main(mod, monkeypatch, capsys,
+                        ["--budget-s", "1200"], fake_child)
+    assert rc == 0
+    assert out["value"] is not None
+    assert out["backend"] == "pallas+fields+packed"     # fastest valid
+    assert out["parity_grade_backend"] == "pallas+fields"
+    assert out["outage"] == {"canary_attempts": 3, "sweep_attempts": 2}
+    assert out["ladder"] == "reduced"
+    # the validated headline was archived for future failed runs
+    with open(str(tmp_path / "ledger.json")) as f:
+        led = json.load(f)
+    assert led["result"]["value"] == out["value"]
+    assert led["captured_unix"] > 0
+
+
+def test_total_outage_embeds_last_validated_inline(monkeypatch, capsys,
+                                                   tmp_path):
+    """Every canary dead for the whole budget: value null, but the newest
+    archived validated measurement rides INLINE with its age."""
+    mod = _load_bench()
+    ledger = tmp_path / "ledger.json"
+    ledger.write_text(json.dumps({
+        "captured_unix": __import__("time").time() - 7200.0,
+        "result": {"metric": "m", "value": 2.5e9, "vs_baseline": 39.7}}))
+    monkeypatch.setattr(mod, "_LEDGER", str(ledger))
+
+    def fake_child(task, args, timeout_s, fields=False, skip=(), fast=False):
+        if task == "canary":
+            return {"error": f"no result (timeout after {timeout_s:.0f}s)"}
+        raise AssertionError(f"dead tunnel must gate {task} child")
+
+    # a small budget drains through canary attempts alone (sleep is no-op,
+    # so cap iterations by exhausting the clock with a fake perf_counter)
+    t = {"now": 0.0}
+
+    def fake_clock():
+        t["now"] += 50.0          # each canary costs ~50 fake seconds
+        return t["now"]
+
+    monkeypatch.setattr(mod.time, "perf_counter", fake_clock)
+    rc, out = _run_main(mod, monkeypatch, capsys,
+                        ["--budget-s", "600"], fake_child)
+    assert rc == 1
+    assert out["value"] is None
+    assert out["outage"]["canary_attempts"] >= 1
+    inline = out["last_validated"]
+    assert inline["result"]["value"] == 2.5e9
+    assert inline["age_hours"] == pytest.approx(2.0, abs=0.2)
+
+
+def test_ledger_round_trip(monkeypatch, tmp_path):
+    mod = _load_bench()
+    monkeypatch.setattr(mod, "_LEDGER", str(tmp_path / "ledger.json"))
+    mod._store_ledger({"metric": "m", "value": 123.0})
+    result, age_h, src = mod._load_ledger()
+    assert result["value"] == 123.0
+    assert age_h is not None and age_h < 0.1
+    assert src.endswith("ledger.json")
+
+
+def test_in_process_cpu_end_to_end(monkeypatch, capsys, tmp_path):
+    """The real measurement path (no subprocesses) on CPU: one JSON line,
+    non-null value, parity-grade recorded beside the packed headline."""
+    mod = _load_bench()
+    monkeypatch.setattr(mod, "_LEDGER", str(tmp_path / "ledger.json"))
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--in-process", "--res", "32",
+                         "--steps", "8", "--no-calibrate"])
+    rc = mod.main()
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    out = json.loads(lines[-1])
+    assert rc == 0
+    assert out["value"] is not None and out["value"] > 0
+    assert "ms_per_step" in out and out["ms_per_step"] > 0
