@@ -12,6 +12,13 @@ Constants ride benchlib's ``extra`` pytree (device-resident jit ARGUMENTS —
 closure constants embed in the program or re-fetch over the tunnel).
 """
 
+
+# repo-root import bootstrap: these scripts run directly from a checkout
+# (sys.path[0] is the script's own dir, not the repo root)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

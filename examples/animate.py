@@ -5,6 +5,13 @@ material's fragment stage, TestOcean.shader:81-96).
     python examples/animate.py --res 256 --frames 90 --out ocean.gif
 """
 
+
+# repo-root import bootstrap: these scripts run directly from a checkout
+# (sys.path[0] is the script's own dir, not the repo root)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

@@ -7,6 +7,13 @@ vessel-dynamics or gameplay consumer reads.
     python examples/buoys.py --n 128 --buoys 5 --steps 120 > buoys.csv
 """
 
+
+# repo-root import bootstrap: these scripts run directly from a checkout
+# (sys.path[0] is the script's own dir, not the repo root)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

@@ -12,6 +12,13 @@ Run: python examples/invert_sea_state.py  [--steps 120] [--n 64]
 CPU-friendly (forces JAX_PLATFORMS=cpu when on the tunneled TPU session).
 """
 
+
+# repo-root import bootstrap: these scripts run directly from a checkout
+# (sys.path[0] is the script's own dir, not the repo root)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

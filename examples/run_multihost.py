@@ -10,6 +10,13 @@ XLA_FLAGS=--xla_force_host_platform_device_count=8), which is also how CI
 exercises it.
 """
 
+
+# repo-root import bootstrap: these scripts run directly from a checkout
+# (sys.path[0] is the script's own dir, not the repo root)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

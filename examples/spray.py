@@ -10,6 +10,13 @@ renders the final frame with the airborne spray overlaid.
     python examples/spray.py --n 128 --steps 40 --out out/spray.png
 """
 
+
+# repo-root import bootstrap: these scripts run directly from a checkout
+# (sys.path[0] is the script's own dir, not the repo root)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

@@ -9,6 +9,13 @@ deployment pairs with the TPU solver host.
     python examples/stream_client.py --host 10.0.0.2 --port 7777
 """
 
+
+# repo-root import bootstrap: these scripts run directly from a checkout
+# (sys.path[0] is the script's own dir, not the repo root)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

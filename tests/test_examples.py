@@ -5,8 +5,12 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# PYTHONPATH: the examples import tpu_ocean from the repo root; running them
+# as scripts puts examples/ (not the root) on sys.path, so an uninstalled
+# checkout needs the explicit path (pip install -e . also works)
 ENV = dict(os.environ, JAX_PLATFORMS="cpu",
-           XLA_FLAGS="--xla_force_host_platform_device_count=8")
+           XLA_FLAGS="--xla_force_host_platform_device_count=8",
+           PYTHONPATH=ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 
 def _run(args, timeout=240):

@@ -214,3 +214,23 @@ def test_large_n_fused_planes_matches_plain(monkeypatch):
                                atol=2e-5 * scale)
 
 
+
+
+def test_b3_precision_sentinel_matches_highest():
+    """The explicit bf16x3 kernel tier (pallas_fft.B3) tracks HIGHEST to the
+    split-emulation floor (~1e-5). Default-off — the v5e probe measured it
+    SLOWER than HIGHEST (bench/PROBE_r3_precision_tier.json) — but the path
+    stays green for toolchains where 3-pass dots do pay."""
+    from tpu_ocean.fft import pallas_fft as pf
+    n = 64
+    rng = np.random.default_rng(7)
+    re = jnp.asarray(rng.standard_normal((2, n, n)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((2, n, n)), jnp.float32)
+    ar, ai = pf.ifft2_planes_auto(re, im, True)            # HIGHEST
+    br, bi = pf.ifft2_planes_auto(re, im, True, precision=pf.B3)
+    scale = float(jnp.max(jnp.abs(ar)))
+    assert float(jnp.max(jnp.abs(ar - br))) / scale < 5e-5
+    assert float(jnp.max(jnp.abs(ai - bi))) / scale < 5e-5
+    # the sentinel maps to native HIGH on the einsum helpers
+    from tpu_ocean.fft.matmul import _einsum_f32_precision
+    assert _einsum_f32_precision(pf.B3) == jax.lax.Precision.HIGH

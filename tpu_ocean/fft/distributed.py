@@ -50,14 +50,28 @@ def _ifft2_x_sharded_pallas(x: jnp.ndarray, axis_name: str,
         [C, X/D, N] → rowFFT+T → [C, N, X/D] → a2a → [C, N/D, X]
                     → colFFT+T → [C, X, N/D]   (z-sharded, final)
     """
-    from tpu_ocean.fft.pallas_fft import (_fft1d_transposed,
-                                          fft1d_natural_large, MAX_PALLAS_N)
-
     lead = x.shape[:-2]
     m, n = x.shape[-2], x.shape[-1]
     re = jnp.real(x).astype(jnp.float32).reshape(-1, m, n)
     im = jnp.imag(x).astype(jnp.float32).reshape(-1, m, n)
-    c = re.shape[0]
+    re, im = ifft2_x_sharded_planes(re, im, axis_name, overlap_chunks,
+                                    precision)
+    out = re + 1j * im
+    return out.reshape(lead + out.shape[-2:])
+
+
+def ifft2_x_sharded_planes(re, im, axis_name: str, overlap_chunks: int = 1,
+                           precision=jax.lax.Precision.HIGHEST):
+    """All-real core of the X-sharded pallas transform: (re, im) f32
+    [C, X/D, N] x-sharded spectra → [C, X, N/D] z-sharded spatial planes.
+    This is the distributed real-state step's transform — complex64 never
+    appears, so the multi-chip step is timeable/checkpointable on
+    complex-hostile runtimes (VERDICT r3 #3; same plane layout the
+    single-device OceanStateReal path rides)."""
+    from tpu_ocean.fft.pallas_fft import (_fft1d_transposed,
+                                          fft1d_natural_large, MAX_PALLAS_N)
+
+    c, m, n = re.shape
 
     if n > MAX_PALLAS_N:
         # transposed-store kernel is hardware-illegal here; the NATURAL-

@@ -36,8 +36,11 @@ def _einsum_f32_precision(precision):
     HIGHEST vs 16.5 ms at DEFAULT — the 6-pass f32 emulation dominates.
     HIGH (native 3-pass bf16x3, ~1e-6 rel) matches the fp32-accumulation
     error floor that bounds large-N accuracy anyway, at half the MXU cost.
-    The ≤2048 Pallas kernels keep true HIGHEST (~1e-7)."""
-    if precision == jax.lax.Precision.HIGHEST:
+    The kernels' explicit bf16x3 sentinel (pallas_fft.B3 — Mosaic rejects
+    lax HIGH inside kernels, so they hand-roll the same decomposition) maps
+    to native HIGH here. Oracle-parity sizes (≤256²) keep true HIGHEST via
+    the kernels (~1e-7)."""
+    if precision == jax.lax.Precision.HIGHEST or precision == "bf16x3":
         return jax.lax.Precision.HIGH
     return precision
 

@@ -65,16 +65,67 @@ def _tables_np(n: int, inverse: bool):
             w1.real.astype(f32), w1.imag.astype(f32))     # F1 [k1, t]
 
 
+#: manual 3-pass bf16 tier (VERDICT r3 #2a). Mosaic's dot_general accepts
+#: only DEFAULT (one bf16 pass, ~4e-3 rel) and HIGHEST
+#: (#tpu.contract_precision<fp32> — the full fp32-emulation pass stack;
+#: lax.Precision.HIGH raises NotImplementedError, probed r3). The classic
+#: bf16x3 middle ground is therefore hand-rolled: split each f32 operand
+#: into hi + lo bf16 halves and keep the three largest cross terms
+#: (hi·hi + hi·lo + lo·hi ≈ 1e-6 rel — the fp32-accumulation floor that
+#: bounds large-N accuracy anyway, matmul._einsum_f32_precision), each a
+#: native single-pass bf16 MXU dot.
+B3 = "bf16x3"
+
+#: grid sides STRICTLY ABOVE this would run the kernels' f32 (HIGHEST) tier
+#: as manual bf16x3. DISABLED by default — measured on v5e at 1024² packed
+#: (bench/probe_precision_tier.py, r3): B3 is SLOWER than HIGHEST
+#: (0.736 vs 0.450 ms/step) even though its accuracy holds (~1e-5 field
+#: delta): the per-dot bf16 split (2 casts + 1 subtract on full stage
+#: tensors, ×9 dots) plus the bf16 relayouts cost ~0.29 ms of VPU time
+#: against ≤0.15 ms of recoverable MXU time (DEFAULT measures 0.300
+#: ms/step, bounding the total pass-count sensitivity). Kept as an explicit
+#: precision sentinel for toolchains whose dot lowering accepts HIGH
+#: natively (this Mosaic rejects it, so nothing cheaper than the manual
+#: split exists here).
+KERNEL_B3_THRESHOLD = 1 << 30
+
+
+def kernel_precision(n: int, precision):
+    """Map the requested MXU precision to the kernel tier for side ``n``
+    (see KERNEL_B3_THRESHOLD). Callers hand the RESULT only to the Pallas
+    kernels; einsum helpers keep receiving lax.Precision values."""
+    if precision == lax.Precision.HIGHEST and n > KERNEL_B3_THRESHOLD:
+        return B3
+    return precision
+
+
+def _split_bf16(x):
+    """x (f32) → (hi, lo) bf16 with hi + lo ≈ x to ~2⁻¹⁶ relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _dot_mid(m, x, precision=lax.Precision.HIGHEST):
     """[a, b] · [r, b, t] contracting b (rhs middle) → [a, r, t].
 
-    Default precision=HIGHEST: the MXU's default f32 path truncates to bf16
-    passes (~4e-3 rel error at N=1024 — measured); HIGHEST selects the bf16x3
-    decomposition, restoring ~1e-7 parity with jnp.fft at ~3× the MXU cost
-    (the kernel stays bandwidth-dominated, so wall-clock impact is small).
-    OceanConfig(precision='bfloat16') passes DEFAULT for the fast mode.
+    precision=HIGHEST (parity tier): Mosaic's fp32 contraction emulation
+    (~1e-7 vs jnp.fft). precision=B3: manual 3-pass bf16 split (~1e-6, half
+    the MXU passes — see B3 above). OceanConfig(precision='bfloat16')
+    passes DEFAULT (single pass, ~4e-3) for the fast mode.
     """
-    return lax.dot_general(m, x, dimension_numbers=(((1,), (1,)), ((), ())),
+    dims = (((1,), (1,)), ((), ()))
+    if precision == B3:
+        mh, ml = _split_bf16(m)
+        xh, xl = _split_bf16(x)
+
+        def d(a, b):
+            return lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=lax.Precision.DEFAULT)
+
+        return d(mh, xh) + d(mh, xl) + d(ml, xh)
+    return lax.dot_general(m, x, dimension_numbers=dims,
                            preferred_element_type=jnp.float32,
                            precision=precision)
 
@@ -109,9 +160,15 @@ def _fft_block_kernel(f2r_ref, f2i_ref, f2s_ref, twr_ref, twi_ref,
     ar = re_ref[:].reshape(r, n2, n1)
     ai = im_ref[:].reshape(r, n2, n1)
 
+    # B3 applies to stage 2 ONLY: it carries n1/(n1+n2) ≈ 94% of the MAC
+    # work at 1024 (F1 is n1×n1 vs F2's n2×n2), and the bf16 split
+    # temporaries of a full-B3 kernel blow the 16 MB VMEM stack at 1024
+    # (probed: 18.21 M scoped allocation, compile-time OOM)
+    p1 = lax.Precision.HIGHEST if precision == B3 else precision
+
     # C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]   (Gauss 3-dot complex product)
     cr, ci = _gauss_cmul(f2r_ref[:], f2i_ref[:], f2s_ref[:], ar, ai,
-                         precision)
+                         p1)
 
     # twiddle, broadcast over the row axis
     twr = twr_ref[:][:, None, :]
@@ -208,6 +265,7 @@ def _fft1d_transposed(re, im, inverse: bool,
     """Batched 1-D transform along the last axis of [C, M, N]; returns
     [C, N, M] (transposed within each channel)."""
     c, m, n = re.shape
+    precision = kernel_precision(n, precision)
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
     r = _pick_block_rows(m, n)
 
@@ -263,15 +321,28 @@ def _rowfft_core(ar, ai, f2r, f2i, twr, twi, f1tr, f1ti, precision):
     Gauss 3-dot complex product (see _gauss_cmul); the summed tables are
     built in-kernel from the passed factors — they are tiny trace-time
     constants and Mosaic folds the adds."""
-    # stage 1: C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]
-    cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, precision)
+    # stage 1: C[k2, r, t] = Σ_s F2[k2, s] A[r, s, t]. B3 → stage 2 only
+    # (same VMEM-stack reasoning as _fft_block_kernel; stage 1 is ~6% of
+    # the MACs at 1024)
+    p1 = lax.Precision.HIGHEST if precision == B3 else precision
+    cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, p1)
     twr_b = twr[:, None, :]
     twi_b = twi[:, None, :]
     cr, ci = cr * twr_b - ci * twi_b, cr * twi_b + ci * twr_b
 
     def d(a, b):   # rank-3 lhs, minor-dim contraction (probed legal)
-        return lax.dot_general(a, b,
-                               dimension_numbers=(((2,), (0,)), ((), ())),
+        dims = (((2,), (0,)), ((), ()))
+        if precision == B3:
+            ah, al = _split_bf16(a)
+            bh, bl = _split_bf16(b)
+
+            def dd(u, v):
+                return lax.dot_general(u, v, dimension_numbers=dims,
+                                       preferred_element_type=jnp.float32,
+                                       precision=lax.Precision.DEFAULT)
+
+            return dd(ah, bh) + dd(ah, bl) + dd(al, bh)
+        return lax.dot_general(a, b, dimension_numbers=dims,
                                preferred_element_type=jnp.float32,
                                precision=(lax.Precision.DEFAULT
                                           if precision == lax.Precision.DEFAULT
@@ -322,6 +393,7 @@ def fft1d_natural_large(re, im, inverse: bool,
         # no r ≥ 8 divides the row count: einsum row pass (same math)
         from tpu_ocean.fft.matmul import ifft1d_planes_lastaxis
         return ifft1d_planes_lastaxis(re, im, inverse, precision)
+    precision = kernel_precision(n, precision)
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _tables_np(n, inverse)
 
     re = re.reshape(c, m, n2, n1)

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ocean.fft.pallas_fft import (
     _tables_np, _dot_mid, _gauss_cmul, _fft1d_transposed, _rowfft_core,
-    _pick_block_rows_natural, MAX_FUSED_N)
+    _pick_block_rows_natural, MAX_FUSED_N, kernel_precision)
 
 NUM_CHANNELS = 5
 
@@ -141,9 +141,12 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
                              row_off=row_off_ref[0, 0], packed=packed,
                              nch_live=nch_live, kz_nyq=kz_nyq)
     # four-step row FFT (see pallas_fft._fft_block_kernel for layout notes;
-    # Gauss 3-dot complex products, pallas_fft._gauss_cmul)
+    # Gauss 3-dot complex products, pallas_fft._gauss_cmul). B3 → stage 2
+    # only (VMEM-stack reasoning at pallas_fft._fft_block_kernel)
+    from tpu_ocean.fft.pallas_fft import B3
+    p1 = lax.Precision.HIGHEST if precision == B3 else precision
     f2r, f2i = f2r_ref[:], f2i_ref[:]
-    cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, precision)
+    cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, p1)
     twr = twr_ref[:][:, None, :]
     twi = twi_ref[:][:, None, :]
     cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
@@ -195,6 +198,7 @@ def assemble_rowfft_natural(h0_pair, phase, length: float, dz_sign: float,
         precision = lax.Precision.HIGHEST
     h0r, h0i, h0cr, h0ci = h0_pair
     m, n = phase.shape
+    precision = kernel_precision(n, precision)
     r = _pick_block_rows_natural(m, n, planes=5)
     if r == 0:
         raise ValueError(
@@ -270,6 +274,7 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
         precision = lax.Precision.HIGHEST
     h0r, h0i, h0cr, h0ci = h0_pair
     m, n = phase.shape
+    precision = kernel_precision(n, precision)
     if n > MAX_FUSED_N:
         raise ValueError(
             f"assemble_rowfft's transposed-store kernel caps at "
