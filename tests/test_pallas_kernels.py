@@ -234,3 +234,26 @@ def test_b3_precision_sentinel_matches_highest():
     # the sentinel maps to native HIGH on the einsum helpers
     from tpu_ocean.fft.matmul import _einsum_f32_precision
     assert _einsum_f32_precision(pf.B3) == jax.lax.Precision.HIGH
+
+
+def test_three_factor_stage2_matches_plain():
+    """The 3-factor stage-2 split (pallas_fft._stage2_split3) is fp32-exact
+    against the plain kernel and numpy. Default-off — measured SLOWER on v5e
+    (pass-fixed-cost bound MXU, bench/PROBE_r3_three_factor.json) — but the
+    path stays green for hardware where small-dot issue is cheap."""
+    from tpu_ocean.fft import pallas_fft as pf
+    n = 1024
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((1, n, n))
+         + 1j * rng.standard_normal((1, n, n))).astype(np.complex64)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    old = pf.THREE_FACTOR_THRESHOLD
+    try:
+        pf.THREE_FACTOR_THRESHOLD = 512
+        assert pf._use_split3(n, 128)
+        ar, ai = pf.ifft2_planes_auto(re, im, True)
+    finally:
+        pf.THREE_FACTOR_THRESHOLD = old
+    got = np.asarray(ar) + 1j * np.asarray(ai)
+    want = np.fft.ifft2(x) * (n * n)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5

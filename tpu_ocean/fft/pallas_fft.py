@@ -130,6 +130,87 @@ def _dot_mid(m, x, precision=lax.Precision.HIGHEST):
                            precision=precision)
 
 
+#: grid sides STRICTLY ABOVE this (with n1 == 128) would run stage 2 of the
+#: transposed-store kernels as a THREE-FACTOR four-step: the 128-point DFT
+#: against F1 itself Bailey-split 128 = 8·16, cutting the stage-2
+#: contraction depth 128 → 8 + 16 at one extra in-VMEM twiddle. DISABLED by
+#: default — measured on v5e at 1024² packed (r3,
+#: bench/PROBE_r3_three_factor.json): 0.524 vs 0.448 ms/step despite the
+#: 4.25× MAC cut, because the MXU here is pass-fixed-cost bound, not
+#: MAC-throughput bound — depth-8/16 dots waste the 128-deep systolic fill,
+#: and the rank-4 reshape/twiddle adds VPU work. (Same verdict family as
+#: the bf16x3 tier and the r=256 block probe: DEFAULT precision bounds the
+#: whole step's MXU-pass sensitivity at ~0.15 ms and none of the
+#: restructurings recover it without costing more elsewhere.) The path
+#: stays implemented + tested: on MXU generations with cheaper small-dot
+#: issue it is one constant away.
+THREE_FACTOR_THRESHOLD = 1 << 30
+_SPLIT_W, _SPLIT_U = 8, 16           # 128 = W·U; t = w·U + u, k1 = a·W + b
+
+
+@functools.lru_cache(maxsize=8)
+def _split3_tables_np(n1: int, inverse: bool):
+    """Tables for the in-kernel 3-factor split of the n1-point DFT:
+    F1[k1, t] with k1 = a·W + b, t = w·U + u factorizes as
+
+        B[b, u]   = Σ_w F_W[b, w] · c[w, u]          (contract the W digit)
+        X[a·W+b]  = Σ_u F_U[a, u] · TW[b, u] · B[b, u]
+
+    with F_W/F_U the small DFT tables and TW[b, u] = e^{±2πi·u·b/n1}. The
+    identity needs W·U = n1 (ω^{a·W·w·U} = 1) and holds for any digit pair;
+    (8, 16) keeps both factors MXU-friendly."""
+    assert n1 == _SPLIT_W * _SPLIT_U
+    sign = +1.0 if inverse else -1.0
+    w, u = _SPLIT_W, _SPLIT_U
+    fw = np.exp(sign * 2j * np.pi * np.outer(np.arange(w), np.arange(w)) / w)
+    fu = np.exp(sign * 2j * np.pi * np.outer(np.arange(u), np.arange(u)) / u)
+    tw = np.exp(sign * 2j * np.pi * np.outer(np.arange(w), np.arange(u)) / n1)
+    f32 = np.float32
+    return (fw.real.astype(f32), fw.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32),
+            fu.real.astype(f32), fu.imag.astype(f32))
+
+
+def _use_split3(n: int, n1: int) -> bool:
+    return n > THREE_FACTOR_THRESHOLD and n1 == _SPLIT_W * _SPLIT_U
+
+
+def _dot4(m, x, contract_dim: int, precision):
+    """2-D [a, b] · rank-4 x contracting x's dim ``contract_dim`` (probed
+    legal on this Mosaic for dims 1 and 2 with a 128-lane minor dim)."""
+    return lax.dot_general(
+        m, x, dimension_numbers=(((1,), (contract_dim,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _gauss4(mr, mi, xr, xi, dim: int, precision):
+    """Gauss 3-dot complex product on the rank-4 contraction (tables are
+    trace-time constants, so mr+mi folds)."""
+    ms = mr + mi
+    t1 = _dot4(mr, xr, dim, precision)
+    t2 = _dot4(mi, xi, dim, precision)
+    t3 = _dot4(ms, xr + xi, dim, precision)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _stage2_split3(cr, ci, fwr, fwi, twr, twi, fur, fui, precision):
+    """Three-factor stage 2: [k2, t, r] (t = w·U + u) → [k1, k2, r] with
+    k1 = a·W + b in natural order — drop-in for the plain F1 Gauss dot.
+    Two Gauss contractions of depth W and U plus one in-VMEM twiddle
+    replace the depth-n1 contraction (see THREE_FACTOR_THRESHOLD)."""
+    k2, t, r = cr.shape
+    w_, u_ = fwr.shape[0], fur.shape[0]
+    cr = cr.reshape(k2, w_, u_, r)        # sublane split (probed legal)
+    ci = ci.reshape(k2, w_, u_, r)
+    br, bi = _gauss4(fwr, fwi, cr, ci, 1, precision)    # [b, k2, u, r]
+    tr = twr[:, None, :, None]
+    ti = twi[:, None, :, None]
+    br, bi = br * tr - bi * ti, br * ti + bi * tr
+    dr, di = _gauss4(fur, fui, br, bi, 2, precision)    # [a, b, k2, r]
+    return (dr.reshape(u_ * w_, k2, r),   # k1 = a·W + b row-major merge
+            di.reshape(u_ * w_, k2, r))
+
+
 def _gauss_cmul(mr, mi, ms, xr, xi, precision):
     """Complex matrix·tensor via Gauss's 3-multiplication identity.
 
@@ -184,6 +265,31 @@ def _fft_block_kernel(f2r_ref, f2i_ref, f2s_ref, twr_ref, twi_ref,
                          precision)
 
     # X[n] with n = k2 + N2·k1 ⇔ [k1, k2] row-major; minor axis stays r.
+    ore_ref[:] = dr.reshape(1, n, r)
+    oim_ref[:] = di.reshape(1, n, r)
+
+
+def _fft_block_kernel_split3(f2r_ref, f2i_ref, f2s_ref, twr_ref, twi_ref,
+                             fwr_ref, fwi_ref, t3r_ref, t3i_ref,
+                             fur_ref, fui_ref,
+                             re_ref, im_ref, ore_ref, oim_ref, *, n1, n2,
+                             precision=lax.Precision.HIGHEST):
+    """_fft_block_kernel with stage 2 three-factored (THREE_FACTOR_THRESHOLD):
+    the F1 table refs are replaced by the (F_W, TW, F_U) factor tables."""
+    _, r, _, _ = re_ref.shape
+    n = n1 * n2
+    ar = re_ref[:].reshape(r, n2, n1)
+    ai = im_ref[:].reshape(r, n2, n1)
+    p1 = lax.Precision.HIGHEST if precision == B3 else precision
+    cr, ci = _gauss_cmul(f2r_ref[:], f2i_ref[:], f2s_ref[:], ar, ai, p1)
+    twr = twr_ref[:][:, None, :]
+    twi = twi_ref[:][:, None, :]
+    cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
+    cr = cr.transpose(0, 2, 1)
+    ci = ci.transpose(0, 2, 1)
+    dr, di = _stage2_split3(cr, ci, fwr_ref[:], fwi_ref[:],
+                            t3r_ref[:], t3i_ref[:], fur_ref[:], fui_ref[:],
+                            precision)
     ore_ref[:] = dr.reshape(1, n, r)
     oim_ref[:] = di.reshape(1, n, r)
 
@@ -273,8 +379,6 @@ def _fft1d_transposed(re, im, inverse: bool,
     re = re.reshape(c, m, n2, n1)
     im = im.reshape(c, m, n2, n1)
 
-    kernel = functools.partial(_fft_block_kernel, n1=n1, n2=n2,
-                               precision=precision)
     table = lambda shape: pl.BlockSpec(shape, lambda ci, bi: (0, 0),
                                        memory_space=pltpu.VMEM)
     in_block = pl.BlockSpec((1, r, n2, n1), lambda ci, bi: (ci, bi, 0, 0),
@@ -282,21 +386,36 @@ def _fft1d_transposed(re, im, inverse: bool,
     out_block = pl.BlockSpec((1, n, r), lambda ci, bi: (ci, 0, bi),
                              memory_space=pltpu.VMEM)
 
+    if _use_split3(n, n1):
+        kernel = functools.partial(_fft_block_kernel_split3, n1=n1, n2=n2,
+                                   precision=precision)
+        w_, u_ = _SPLIT_W, _SPLIT_U
+        stage2_specs = [table((w_, w_)), table((w_, w_)),
+                        table((w_, u_)), table((w_, u_)),
+                        table((u_, u_)), table((u_, u_))]
+        stage2_args = _split3_tables_np(n1, inverse)
+        flops = int(6 * c * m * n * (n2 + w_ + u_))
+    else:
+        kernel = functools.partial(_fft_block_kernel, n1=n1, n2=n2,
+                                   precision=precision)
+        stage2_specs = [table((n1, n1))] * 3
+        stage2_args = (f1r, f1i, f1r + f1i)
+        flops = int(6 * c * m * n * (n1 + n2))     # Gauss: 3 dots per stage
+
     ore, oim = pl.pallas_call(
         kernel,
         grid=(c, m // r),
         in_specs=[table((n2, n2)), table((n2, n2)), table((n2, n2)),
-                  table((n2, n1)), table((n2, n1)),
-                  table((n1, n1)), table((n1, n1)), table((n1, n1)),
-                  in_block, in_block],
+                  table((n2, n1)), table((n2, n1))]
+                 + stage2_specs + [in_block, in_block],
         out_specs=[out_block, out_block],
         out_shape=[jax.ShapeDtypeStruct((c, n, m), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(6 * c * m * n * (n1 + n2)),   # Gauss: 3 dots per stage
+            flops=flops,
             bytes_accessed=int(2 * 2 * c * m * n * 4),
             transcendentals=0),
         interpret=jax.default_backend() == "cpu",  # tests: fake-CPU meshes
-    )(f2r, f2i, f2r + f2i, twr, twi, f1r, f1i, f1r + f1i, re, im)
+    )(f2r, f2i, f2r + f2i, twr, twi, *stage2_args, re, im)
     return ore, oim
 
 

@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ocean.fft.pallas_fft import (
     _tables_np, _dot_mid, _gauss_cmul, _fft1d_transposed, _rowfft_core,
-    _pick_block_rows_natural, MAX_FUSED_N, kernel_precision)
+    _pick_block_rows_natural, MAX_FUSED_N, kernel_precision,
+    _use_split3, _split3_tables_np, _stage2_split3, _SPLIT_W, _SPLIT_U, B3)
 
 NUM_CHANNELS = 5
 
@@ -143,7 +144,6 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
     # four-step row FFT (see pallas_fft._fft_block_kernel for layout notes;
     # Gauss 3-dot complex products, pallas_fft._gauss_cmul). B3 → stage 2
     # only (VMEM-stack reasoning at pallas_fft._fft_block_kernel)
-    from tpu_ocean.fft.pallas_fft import B3
     p1 = lax.Precision.HIGHEST if precision == B3 else precision
     f2r, f2i = f2r_ref[:], f2i_ref[:]
     cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, p1)
@@ -154,6 +154,41 @@ def _fused_kernel(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
     ci = ci.transpose(0, 2, 1)
     f1r, f1i = f1r_ref[:], f1i_ref[:]
     dr, di = _gauss_cmul(f1r, f1i, f1r + f1i, cr, ci, precision)
+    ore_ref[:] = dr.reshape(1, n, r)
+    oim_ref[:] = di.reshape(1, n, r)
+
+
+def _fused_kernel_split3(row_off_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
+                         fwr_ref, fwi_ref, t3r_ref, t3i_ref,
+                         fur_ref, fui_ref, kz_tile_ref,
+                         h0r_ref, h0i_ref, h0cr_ref, h0ci_ref, ph_ref,
+                         ore_ref, oim_ref, *, n1, n2, length, dz_sign,
+                         epsilon, precision, ch_start=0, packed=False,
+                         nch_live=3, kz_nyq=0.0):
+    """_fused_kernel with stage 2 three-factored — the F1 refs are replaced
+    by the (F_W, TW, F_U) factor tables (pallas_fft.THREE_FACTOR_THRESHOLD)."""
+    r, _, _ = h0r_ref.shape
+    n = n1 * n2
+    ch = ch_start + pl.program_id(1)
+    bi = pl.program_id(0)
+
+    ar, ai = _assemble_block(kz_tile_ref, h0r_ref, h0i_ref, h0cr_ref,
+                             h0ci_ref, ph_ref, n1=n1, n2=n2, wrap_n=n,
+                             length=length, dz_sign=dz_sign, epsilon=epsilon,
+                             ch=ch, bi=bi, r=r,
+                             row_off=row_off_ref[0, 0], packed=packed,
+                             nch_live=nch_live, kz_nyq=kz_nyq)
+    p1 = lax.Precision.HIGHEST if precision == B3 else precision
+    f2r, f2i = f2r_ref[:], f2i_ref[:]
+    cr, ci = _gauss_cmul(f2r, f2i, f2r + f2i, ar, ai, p1)
+    twr = twr_ref[:][:, None, :]
+    twi = twi_ref[:][:, None, :]
+    cr, ci = cr * twr - ci * twi, cr * twi + ci * twr
+    cr = cr.transpose(0, 2, 1)
+    ci = ci.transpose(0, 2, 1)
+    dr, di = _stage2_split3(cr, ci, fwr_ref[:], fwi_ref[:],
+                            t3r_ref[:], t3i_ref[:], fur_ref[:], fui_ref[:],
+                            precision)
     ore_ref[:] = dr.reshape(1, n, r)
     oim_ref[:] = di.reshape(1, n, r)
 
@@ -306,30 +341,40 @@ def assemble_rowfft(h0_pair, phase, length: float, dz_sign: float,
     out_block = pl.BlockSpec((1, n, r), lambda bi, ch: (ch, 0, bi),
                              memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_fused_kernel, n1=n1, n2=n2,
-                               length=float(length),
-                               dz_sign=np.float32(dz_sign),
-                               epsilon=np.float32(epsilon),
-                               precision=precision, ch_start=ch_start,
-                               packed=packed, nch_live=nch_live,
-                               kz_nyq=float(kz_tile.min()))
+    common = dict(n1=n1, n2=n2, length=float(length),
+                  dz_sign=np.float32(dz_sign), epsilon=np.float32(epsilon),
+                  precision=precision, ch_start=ch_start, packed=packed,
+                  nch_live=nch_live, kz_nyq=float(kz_tile.min()))
+    if _use_split3(n, n1):
+        kernel = functools.partial(_fused_kernel_split3, **common)
+        w_, u_ = _SPLIT_W, _SPLIT_U
+        stage2_specs = [table((w_, w_)), table((w_, w_)),
+                        table((w_, u_)), table((w_, u_)),
+                        table((u_, u_)), table((u_, u_))]
+        stage2_args = _split3_tables_np(n1, inverse)
+        flops = int(ch_count * 6 * m * n * (n2 + w_ + u_))
+    else:
+        kernel = functools.partial(_fused_kernel, **common)
+        stage2_specs = [table((n1, n1)), table((n1, n1))]
+        stage2_args = (f1r, f1i)
+        flops = int(ch_count * 6 * m * n * (n1 + n2))     # Gauss: 3 dots
     ore, oim = pl.pallas_call(
         kernel,
         grid=(m // r, ch_count),
         in_specs=[smem,
                   table((n2, n2)), table((n2, n2)),
-                  table((n2, n1)), table((n2, n1)),
-                  table((n1, n1)), table((n1, n1)),
-                  table((n2, n1))] + [in_block] * 5,
+                  table((n2, n1)), table((n2, n1))]
+                 + stage2_specs
+                 + [table((n2, n1))] + [in_block] * 5,
         out_specs=[out_block, out_block],
         out_shape=[jax.ShapeDtypeStruct((ch_count, n, m),
                                         jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(ch_count * 6 * m * n * (n1 + n2)),  # Gauss: 3 dots
+            flops=flops,
             bytes_accessed=int((5 + 2 * ch_count) * m * n * 4),
             transcendentals=int(2 * ch_count * m * n)),
         interpret=jax.default_backend() == "cpu",
-    )(row_off, f2r, f2i, twr, twi, f1r, f1i, kz_tile, *ins)
+    )(row_off, f2r, f2i, twr, twi, *stage2_args, kz_tile, *ins)
     return ore, oim     # [5, N, M]
 
 
