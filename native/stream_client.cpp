@@ -7,13 +7,18 @@
 // per-frame statistics. Exit code 0 iff the requested number of frames
 // arrived intact and every plane was finite.
 //
-//   ./tpu_ocean_stream_client <host> <port> <frames>
+//   ./tpu_ocean_stream_client <host> <port> <frames> [lod]
 //
-// Wire format (serve.py): header line
-//   {"proto": "tpu-ocean/1", "resolution": N, "length": L,
-//    "fields": [...], "dtype": "float32"}
+// Wire format (serve.py): the client first sends ONE JSON request line —
+// "{}" for the full grid, {"lod": d} for spatially decimated planes (the
+// serving analogue of the reference's distance tessellation falloff,
+// MistralWaterCommon.cginc:215-296); sending it immediately ends the
+// server's legacy-client negotiation window. Then: header line
+//   {"proto": "tpu-ocean/1", "resolution": N/d, "length": L, "lod": d,
+//    "full_resolution": N, "fields": [...], "dtype": "float32"}
 // then per frame: one JSON meta line ({"step": k, "t": s}) followed by the
-// planes of each declared field in order (normal is N*N*3, others N*N).
+// planes of each declared field in order (normal is M*M*3, others M*M,
+// M = the header's served resolution).
 
 #include <arpa/inet.h>
 #include <netdb.h>
@@ -85,13 +90,14 @@ bool read_exact(int fd, void* buf, size_t count) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 4) {
-    std::fprintf(stderr, "usage: %s <host> <port> <frames>\n", argv[0]);
+  if (argc != 4 && argc != 5) {
+    std::fprintf(stderr, "usage: %s <host> <port> <frames> [lod]\n", argv[0]);
     return 2;
   }
   const char* host = argv[1];
   const char* port = argv[2];
   const long want = std::strtol(argv[3], nullptr, 10);
+  const long lod = argc == 5 ? std::strtol(argv[4], nullptr, 10) : 0;
 
   addrinfo hints{}, *res = nullptr;
   hints.ai_family = AF_UNSPEC;
@@ -107,6 +113,21 @@ int main(int argc, char** argv) {
     return 2;
   }
   freeaddrinfo(res);
+
+  // spatial-LOD request (or "{}"): ends the negotiation window immediately
+  char req[64];
+  const int req_len =
+      lod > 1 ? std::snprintf(req, sizeof req, "{\"lod\": %ld}\n", lod)
+              : std::snprintf(req, sizeof req, "{}\n");
+  for (int sent = 0; sent < req_len;) {
+    ssize_t w = ::write(fd, req + sent, static_cast<size_t>(req_len - sent));
+    if (w <= 0) {
+      std::fprintf(stderr, "request write failed\n");
+      ::close(fd);
+      return 2;
+    }
+    sent += static_cast<int>(w);
+  }
 
   std::string header;
   if (!read_line(fd, &header) ||

@@ -3,6 +3,7 @@ individual band solvers, and the 'expert'-sharded step matches unsharded."""
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh
 
@@ -261,3 +262,110 @@ def test_real_state_cascade_expert_sharding():
         s2, f2 = sharded.step(s2, 1 / 60)
     np.testing.assert_allclose(np.asarray(f2.height), np.asarray(f1.height),
                                atol=1e-4)
+
+
+# ------------------------------------------------- live reconfigure (r3 #6)
+
+def test_cascade_reconfigure_init_only_reuses_step_preserves_phase():
+    """Init-only band changes (wind/amplitude/seed) re-render h0 and REUSE
+    the compiled step; phase/t/step carry over so waves keep their motion
+    (OceanRenderer.cs:98-109). Trajectory check: the reconfigured run equals
+    a fresh solver fed the same new h0 and the preserved phase."""
+    import dataclasses
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
+    solver = CascadeSolver(cfgs, fft_backend="reference")
+    st = solver.init(jax.random.PRNGKey(0))
+    dt = 1.0 / 60.0
+    for _ in range(3):
+        st, _ = solver.step(st, dt)
+    phase_before = np.asarray(st.phase).copy()
+
+    new_cfgs = [dataclasses.replace(c, wind=(4.0, 11.0), amplitude=0.9)
+                for c in cfgs]
+    solver2, st2 = solver.reconfigure(st, new_cfgs)
+    assert solver2._step_jit is solver._step_jit          # compiled reuse
+    np.testing.assert_array_equal(np.asarray(st2.phase), phase_before)
+    assert float(st2.t) == float(st.t)
+    assert int(st2.step) == int(st.step)
+    # h0 actually re-rendered (different wind/amplitude ⇒ different spectrum)
+    assert np.abs(np.asarray(st2.h0) - np.asarray(st.h0)).max() > 0
+
+    # trajectory continuity: a FRESH solver with the new cfgs, the same new
+    # h0 draw, and the preserved phase must produce the same fields
+    control = CascadeSolver(new_cfgs, fft_backend="reference")
+    cst = control.init(jax.random.PRNGKey(new_cfgs[0].seed))
+    # copy: the step donates its input state, and st2 shares these buffers
+    cst = cst._replace(phase=jnp.copy(st.phase), t=jnp.copy(st.t),
+                       step=jnp.copy(st.step))
+    for _ in range(2):
+        st2, f2 = solver2.step(st2, dt)
+        cst, fc = control.step(cst, dt)
+    np.testing.assert_allclose(np.asarray(f2.height), np.asarray(fc.height),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2.phase), np.asarray(cst.phase))
+
+
+def test_cascade_reconfigure_structural_rebuilds():
+    """Non-init-only changes (choppiness feeds a baked trace constant)
+    rebuild the solver but still preserve phase on an unchanged grid."""
+    import dataclasses
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
+    solver = CascadeSolver(cfgs, fft_backend="reference")
+    st = solver.init(jax.random.PRNGKey(1))
+    st, _ = solver.step(st, 1 / 60)
+    new_cfgs = [dataclasses.replace(c, choppiness=1.3) for c in cfgs]
+    solver2, st2 = solver.reconfigure(st, new_cfgs)
+    assert solver2._step_jit is not solver._step_jit
+    np.testing.assert_array_equal(np.asarray(st2.phase), np.asarray(st.phase))
+    st2, f2 = solver2.step(st2, 1 / 60)
+    assert np.isfinite(np.asarray(f2.height)).all()
+    with pytest.raises(ValueError, match="band"):
+        solver.reconfigure(st, new_cfgs[:1])
+
+
+def test_lod_reconfigure_rerenders_cache_keeps_schedule():
+    """LOD reconfigure: init-only change re-renders the plane cache at each
+    band's HELD phase (no motion pop), keeps the frame slot, and the
+    schedule continues — held bands refresh at their next scheduled slot."""
+    import dataclasses
+    from tpu_ocean.lod import LODCascadeSolver
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
+    solver = LODCascadeSolver(cfgs, periods=(4, 1), fft_backend="reference")
+    st = solver.init(jax.random.PRNGKey(2))
+    for _ in range(2):
+        st, _ = solver.step(st)
+    phase_before = np.asarray(st.cascade.phase).copy()
+    planes_before = np.asarray(st.planes).copy()
+
+    new_cfgs = [dataclasses.replace(c, amplitude=2.0 * c.amplitude)
+                for c in cfgs]
+    solver2, st2 = solver.reconfigure(st, new_cfgs)
+    assert st2.frame == st.frame                        # schedule slot kept
+    for sub in solver._substeps:
+        assert solver2._substeps[sub] is solver._substeps[sub]
+    np.testing.assert_array_equal(np.asarray(st2.cascade.phase),
+                                  phase_before)
+    # cache re-rendered under the new spectrum (2× amplitude ⇒ planes move)
+    assert np.abs(np.asarray(st2.planes) - planes_before).max() > 0
+    st2, f2 = solver2.step(st2)
+    assert st2.frame == st.frame + 1
+    assert np.isfinite(np.asarray(f2.height)).all()
+
+
+def test_cascade_simulation_reconfigure_live():
+    """runtime.CascadeSimulation.reconfigure (was a NotImplementedError
+    refusal): init-only per-band change mid-run, progress and phase kept."""
+    import dataclasses
+    from tpu_ocean.runtime import CascadeSimulation
+    cfgs = default_cascade(n=32, lengths=(100.0, 13.0))
+    sim = CascadeSimulation(cfgs, fft_backend="reference")
+    sim.run(3)
+    phase_before = np.asarray(sim.state.phase).copy()
+    done = sim.step_count
+    new_cfgs = [dataclasses.replace(c, wind=(3.0, 9.0)) for c in cfgs]
+    sim.reconfigure(new_cfgs)
+    assert sim.step_count == done
+    np.testing.assert_array_equal(np.asarray(sim.state.phase), phase_before)
+    f = sim.step()
+    assert np.isfinite(np.asarray(f.height)).all()
+    assert sim.cfgs == new_cfgs

@@ -363,3 +363,153 @@ def test_grad_through_sharded_step_matches_single_device():
     assert np.isfinite(gs).all() and np.abs(gs).max() > 0
     scale = np.abs(gs).max()
     assert np.abs(gs - gd).max() < 1e-4 * scale
+
+
+# --------------------------------------------------- real-state (VERDICT r3 #3)
+
+def _fft_cfg(n, **kw):
+    base = dict(resolution=n, length=float(n), unit_width=1.0,
+                wind=(9.0, 4.0), amplitude=0.15, choppiness=1.1,
+                dispersion_mode="capillary", evolution_mode="phase",
+                spectrum_layout="fft", normals_mode="stencil",
+                oracle_sign_quirk=False)
+    base.update(kw)
+    return OceanConfig(**base)
+
+
+def _pair64(n, seed):
+    rng = np.random.default_rng(seed)
+    h0 = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    h0c = 0.05 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    return h0, h0c
+
+
+@pytest.mark.parametrize("backend,pack", [
+    ("pallas", False), ("pallas", True),
+    ("pallas_fused", False), ("pallas_fused", True)])
+def test_sharded_real_state_matches_complex_sharded(backend, pack):
+    """DistributedOceanSolver(real_state=True): the all-f32 sharded step
+    reproduces the complex sharded step from the same injected h0."""
+    mesh = _mesh()
+    n = 64
+    cfg = _fft_cfg(n)
+    h0, h0c = _pair64(n, seed=7)
+    cplx = DistributedOceanSolver(cfg, mesh, fft_backend=backend,
+                                  pack_channels=pack)
+    real = DistributedOceanSolver(cfg, mesh, fft_backend=backend,
+                                  real_state=True, pack_channels=pack)
+    s1 = cplx.init(h0=h0, h0_conj=h0c)
+    s2 = real.init(h0=h0, h0_conj=h0c)
+    from tpu_ocean.solver import OceanStateReal
+    assert isinstance(s2, OceanStateReal)
+    for _ in range(3):
+        s1, f1 = cplx.step(s1, 1 / 60)
+        s2, f2 = real.step(s2, 1 / 60)
+    for name in ("height", "disp_x", "disp_z", "pos_x", "pos_z",
+                 "normal", "foam", "jacobian"):
+        a = np.asarray(getattr(f1, name))
+        b = np.asarray(getattr(f2, name))
+        # normalization amplifies the f32 expansion-order delta on 'normal'
+        tol = (2e-5 if name == "normal" else 5e-6) * max(np.abs(a).max(),
+                                                         1e-9)
+        np.testing.assert_allclose(b, a, atol=tol,
+                                   err_msg=f"real-state {name} != complex")
+    np.testing.assert_allclose(np.asarray(s2.phase), np.asarray(s1.phase),
+                               atol=1e-6)
+
+
+def test_sharded_real_state_program_is_complex_free():
+    """The LOWERED multi-chip real-state step and velocity programs contain
+    no complex dtype anywhere — the property that makes them timeable and
+    checkpointable on complex-hostile runtimes (VERDICT r3 #3)."""
+    mesh = _mesh()
+    cfg = _fft_cfg(32)
+    s = DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
+                               real_state=True)
+    st = s.init(jax.random.PRNGKey(0))
+    txt = s._step_jit.lower(st, jnp.float32(1 / 60), s._omega, s._coeffs,
+                            s._pre_re, s._pre_im, s._post_re, s._post_im,
+                            s._x0, s._z0).as_text()
+    assert "complex" not in txt and "c64" not in txt
+    v = s.velocity(st)                     # triggers the cached trace
+    assert np.isfinite(np.asarray(v)).all()
+    fn = s._velocity_jit
+    assert fn is not None
+    vtxt = fn.lower(st, st.t, s._omega, s._pre_re, s._pre_im,
+                    s._post_re, s._post_im).as_text()
+    assert "complex" not in vtxt and "c64" not in vtxt
+    _ = s.velocity(st)
+    assert s._velocity_jit is fn           # cached, one trace per solver
+
+
+@pytest.mark.parametrize("backend,layout,normals,quirk,real", [
+    ("reference", "centered", "spectral", True, False),
+    ("matmul", "fft", "stencil", False, False),
+    ("pallas", "fft", "stencil", False, False),
+    ("pallas", "fft", "stencil", False, True),
+    ("pallas_fused", "fft", "stencil", False, True),
+])
+def test_distributed_velocity_matches_single_device(backend, layout,
+                                                    normals, quirk, real):
+    """dist.velocity == single-device OceanSolver.velocity (same h0, same
+    trajectory) across backends, both layouts, and both representations."""
+    mesh = _mesh()
+    n = 64
+    cfg = OceanConfig(resolution=n, length=float(n), unit_width=1.0,
+                      wind=(9.0, 4.0), amplitude=0.15, choppiness=1.1,
+                      dispersion_mode="capillary", evolution_mode="phase",
+                      spectrum_layout=layout, normals_mode=normals,
+                      oracle_sign_quirk=quirk)
+    h0, h0c = _pair64(n, seed=8)
+    single = OceanSolver(cfg, fft_backend="reference")
+    dist = DistributedOceanSolver(cfg, mesh, fft_backend=backend,
+                                  real_state=real)
+    s1 = single.init(h0=h0, h0_conj=h0c)
+    s8 = dist.init(h0=h0, h0_conj=h0c)
+    for _ in range(2):
+        s1, _ = single.step(s1, 1 / 60)
+        s8, _ = dist.step(s8, 1 / 60)
+    v1 = np.asarray(single.velocity(s1))
+    v8 = np.asarray(dist.velocity(s8))
+    scale = max(np.abs(v1).max(), 1e-9)
+    assert np.abs(v8 - v1).max() < 2e-3 * scale
+
+
+def test_sharded_real_state_checkpoint_roundtrip(tmp_path):
+    """Sharded real state → save_checkpoint (host npz) → load(real_state=True)
+    → shard_state back onto the mesh: the resumed trajectory is bitwise the
+    uninterrupted one (SURVEY §5.4 across the distributed real path)."""
+    from tpu_ocean.checkpoint import save_checkpoint, load_checkpoint
+    mesh = _mesh()
+    n = 32
+    cfg = _fft_cfg(n)
+    solver = DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
+                                    real_state=True)
+    st = solver.init(jax.random.PRNGKey(3))
+    for _ in range(2):
+        st, _ = solver.step(st, 1 / 60)
+    p = save_checkpoint(str(tmp_path / "dist_real.npz"), st, cfg=cfg)
+    loaded, _ = load_checkpoint(p, real_state=True)
+    resumed = solver.shard_state(loaded)
+    a, fa = solver.step(st, 1 / 60)
+    b, fb = solver.step(resumed, 1 / 60)
+    np.testing.assert_array_equal(np.asarray(fa.height),
+                                  np.asarray(fb.height))
+    np.testing.assert_array_equal(np.asarray(a.phase), np.asarray(b.phase))
+    with pytest.raises(ValueError, match="representation"):
+        cplx = DistributedOceanSolver(cfg, mesh, fft_backend="pallas")
+        cplx.shard_state(loaded)
+
+
+def test_sharded_real_state_validation():
+    mesh = _mesh()
+    with pytest.raises(ValueError, match="real_state"):
+        DistributedOceanSolver(_fft_cfg(32), mesh, fft_backend="matmul",
+                               real_state=True)
+    with pytest.raises(ValueError, match="spectrum_layout"):
+        DistributedOceanSolver(
+            OceanConfig(resolution=32, length=32.0, unit_width=1.0,
+                        wind=(9.0, 4.0), amplitude=0.15,
+                        spectrum_layout="centered", normals_mode="spectral",
+                        oracle_sign_quirk=True),
+            mesh, fft_backend="pallas", real_state=True)

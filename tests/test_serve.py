@@ -207,3 +207,130 @@ def test_streams_computed_velocity_plane():
         offline.step()
         want = np.asarray(offline.solver.velocity(offline.state))
         np.testing.assert_array_equal(planes["velocity"], want)
+
+
+# ------------------------------------------------- spatial LOD (r3 #7 / M1)
+
+def test_lod_divisor_for_distance_rule():
+    from tpu_ocean.serve import lod_divisor_for_distance
+    # at/below the reference distance: full grid
+    assert lod_divisor_for_distance(50.0, 64.0, 64) == 1
+    assert lod_divisor_for_distance(100.0, 64.0, 64) == 1
+    # each doubling halves the served resolution
+    assert lod_divisor_for_distance(200.0, 64.0, 64) == 2
+    assert lod_divisor_for_distance(400.0, 64.0, 64) == 4
+    # capped, and clamped so the served plane keeps >= 8 texels
+    assert lod_divisor_for_distance(1e6, 64.0, 64) == 8
+    assert lod_divisor_for_distance(1e6, 64.0, 16) == 2
+    # non-dividing divisors fall back to the next dividing power of two
+    assert lod_divisor_for_distance(400.0, 64.0, 24) == 2
+
+
+def test_decimate_plane_pools_and_renormalizes():
+    from tpu_ocean.serve import decimate_plane
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 16)).astype(np.float32)
+    y = decimate_plane(x, 4, "height")
+    assert y.shape == (4, 4)
+    np.testing.assert_allclose(y[0, 0], x[:4, :4].mean(), rtol=1e-6)
+    nrm = rng.normal(size=(16, 16, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    yn = decimate_plane(nrm, 2, "normal")
+    assert yn.shape == (8, 8, 3)
+    np.testing.assert_allclose(np.linalg.norm(yn, axis=-1), 1.0, atol=1e-5)
+
+
+def test_client_lod_request_serves_decimated_planes():
+    """A client requesting lod=2 receives (N/2)-planes that equal the
+    mean-pooled full planes of the same trajectory — the serving analogue
+    of the reference's distance tessellation (MistralWaterCommon.cginc:
+    215-296)."""
+    from tpu_ocean.serve import decimate_plane
+    fields = ("height", "normal", "foam")
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=fields) as server:
+        host, port = server.address
+        frames = []
+        client_err = []
+
+        def client():
+            try:
+                frames.extend(stream_frames(host, port, max_frames=2, lod=2))
+            except Exception as e:
+                client_err.append(e)
+
+        t = threading.Thread(target=client)
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=4)
+        t.join(timeout=30)
+        assert not t.is_alive() and not client_err, client_err
+
+    assert frames[0][1]["height"].shape == (32, 32)
+    assert frames[0][1]["normal"].shape == (32, 32, 3)
+    offline = Simulation(CFG, fft_backend="matmul")
+    for meta, planes in frames:
+        out = offline.step()
+        for name in fields:
+            want = decimate_plane(np.asarray(getattr(out, name)), 2, name)
+            np.testing.assert_allclose(planes[name], want, atol=1e-6)
+
+
+def test_mixed_lod_clients_each_get_their_resolution():
+    """Two concurrent clients at different divisors: payloads are built per
+    divisor and routed by client; camera_distance picks the divisor server-
+    side (composing with the temporal LOD's distance rule)."""
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height",)) as server:
+        host, port = server.address
+        got = {}
+        errs = []
+
+        def client(tag, **kw):
+            try:
+                got[tag] = list(stream_frames(host, port, max_frames=2, **kw))
+            except Exception as e:
+                errs.append((tag, e))
+
+        threads = [threading.Thread(target=client, args=("full",)),
+                   threading.Thread(target=client, args=("far",),
+                                    kwargs=dict(camera_distance=400.0))]
+        for t in threads:
+            t.start()
+        while server.client_count < 2 and any(t.is_alive() for t in threads):
+            pass
+        server.run(steps=5)
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs, errs
+
+    assert got["full"][0][1]["height"].shape == (64, 64)
+    assert got["far"][0][1]["height"].shape == (16, 16)   # 400m → divisor 4
+    # same trajectory, coarser sampling: pooled full == far at shared steps
+    from tpu_ocean.serve import decimate_plane
+    full_by_step = {m["step"]: p["height"] for m, p in got["full"]}
+    for meta, planes in got["far"]:
+        if meta["step"] in full_by_step:
+            np.testing.assert_allclose(
+                planes["height"],
+                decimate_plane(full_by_step[meta["step"]], 4, "height"),
+                atol=1e-6)
+
+
+def test_legacy_silent_client_gets_full_resolution():
+    """A client that sends NOTHING (pre-LOD protocol) still receives the
+    full-resolution stream after the negotiation window."""
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height",)) as server:
+        host, port = server.address
+        sock = socket.create_connection((host, port))
+        try:
+            f = sock.makefile("rb")
+            header = json.loads(f.readline())
+            assert header["proto"] == PROTO
+            assert header["resolution"] == 64
+            assert header["lod"] == 1
+            assert header["full_resolution"] == 64
+        finally:
+            sock.close()

@@ -144,6 +144,8 @@ class CascadeSolver:
         self.n = n
         self.b = len(cfgs)
         self.mesh = mesh
+        self.fft_backend = fft_backend
+        self._display_length_arg = display_length   # None → derived from bands
         self.display_length = (display_length if display_length is not None
                                else max(c.length for c in cfgs))
 
@@ -286,6 +288,54 @@ class CascadeSolver:
                 h0c_im=jax.device_put(st.h0c_im, espec),
                 phase=jax.device_put(st.phase, espec))
         return st
+
+    def reconfigure(self, state, new_cfgs: Sequence[OceanConfig], key=None):
+        """Live per-band parameter change: returns (new_solver, new_state).
+
+        The cascade twin of OceanSolver.reconfigure (VERDICT r3 #6), and the
+        banded analogue of the reference's runtime re-init
+        (OceanRenderer.cs:98-109: changed params re-blit ONE spectrum
+        texture; the recurrent phase is NOT reset, so waves keep their
+        motion while the sea state morphs). Changes restricted to init-only
+        fields (wind, amplitude, spectrum shape, seed — OceanSolver.
+        _INIT_ONLY_FIELDS) re-render the per-band h0 planes and REUSE the
+        compiled step: no retrace, no constant rebuild. Anything else
+        (length, choppiness, resolution, modes) rebuilds the solver,
+        carrying phase/t/step over when the grid and layout are unchanged.
+        """
+        import copy
+        import dataclasses
+        from tpu_ocean.solver import OceanSolver
+        new_cfgs = list(new_cfgs)
+        if len(new_cfgs) != self.b:
+            raise ValueError(f"got {len(new_cfgs)} band configs for a "
+                             f"{self.b}-band cascade; reconfigure cannot "
+                             f"add/remove bands (rebuild instead)")
+        changed = set()
+        for old, new in zip(self.cfgs, new_cfgs):
+            changed |= {f.name for f in dataclasses.fields(new)
+                        if getattr(new, f.name) != getattr(old, f.name)}
+        if key is None:
+            key = jax.random.PRNGKey(new_cfgs[0].seed)
+        if changed <= OceanSolver._INIT_ONLY_FIELDS:
+            solver = copy.copy(self)    # shares _step_jit and all constants
+            solver.cfgs = new_cfgs
+            fresh = solver.init(key)
+            return solver, fresh._replace(phase=state.phase, t=state.t,
+                                          step=state.step)
+        solver = CascadeSolver(new_cfgs, fft_backend=self.fft_backend,
+                               display_length=self._display_length_arg,
+                               mesh=self.mesh,
+                               pack_channels=self.pack_channels,
+                               real_state=self.real_state,
+                               pallas_fields=self.pallas_fields)
+        fresh = solver.init(key)
+        if (new_cfgs[0].resolution == self.cfgs[0].resolution
+                and new_cfgs[0].spectrum_layout
+                == self.cfgs[0].spectrum_layout):
+            fresh = fresh._replace(phase=state.phase, t=state.t,
+                                   step=state.step)
+        return solver, fresh
 
     def symmetrize(self, state):
         """Per-band Hermitian projection when packing (idempotent — see

@@ -83,8 +83,9 @@ def _open_checkpoint(path: str):
 
 
 def save_checkpoint(path: str, state,
-                    cfg: Optional[OceanConfig] = None) -> None:
-    """Write state (+ config) to ``path`` (.npz appended if missing).
+                    cfg: Optional[OceanConfig] = None) -> str:
+    """Write state (+ config) to ``path`` (.npz appended if missing);
+    returns the final path.
 
     Accepts OceanState or OceanStateReal — the wire format is identical
     (complex leaves travel as stacked (re, im) f32 pairs anyway), so real
@@ -110,7 +111,7 @@ def save_checkpoint(path: str, state,
     if cfg is not None:
         payload["config_json"] = np.bytes_(
             json.dumps(dataclasses.asdict(cfg)).encode())
-    _atomic_savez(path, payload)
+    return _atomic_savez(path, payload)
 
 
 def load_checkpoint(path: str, real_state: bool = False

@@ -99,9 +99,7 @@ def ifft2_x_sharded_planes(re, im, axis_name: str, overlap_chunks: int = 1,
             im = jnp.concatenate([p[1] for p in parts])
         else:
             re, im = large_chunk(re, im)
-        re, im = ifft1d_planes_axis2(re, im, True, precision)
-        out = re + 1j * im
-        return out.reshape(lead + out.shape[-2:])
+        return ifft1d_planes_axis2(re, im, True, precision)
 
     def row_pass_and_transpose(re_c, im_c):
         re_c, im_c = _fft1d_transposed(re_c, im_c, inverse=True,
@@ -126,10 +124,8 @@ def ifft2_x_sharded_planes(re, im, axis_name: str, overlap_chunks: int = 1,
         im = jnp.concatenate([p[1] for p in parts])
     else:
         re, im = row_pass_and_transpose(re, im)
-    re, im = _fft1d_transposed(re, im, inverse=True,
-                               precision=precision)       # [C, X, N/D]
-    out = re + 1j * im
-    return out.reshape(lead + out.shape[-2:])
+    return _fft1d_transposed(re, im, inverse=True,
+                             precision=precision)         # [C, X, N/D]
 
 
 def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,

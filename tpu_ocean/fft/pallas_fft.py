@@ -30,6 +30,7 @@ real, and a complex matmul is 4 real MXU ops at controlled precision.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -306,6 +307,26 @@ def _fft_block_kernel_split3(f2r_ref, f2i_ref, f2s_ref, twr_ref, twi_ref,
 # rank-3 stage-2 dot lowering illegal — "unsupported shape cast").
 MAX_PALLAS_N = 2048
 MAX_FUSED_N = 2048
+
+
+@contextlib.contextmanager
+def transposed_store_cap(n: int):
+    """TEST/DRYRUN-ONLY: temporarily lower the transposed-store ceilings so
+    a tiny grid routes through the large-N NATURAL-store + einsum-column
+    regime (VERDICT r3 #5: the driver's CPU dryrun must exercise both
+    regimes without monkeypatching library internals). Affects traces
+    performed inside the context only — solvers built and traced inside
+    keep the large-regime program, which is the point."""
+    global MAX_PALLAS_N, MAX_FUSED_N
+    import tpu_ocean.ops.fused_spectrum_fft as fsf
+    old = (MAX_PALLAS_N, MAX_FUSED_N, fsf.MAX_FUSED_N)
+    MAX_PALLAS_N = MAX_FUSED_N = n
+    fsf.MAX_FUSED_N = n        # by-value module import (fsf line ~52)
+    try:
+        yield
+    finally:
+        MAX_PALLAS_N, MAX_FUSED_N = old[0], old[1]
+        fsf.MAX_FUSED_N = old[2]
 
 
 def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):

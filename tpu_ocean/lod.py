@@ -195,6 +195,49 @@ class LODCascadeSolver:
         cache is the held display content and stays as written)."""
         return state._replace(cascade=self.inner.symmetrize(state.cascade))
 
+    def reconfigure(self, state: LODState, new_cfgs, key=None):
+        """Live per-band parameter change under the LOD schedule: returns
+        (new_solver, new_state) — CascadeSolver.reconfigure lifted over the
+        plane cache (VERDICT r3 #6; OceanRenderer.cs:98-109 behavior).
+
+        Init-only changes (wind/amplitude/spectrum shape/seed) reuse every
+        compiled sub-step and re-render the cached planes ONCE at each
+        band's HELD phase — the displayed surface morphs to the new sea
+        state with no motion pop and no schedule reset. Structural changes
+        rebuild the solver (same periods/dt), carrying phase/t/step and
+        re-priming the cache when the grid and layout are unchanged."""
+        import copy
+        import dataclasses
+        from tpu_ocean.solver import OceanSolver
+        new_cfgs = list(new_cfgs)
+        changed = set()
+        for old, new in zip(self.inner.cfgs, new_cfgs):
+            changed |= {f.name for f in dataclasses.fields(new)
+                        if getattr(new, f.name) != getattr(old, f.name)}
+        inner, cst = self.inner.reconfigure(state.cascade, new_cfgs, key)
+        if changed <= OceanSolver._INIT_ONLY_FIELDS:
+            solver = copy.copy(self)        # shares the jitted sub-steps
+            solver.inner = inner
+            planes = jax.jit(solver._planes_at)(cst, inner._coeffs)
+            return solver, LODState(cascade=cst, planes=planes,
+                                    frame=state.frame)
+        solver = LODCascadeSolver(new_cfgs, periods=self.periods,
+                                  fft_backend=inner.fft_backend,
+                                  display_length=inner._display_length_arg,
+                                  dt=self.dt,
+                                  pack_channels=inner.pack_channels,
+                                  real_state=inner.real_state,
+                                  pallas_fields=inner.pallas_fields)
+        if (new_cfgs[0].resolution == self.inner.cfgs[0].resolution
+                and new_cfgs[0].spectrum_layout
+                == self.inner.cfgs[0].spectrum_layout):
+            # cst already carries the preserved phase/t/step; re-prime the
+            # cache at the held phases under the NEW solver's constants
+            planes = jax.jit(solver._planes_at)(cst, solver.inner._coeffs)
+            return solver, LODState(cascade=cst, planes=planes,
+                                    frame=state.frame)
+        return solver, solver.init(key)
+
     def velocity(self, state: LODState) -> jax.Array:
         """∂h/∂t of the DISPLAYED surface: each band's cached planes were
         rendered at its last-refresh phase, which is exactly what

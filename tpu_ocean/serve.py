@@ -19,14 +19,26 @@ becomes a network stream. This module is that hand-off:
 
 Wire protocol (version tag "tpu-ocean/1", little-endian f32 planes):
 
+    client → server on connect (OPTIONAL, one JSON line): a spatial-LOD
+        request — {"lod": d} (power-of-two resolution divisor) or
+        {"camera_distance": meters} (mapped through lod_divisor_for_distance,
+        the spatial twin of lod.periods_for_distance's temporal stretch).
+        Legacy clients that send nothing get the full grid after a short
+        negotiation window. This is the serving-side analogue of the
+        reference's distance-based tessellation falloff
+        (MistralWaterCommon.cginc:215-296, UnityEdgeLengthBasedTess at
+        edge length 31): a distant consumer cannot resolve per-texel
+        detail, so it receives mean-pooled planes covering the same world
+        extent at N/d × N/d.
     server → client on connect:  one JSON line
-        {"proto": "tpu-ocean/1", "resolution": N, "length": L,
-         "fields": [...], "dtype": "float32"}
+        {"proto": "tpu-ocean/1", "resolution": N/d, "length": L,
+         "lod": d, "full_resolution": N, "fields": [...],
+         "dtype": "float32"}
     per frame:                   one JSON line
         {"step": k, "t": seconds}
-      followed by the raw N×N f32 plane bytes of each declared field, in
-      declared order (normal is N×N×3). Sizes derive from the header, so the
-      stream needs no per-plane framing.
+      followed by the raw (N/d)×(N/d) f32 plane bytes of each declared
+      field, in declared order (normal is (N/d)×(N/d)×3). Sizes derive from
+      the header, so the stream needs no per-plane framing.
 
 Everything is plain sockets + threads — serving is host-side IO, where
 Python threads genuinely overlap (socket sends release the GIL) and a
@@ -44,6 +56,51 @@ from typing import Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 PROTO = "tpu-ocean/1"
+
+
+def lod_divisor_for_distance(camera_distance: float, length: float,
+                             resolution: int,
+                             reference_distance: float = 100.0,
+                             max_divisor: int = 8) -> int:
+    """Camera-distance → served-resolution divisor: the SPATIAL half of the
+    camera LOD whose TEMPORAL half is lod.periods_for_distance (same
+    reference_distance semantics, so one camera distance drives both). At or
+    below the reference distance the full grid is served; each doubling of
+    distance halves the served resolution — a texel's angular size halves,
+    exactly the falloff the reference's edge-length tessellation encodes
+    (MistralWaterCommon.cginc:215-296). ``length`` is accepted for future
+    patch-size-aware rules and parity with periods_for_distance's signature.
+    Clamped to a power of two ≤ max_divisor that divides the grid and keeps
+    at least an 8×8 plane."""
+    import math
+    d = 1
+    if camera_distance > reference_distance:
+        d = 2 ** int(math.log2(camera_distance / reference_distance))
+    return _clamp_divisor(d, resolution, max_divisor)
+
+
+def _clamp_divisor(d: int, resolution: int, max_divisor: int = 8) -> int:
+    """Largest power of two ≤ d that divides ``resolution`` into ≥8 texels."""
+    d = max(1, min(int(d), max_divisor))
+    d = 2 ** int(np.log2(d))
+    while d > 1 and (resolution % d != 0 or resolution // d < 8):
+        d //= 2
+    return d
+
+
+def decimate_plane(x: np.ndarray, divisor: int, name: str) -> np.ndarray:
+    """Mean-pool a served plane by ``divisor`` (normals are pooled then
+    renormalized so they stay unit) — the decimation the per-client LOD
+    serves in place of full-resolution planes."""
+    if divisor == 1:
+        return x
+    n = x.shape[0]
+    m = n // divisor
+    if name == "normal":
+        y = x.reshape(m, divisor, m, divisor, 3).mean(axis=(1, 3))
+        norm = np.sqrt((y * y).sum(axis=-1, keepdims=True))
+        return y / np.maximum(norm, np.float32(1e-12))
+    return x.reshape(m, divisor, m, divisor).mean(axis=(1, 3))
 
 #: fields streamable per frame (OceanFields leaves with a fixed wire shape)
 STREAMABLE = ("height", "disp_x", "disp_z", "pos_x", "pos_z", "normal",
@@ -83,25 +140,66 @@ class FrameServer:
         self._stop = threading.Event()
 
         n = sim.cfg.resolution
-        self._frame_bytes = sum(
-            4 * int(np.prod(_plane_shape(name, n))) for name in self.fields)
+        # the PLANES' physical extent (cascades: display_length, not
+        # band 0's length) — Simulation.world_length owns that rule
+        self._world_length = getattr(sim, "world_length", sim.cfg.length)
+        self._accept_thread = threading.Thread(target=self._accept_loop,
+                                               daemon=True)
         self._listener = socket.create_server((host, port))
         self._listener.settimeout(0.2)   # so the accept loop can observe stop
         self.address = self._listener.getsockname()
-        self._header = (json.dumps({
-            "proto": PROTO,
-            "resolution": sim.cfg.resolution,
-            # the PLANES' physical extent (cascades: display_length, not
-            # band 0's length) — Simulation.world_length owns that rule
-            "length": getattr(sim, "world_length", sim.cfg.length),
-            "fields": list(self.fields),
-            "dtype": "float32",
-        }) + "\n").encode()
-        self._accept_thread = threading.Thread(target=self._accept_loop,
-                                               daemon=True)
         self._accept_thread.start()
 
     # ------------------------------------------------------------- plumbing
+
+    def _frame_bytes_for(self, divisor: int) -> int:
+        m = self.sim.cfg.resolution // divisor
+        return sum(4 * int(np.prod(_plane_shape(name, m)))
+                   for name in self.fields)
+
+    def _header_for(self, divisor: int) -> bytes:
+        n = self.sim.cfg.resolution
+        return (json.dumps({
+            "proto": PROTO,
+            "resolution": n // divisor,   # what the stream actually carries
+            "length": self._world_length,
+            "lod": divisor,
+            "full_resolution": n,
+            "fields": list(self.fields),
+            "dtype": "float32",
+        }) + "\n").encode()
+
+    def _negotiate_lod(self, conn: socket.socket) -> int:
+        """Read the OPTIONAL one-line spatial-LOD request ({"lod": d} or
+        {"camera_distance": x}). Legacy clients (including pre-LOD native
+        consumers) send nothing and get the full grid after the short
+        negotiation window; malformed requests clamp rather than kill the
+        connection — a client bug must not take the server down."""
+        n = self.sim.cfg.resolution
+        conn.settimeout(0.25)
+        buf = b""
+        try:
+            while not buf.endswith(b"\n") and len(buf) < 1024:
+                chunk = conn.recv(256)
+                if not chunk:
+                    break
+                buf += chunk
+        except (TimeoutError, socket.timeout, OSError):
+            pass
+        finally:
+            conn.settimeout(None)
+        if not buf.strip():
+            return 1
+        try:
+            req = json.loads(buf)
+        except ValueError:
+            return 1
+        if "lod" in req:
+            return _clamp_divisor(req["lod"], n)
+        if "camera_distance" in req:
+            return lod_divisor_for_distance(float(req["camera_distance"]),
+                                            self._world_length, n)
+        return 1
 
     def _accept_loop(self):
         while not self._stop.is_set():
@@ -111,15 +209,16 @@ class FrameServer:
                 continue
             except OSError:
                 return                   # listener closed by stop()
+            divisor = self._negotiate_lod(conn)
             # bound the kernel send buffer to ~2 frames: an autotuned
             # multi-MB buffer would hide seconds of latency from the
             # drop-oldest policy (bytes already in the kernel cannot be
             # dropped) — the stream's staleness must be capped by
             # queue_frames, not by tcp_wmem
             conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
-                            max(65536, 2 * self._frame_bytes))
+                            max(65536, 2 * self._frame_bytes_for(divisor)))
             try:
-                conn.sendall(self._header)
+                conn.sendall(self._header_for(divisor))
             except OSError:
                 conn.close()
                 continue
@@ -127,7 +226,7 @@ class FrameServer:
             sender = threading.Thread(target=self._send_loop,
                                       args=(q, conn), daemon=True)
             with self._lock:
-                self._clients.append((q, conn))
+                self._clients.append((q, conn, divisor))
             sender.start()
 
     def _send_loop(self, q: queue.Queue, conn: socket.socket):
@@ -149,15 +248,21 @@ class FrameServer:
         finally:
             conn.close()
             with self._lock:
-                self._clients = [(cq, c) for cq, c in self._clients
-                                 if cq is not q]
+                self._clients = [cl for cl in self._clients
+                                 if cl[0] is not q]
 
-    def _broadcast(self, payload: bytes):
+    def _broadcast(self, payloads: dict):
+        """Enqueue each client's divisor-matched payload (a client whose
+        divisor has no payload yet — it connected mid-frame — skips one
+        frame and is picked up next loop)."""
         if self._stop.is_set():          # racing stop(): don't bury sentinels
             return
         with self._lock:
             clients = list(self._clients)
-        for q, _ in clients:
+        for q, _, divisor in clients:
+            payload = payloads.get(divisor)
+            if payload is None:
+                continue
             while True:
                 try:
                     q.put_nowait(payload)
@@ -186,8 +291,9 @@ class FrameServer:
     def stopped(self) -> bool:
         return self._stop.is_set()
 
-    def frame_payload(self, fields) -> bytes:
-        """meta line + raw planes for one OceanFields — exposed for tests."""
+    def frame_payload(self, fields, divisor: int = 1) -> bytes:
+        """meta line + raw planes for one OceanFields, mean-pooled by the
+        client's spatial-LOD divisor — exposed for tests."""
         import jax
         meta = (json.dumps({"step": self.sim.step_count,
                             "t": self.sim.step_count * self.sim.dt})
@@ -198,19 +304,24 @@ class FrameServer:
                 x = self.sim.solver.velocity(self.sim.state)
             else:
                 x = getattr(fields, name)
+            x = np.asarray(jax.device_get(x))
             return np.ascontiguousarray(
-                np.asarray(jax.device_get(x)), dtype="<f4").tobytes()
+                decimate_plane(x, divisor, name), dtype="<f4").tobytes()
 
         return meta + b"".join(plane(name) for name in self.fields)
 
     def run(self, steps: Optional[int] = None):
         """Step the simulation, broadcasting every frame; None = until
-        stop(). The solver loop never blocks on a client."""
+        stop(). The solver loop never blocks on a client. Payloads are
+        built once per DISTINCT divisor, not per client."""
         done = 0
         while not self._stop.is_set() and (steps is None or done < steps):
             fields = self.sim.step()
-            if self.client_count:        # device pull only when someone reads
-                self._broadcast(self.frame_payload(fields))
+            with self._lock:
+                divisors = sorted({d for _, _, d in self._clients})
+            if divisors:                 # device pull only when someone reads
+                self._broadcast({d: self.frame_payload(fields, d)
+                                 for d in divisors})
             done += 1
 
     def stop(self):
@@ -218,7 +329,7 @@ class FrameServer:
         self._listener.close()
         with self._lock:
             clients = list(self._clients)
-        for q, conn in clients:
+        for q, conn, _ in clients:
             # best-effort sentinel (make room if the queue is full) — the
             # sender sees None, or an OSError from the closed socket
             try:
@@ -256,14 +367,27 @@ def _read_exact(sock_file, count: int) -> bytes:
 
 
 def stream_frames(host: str, port: int,
-                  max_frames: Optional[int] = None
+                  max_frames: Optional[int] = None,
+                  lod: Optional[int] = None,
+                  camera_distance: Optional[float] = None
                   ) -> Iterator[Tuple[dict, dict]]:
     """Connect to a FrameServer and yield (meta, {field: ndarray}) frames.
 
-    The arrays are fresh copies (safe to hold). Stops after ``max_frames``
-    or when the server closes the stream.
+    ``lod`` requests planes decimated by that power-of-two divisor;
+    ``camera_distance`` lets the server pick the divisor (spatial LOD —
+    lod_divisor_for_distance). The header's "resolution"/"lod" report what
+    was granted. The arrays are fresh copies (safe to hold). Stops after
+    ``max_frames`` or when the server closes the stream.
     """
+    req = {}
+    if lod is not None:
+        req["lod"] = int(lod)
+    if camera_distance is not None:
+        req["camera_distance"] = float(camera_distance)
     with socket.create_connection((host, port)) as sock:
+        # always send the request line (even empty): it ends the server's
+        # negotiation window immediately instead of after its timeout
+        sock.sendall((json.dumps(req) + "\n").encode())
         f = sock.makefile("rb")
         header = json.loads(f.readline())
         if header.get("proto") != PROTO:

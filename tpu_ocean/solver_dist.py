@@ -29,11 +29,11 @@ from tpu_ocean.config import OceanConfig
 from tpu_ocean import grids
 from tpu_ocean.evolve import omega_grid, spectrum_coefficients, assemble_spectra
 from tpu_ocean.spectra import h0_pair_centered, h0_pair_fft
-from tpu_ocean.fft.distributed import ifft2_x_sharded
+from tpu_ocean.fft.distributed import ifft2_x_sharded, ifft2_x_sharded_planes
 from tpu_ocean.fft.reference import centered_modulation
 from tpu_ocean import fields as field_ops
 from tpu_ocean.parallel.halo import make_roll_fn
-from tpu_ocean.solver import OceanState, OceanFields
+from tpu_ocean.solver import OceanState, OceanStateReal, OceanFields
 
 
 class DistributedOceanSolver:
@@ -42,6 +42,7 @@ class DistributedOceanSolver:
     def __init__(self, cfg: OceanConfig, mesh: Mesh,
                  fft_backend: str = "reference", overlap_chunks: int = 1,
                  pallas_fields: bool = False,
+                 real_state: bool = False,
                  pack_channels: Optional[bool] = None):
         if "shard" not in mesh.axis_names:
             raise ValueError("mesh needs a 'shard' axis (parallel.make_mesh)")
@@ -49,6 +50,20 @@ class DistributedOceanSolver:
                                "pallas_fused"):
             raise ValueError(f"unknown distributed fft backend "
                              f"{fft_backend!r}")
+        # all-real sharded step (VERDICT r3 #3): the entire multi-chip
+        # program — state, a2a transposes, transform, fields — stays f32, so
+        # it is timeable/checkpointable on complex-hostile runtimes exactly
+        # like OceanSolver(real_state=True). Same backend/layout constraints
+        # as the single-device twin (solver.py:105-114): only the plane-based
+        # pipelines compute in (re, im), and the centered modulation factors
+        # are complex.
+        if real_state:
+            if fft_backend not in ("pallas", "pallas_fused"):
+                raise ValueError("real_state supports the plane-based "
+                                 "backends 'pallas'/'pallas_fused' only")
+            if cfg.spectrum_layout != "fft":
+                raise ValueError("real_state requires spectrum_layout='fft'")
+        self.real_state = real_state
         # no size caps on the distributed pallas paths: below MAX_PALLAS_N /
         # MAX_FUSED_N they run the transposed-store kernels (zero HBM
         # transposes); beyond, the NATURAL-store row kernels + einsum column
@@ -137,11 +152,20 @@ class DistributedOceanSolver:
 
         x_spec = P("shard", None)      # state layout: rows split
         z_spec = P(None, "shard")      # field layout: columns split
-        state_specs = OceanState(h0=x_spec, h0_conj=x_spec, phase=x_spec,
-                                 t=P(), step=P(),
-                                 # foam accumulates in the fields' (Z-sharded)
-                                 # orientation — it feeds/consumes them
-                                 foam_accum=z_spec)
+        if real_state:
+            state_specs = OceanStateReal(
+                h0_re=x_spec, h0_im=x_spec, h0c_re=x_spec, h0c_im=x_spec,
+                phase=x_spec, t=P(), step=P(), foam_accum=z_spec)
+        else:
+            state_specs = OceanState(h0=x_spec, h0_conj=x_spec, phase=x_spec,
+                                     t=P(), step=P(),
+                                     # foam accumulates in the fields'
+                                     # (Z-sharded) orientation — it
+                                     # feeds/consumes them
+                                     foam_accum=z_spec)
+        self._state_specs = state_specs
+        self._x_spec, self._z_spec = x_spec, z_spec
+        self._velocity_jit = None      # built lazily (serve hot path)
         field_specs = OceanFields(
             height=z_spec, disp_x=z_spec, disp_z=z_spec,
             pos_x=z_spec, pos_z=z_spec, normal=P(None, "shard", None),
@@ -173,22 +197,62 @@ class DistributedOceanSolver:
 
     # -------------------------------------------------------------- init
 
-    def symmetrize(self, state: OceanState) -> OceanState:
+    def symmetrize(self, state):
         """Hermitian projection of the h0 pair when packing (the exact twin
         of OceanSolver.symmetrize — see its docstring for the derivation,
         the f32-rounding parity argument, and the bitwise idempotence that
         makes applying it to resumed checkpoints safe)."""
         if not self.pack_channels:
             return state
-        from tpu_ocean.evolve import hermitize_pair
+        from tpu_ocean.evolve import hermitize_pair, hermitize_planes
+        if isinstance(state, OceanStateReal):
+            ar, ai, acr, aci = hermitize_planes(
+                state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
+            return state._replace(h0_re=ar, h0_im=ai, h0c_re=acr, h0c_im=aci)
         a, ac = hermitize_pair(state.h0, state.h0_conj)
         return state._replace(h0=a, h0_conj=ac)
 
     def init(self, key: Optional[jax.Array] = None,
              h0: Optional[jax.Array] = None,
-             h0_conj: Optional[jax.Array] = None) -> OceanState:
+             h0_conj: Optional[jax.Array] = None):
         cfg = self.cfg
         n = cfg.resolution
+        x_sh = NamedSharding(self.mesh, P("shard", None))
+        z_sh = NamedSharding(self.mesh, P(None, "shard"))
+        rep = NamedSharding(self.mesh, P())
+        if self.real_state:
+            # complex-free init (solver.py:314-333): sample h0 directly as
+            # (re, im) planes — bit-identical draw to h0_pair_fft — or split
+            # an injected complex pair (parity tests). Planes shard like h0.
+            if h0 is None:
+                from tpu_ocean.spectra import h0_pair_fft_planes
+                if key is None:
+                    key = jax.random.PRNGKey(cfg.seed)
+                r1, i1, r2, i2 = h0_pair_fft_planes(
+                    key, n, cfg.length, cfg.phillips_amplitude, cfg.wind,
+                    cfg.damping, model=cfg.spectrum_model,
+                    jonswap_kw=cfg.jonswap_kw)
+            else:
+                h0 = jnp.asarray(h0, jnp.complex64)
+                h0_conj = jnp.asarray(h0_conj, jnp.complex64)
+                r1 = jnp.real(h0).astype(jnp.float32)
+                i1 = jnp.imag(h0).astype(jnp.float32)
+                r2 = jnp.real(h0_conj).astype(jnp.float32)
+                i2 = jnp.imag(h0_conj).astype(jnp.float32)
+            if self.pack_channels:
+                from tpu_ocean.evolve import hermitize_planes
+                r1, i1, r2, i2 = hermitize_planes(r1, i1, r2, i2)
+            return OceanStateReal(
+                h0_re=jax.device_put(r1, x_sh),
+                h0_im=jax.device_put(i1, x_sh),
+                h0c_re=jax.device_put(r2, x_sh),
+                h0c_im=jax.device_put(i2, x_sh),
+                phase=jax.device_put(jnp.zeros((n, n), jnp.float32), x_sh),
+                t=jax.device_put(jnp.zeros((), jnp.float32), rep),
+                step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+                foam_accum=jax.device_put(jnp.zeros((n, n), jnp.float32),
+                                          z_sh),
+            )
         if h0 is None:
             if key is None:
                 key = jax.random.PRNGKey(cfg.seed)
@@ -204,9 +268,6 @@ class DistributedOceanSolver:
             from tpu_ocean.evolve import hermitize_pair
             h0, h0_conj = hermitize_pair(jnp.asarray(h0, jnp.complex64),
                                          jnp.asarray(h0_conj, jnp.complex64))
-        x_sh = NamedSharding(self.mesh, P("shard", None))
-        z_sh = NamedSharding(self.mesh, P(None, "shard"))
-        rep = NamedSharding(self.mesh, P())
         return OceanState(
             h0=jax.device_put(jnp.asarray(h0, jnp.complex64), x_sh),
             h0_conj=jax.device_put(jnp.asarray(h0_conj, jnp.complex64), x_sh),
@@ -217,6 +278,20 @@ class DistributedOceanSolver:
             foam_accum=jax.device_put(jnp.zeros((n, n), jnp.float32), z_sh),
         )
 
+    def shard_state(self, state):
+        """device_put a host/unsharded state pytree onto this solver's mesh
+        layout — the checkpoint-resume entry point (checkpoint.load_checkpoint
+        returns host arrays; pass real_state=True there to get the
+        OceanStateReal view this solver's real mode consumes)."""
+        if isinstance(state, OceanStateReal) != self.real_state:
+            raise ValueError("state representation does not match the "
+                             "solver's real_state setting (load_checkpoint"
+                             "(real_state=...) selects the view)")
+        return jax.tree.map(
+            lambda v, spec: jax.device_put(
+                jnp.asarray(v), NamedSharding(self.mesh, spec)),
+            state, self._state_specs)
+
     def reconfigure(self, state: OceanState, new_cfg: OceanConfig,
                     key=None):
         """Live parameter change (mirrors OceanSolver.reconfigure): new
@@ -225,6 +300,7 @@ class DistributedOceanSolver:
                                         fft_backend=self.fft_backend,
                                         overlap_chunks=self.overlap_chunks,
                                         pallas_fields=self.pallas_fields,
+                                        real_state=self.real_state,
                                         pack_channels=(self.pack_channels
                                                        if new_cfg.spectrum_layout
                                                        == self.cfg.spectrum_layout
@@ -238,16 +314,94 @@ class DistributedOceanSolver:
                                    foam_accum=state.foam_accum)
         return solver, fresh
 
-    def step(self, state: OceanState, dt: float = 1.0 / 60.0):
+    def step(self, state, dt: float = 1.0 / 60.0):
         return self._step_jit(state, jnp.asarray(dt, jnp.float32),
                               self._omega, self._coeffs,
                               self._pre_re, self._pre_im,
                               self._post_re, self._post_im,
                               self._x0, self._z0)
 
+    def velocity(self, state, t: Optional[float] = None) -> jax.Array:
+        """Distributed ∂h/∂t [N, N] (Z-sharded, like the fields) — the
+        sharded twin of OceanSolver.velocity (VERDICT r3 #3: the serving /
+        coupling output existed on every solver except this one). The
+        iω-weighted spectrum algebra runs X-sharded and ALL-REAL
+        (solver._velocity_real_impl's plane expansion), then the transform
+        rides the same a2a decomposition as the step: plane-based
+        (ifft2_x_sharded_planes) on the pallas backends — a real_state
+        solver's velocity program is complex-free end to end — and the
+        generic complex route on the others. Cached jitted shard_map: one
+        trace per solver (serving hot path, ADVICE r2)."""
+        if self.cfg.evolution_mode == "absolute":
+            tt = state.t if t is None else jnp.asarray(t, jnp.float32)
+        else:
+            if t is not None:
+                raise ValueError("phase mode accumulates incrementally: "
+                                 "velocity is defined at the state's "
+                                 "current phase (pass no t)")
+            tt = state.t            # unused by the phase-mode closure
+        if self._velocity_jit is None:
+            uses_pallas = self.fft_backend in ("pallas", "pallas_fused")
+            fn = shard_map(self._velocity_local, mesh=self.mesh,
+                           in_specs=(self._state_specs, P(), self._x_spec,
+                                     self._x_spec, self._x_spec,
+                                     self._z_spec, self._z_spec),
+                           out_specs=self._z_spec,
+                           check_vma=not uses_pallas)
+            self._velocity_jit = jax.jit(fn)
+        return self._velocity_jit(state, tt, self._omega,
+                                  self._pre_re, self._pre_im,
+                                  self._post_re, self._post_im)
+
+    def _velocity_local(self, state, tt, omega,
+                        pre_re, pre_im, post_re, post_im):
+        """Per-shard body of ``velocity``: ∂ₜh̃ planes on the local X rows,
+        distributed transform, Re plane out ([X, N/D] per shard)."""
+        cfg = self.cfg
+        if cfg.evolution_mode == "absolute":
+            phase = omega * tt
+        else:
+            phase = state.phase
+        # phase mode advances φ by ω·dt·dt_multiplier per wall dt, so ∂h/∂t
+        # carries that factor (see OceanSolver.velocity)
+        rate = np.float32(cfg.dt_multiplier
+                          if cfg.evolution_mode == "phase" else 1.0)
+        if isinstance(state, OceanStateReal):
+            a, b = state.h0_re, state.h0_im
+            cc, d = state.h0c_re, state.h0c_im
+        else:
+            a, b = jnp.real(state.h0), jnp.imag(state.h0)
+            cc, d = jnp.real(state.h0_conj), jnp.imag(state.h0_conj)
+        cph = jnp.cos(phase)
+        sph = jnp.sin(phase)
+        # h0·e^{iφ} − h0*·e^{−iφ}, expanded; v_spec = i·rate·ω·(…)
+        diff_re = (a - cc) * cph - (b + d) * sph
+        diff_im = (b - d) * cph + (a + cc) * sph
+        w = rate * omega
+        vr, vi = -(w * diff_im), w * diff_re
+        if self.fft_backend in ("pallas", "pallas_fused"):
+            re, _ = ifft2_x_sharded_planes(vr[None], vi[None], "shard",
+                                           precision=self._mxu_precision)
+            return re[0]
+        vspec = (vr + 1j * vi)[None]
+        if cfg.spectrum_layout == "centered":
+            vspec = vspec * (pre_re + 1j * pre_im)[None]
+        out = ifft2_x_sharded(vspec, "shard", self.fft_backend,
+                              precision=self._mxu_precision)
+        if cfg.spectrum_layout == "centered":
+            out = out * (post_re + 1j * post_im)[None]
+        return jnp.real(out[0])
+
     # ----------------------------------------------- fused pallas pipelines
 
     def _fused_transform(self, state, phase):
+        """Complex-state wrapper over _fused_transform_planes."""
+        pair = (jnp.real(state.h0), jnp.imag(state.h0),
+                jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
+        re, im = self._fused_transform_planes(pair, phase)
+        return re + 1j * im
+
+    def _fused_transform_planes(self, pair, phase):
         """pallas_fused as a distributed local backend (VERDICT r1 #3):
         fused assembly+row-FFT over the shard's X rows — global kx comes
         from ``row_offset`` = shard_start, rebuilt in-kernel — then the
@@ -270,8 +424,6 @@ class DistributedOceanSolver:
         from tpu_ocean.fft.pallas_fft import _fft1d_transposed, MAX_FUSED_N
         from tpu_ocean.fft.matmul import ifft1d_planes_axis2
         cfg = self.cfg
-        pair = (jnp.real(state.h0), jnp.imag(state.h0),
-                jnp.real(state.h0_conj), jnp.imag(state.h0_conj))
         dz_sign = -1.0 if cfg.oracle_sign_quirk else 1.0
         row_off = lax.axis_index("shard") * self.n_local
         large = cfg.resolution > MAX_FUSED_N
@@ -300,11 +452,9 @@ class DistributedOceanSolver:
             re, im = chunk(0, self._pch)
         if large:
             # [C, X full (kx spectral), N/D (z spatial)] → einsum column pass
-            re, im = ifft1d_planes_axis2(re, im, True, self._mxu_precision)
-        else:
-            # [C, N/D? ...] transposed layout: local rows fully resident
-            re, im = _fft1d_transposed(re, im, True, self._mxu_precision)
-        return re + 1j * im
+            return ifft1d_planes_axis2(re, im, True, self._mxu_precision)
+        # [C, N/D? ...] transposed layout: local rows fully resident
+        return _fft1d_transposed(re, im, True, self._mxu_precision)
 
     def _fields_pallas_sharded(self, cdx, h, cdz, texel):
         """ops/fields_pallas on the local Z shard, then ring-halo correction
@@ -363,39 +513,66 @@ class DistributedOceanSolver:
             t_new = state.t + dt
 
         # --- distributed transform: X-sharded in, Z-sharded out ---
-        if self.fft_backend == "pallas_fused":
-            f = self._fused_transform(state, phase)
-        else:
-            if self.pack_channels:
-                from tpu_ocean.evolve import assemble_spectra_packed
-                spectra = assemble_spectra_packed(state.h0, state.h0_conj,
-                                                  phase, coeffs)
+        if isinstance(state, OceanStateReal):
+            # all-real pipeline: assembly, a2a transposes, and the column
+            # pass all move (re, im) f32 planes — complex64 never appears
+            # in the compiled multi-chip program (VERDICT r3 #3)
+            pair = (state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
+            if self.fft_backend == "pallas_fused":
+                re, im = self._fused_transform_planes(pair, phase)
             else:
-                spectra = assemble_spectra(state.h0, state.h0_conj, phase,
-                                           coeffs)
-            if cfg.spectrum_layout == "centered":
-                spectra = spectra * (pre_re + 1j * pre_im)[None]
-            f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
-                                overlap_chunks=self.overlap_chunks,
-                                precision=self._mxu_precision)
-            if cfg.spectrum_layout == "centered":
-                f = f * (post_re + 1j * post_im)[None]
+                if self.pack_channels:
+                    from tpu_ocean.evolve import assemble_spectra_packed_real
+                    re, im = assemble_spectra_packed_real(pair, phase, coeffs)
+                else:
+                    from tpu_ocean.evolve import assemble_spectra_real
+                    re, im = assemble_spectra_real(pair, phase, coeffs)
+                re, im = ifft2_x_sharded_planes(
+                    re, im, "shard", overlap_chunks=self.overlap_chunks,
+                    precision=self._mxu_precision)
+            if self.pack_channels:
+                height, disp_x, disp_z = re[0], im[0], re[1]
+                slope_x = im[1] if self._nch == 5 else None
+                slope_z = re[2] if self._nch == 5 else None
+            else:
+                height, disp_x, disp_z = re[0], im[1], im[2]
+                slope_x = im[3] if self._nch == 5 else None
+                slope_z = im[4] if self._nch == 5 else None
+        else:
+            if self.fft_backend == "pallas_fused":
+                f = self._fused_transform(state, phase)
+            else:
+                if self.pack_channels:
+                    from tpu_ocean.evolve import assemble_spectra_packed
+                    spectra = assemble_spectra_packed(state.h0, state.h0_conj,
+                                                      phase, coeffs)
+                else:
+                    spectra = assemble_spectra(state.h0, state.h0_conj, phase,
+                                               coeffs)
+                if cfg.spectrum_layout == "centered":
+                    spectra = spectra * (pre_re + 1j * pre_im)[None]
+                f = ifft2_x_sharded(spectra, "shard", self.fft_backend,
+                                    overlap_chunks=self.overlap_chunks,
+                                    precision=self._mxu_precision)
+                if cfg.spectrum_layout == "centered":
+                    f = f * (post_re + 1j * post_im)[None]
+            if self.pack_channels:
+                # packed channels: fields alternate Re/Im down the packed
+                # list
+                height = jnp.real(f[0])
+                disp_x = jnp.imag(f[0])
+                disp_z = jnp.real(f[1])
+                slope_x = jnp.imag(f[1]) if self._nch == 5 else None
+                slope_z = jnp.real(f[2]) if self._nch == 5 else None
+            else:
+                height = jnp.real(f[0])
+                disp_x = jnp.imag(f[1])
+                disp_z = jnp.imag(f[2])
+                slope_x = jnp.imag(f[3]) if self._nch == 5 else None
+                slope_z = jnp.imag(f[4]) if self._nch == 5 else None
 
         # --- field extraction (Z-sharded; stencils ride the halo ring) ---
         roll = make_roll_fn("shard", sharded_axes=(1,))
-        if self.pack_channels:
-            # packed channels: fields alternate Re/Im down the packed list
-            height = jnp.real(f[0])
-            disp_x = jnp.imag(f[0])
-            disp_z = jnp.real(f[1])
-            slope_x = jnp.imag(f[1]) if self._nch == 5 else None
-            slope_z = jnp.real(f[2]) if self._nch == 5 else None
-        else:
-            height = jnp.real(f[0])
-            disp_x = jnp.imag(f[1])
-            disp_z = jnp.imag(f[2])
-            slope_x = jnp.imag(f[3]) if self._nch == 5 else None
-            slope_z = jnp.imag(f[4]) if self._nch == 5 else None
         chop = cfg.choppiness
 
         z_off = lax.axis_index("shard") * self.n_local
@@ -426,10 +603,17 @@ class DistributedOceanSolver:
                 * jnp.exp(-np.float32(cfg.foam_decay) * dt))
             foam = foam_accum
 
-        new_state = OceanState(h0=state.h0, h0_conj=state.h0_conj,
-                               phase=phase_state, t=t_new,
-                               step=state.step + 1,
-                               foam_accum=foam_accum)
+        if isinstance(state, OceanStateReal):
+            new_state = OceanStateReal(
+                h0_re=state.h0_re, h0_im=state.h0_im,
+                h0c_re=state.h0c_re, h0c_im=state.h0c_im,
+                phase=phase_state, t=t_new, step=state.step + 1,
+                foam_accum=foam_accum)
+        else:
+            new_state = OceanState(h0=state.h0, h0_conj=state.h0_conj,
+                                   phase=phase_state, t=t_new,
+                                   step=state.step + 1,
+                                   foam_accum=foam_accum)
         out = OceanFields(height=height, disp_x=disp_x, disp_z=disp_z,
                           pos_x=x0 - chop * disp_x, pos_z=z0 - chop * disp_z,
                           normal=normal, foam=foam, jacobian=jac)
