@@ -33,6 +33,51 @@ def test_pond_demo_cli(tmp_path):
                "--out", str(tmp_path)])
     assert rc == 0
     assert glob.glob(str(tmp_path / "pond_offset_y_*.png"))
+    # both halves of the _REFLECTIONTYPE keyword pair render
+    # (MistralWaterCommon.cginc:149-195): procedural + cubemap/refraction
+    assert glob.glob(str(tmp_path / "pond_render.png"))
+    assert glob.glob(str(tmp_path / "pond_render_cubemap.png"))
+
+
+def test_shade_pond_cubemap_and_refraction():
+    """viz.shade_pond(reflection='cubemap'): equirect sampling along
+    reflect(-view, normal), tinted; refraction distorts the bottom sample by
+    the normals. Flat water must reflect pure zenith; tilted water must not."""
+    from collections import namedtuple
+    F = namedtuple("F", ["height", "normal", "foam"])
+    n = 16
+    flat = F(height=np.zeros((n, n), np.float32),
+             normal=np.broadcast_to(
+                 np.asarray([0.0, 1.0, 0.0], np.float32), (n, n, 3)).copy(),
+             foam=np.zeros((n, n), np.float32))
+    env = viz.procedural_sky_equirect(16, 32)
+    rgb = viz.shade_pond(flat, reflection="cubemap", cubemap=env)
+    assert rgb.shape == (n, n, 3)
+    assert np.isfinite(rgb).all() and (rgb >= 0).all() and (rgb <= 1).all()
+    # flat normals → reflect(-view,n) = +y → every texel samples the zenith
+    # row; the fresnel-weighted sky term is spatially constant
+    assert np.ptp(rgb.reshape(-1, 3), axis=0).max() < 1e-9
+
+    tilted = np.asarray([0.35, 0.85, 0.4], np.float64)
+    tilted /= np.linalg.norm(tilted)
+    tilt = F(height=np.zeros((n, n), np.float32),
+             normal=np.broadcast_to(tilted.astype(np.float32),
+                                    (n, n, 3)).copy(),
+             foam=np.zeros((n, n), np.float32))
+    rgb_t = viz.shade_pond(tilt, reflection="cubemap", cubemap=env,
+                           cube_tint=(1.0, 0.2, 0.2))
+    assert np.abs(rgb_t - rgb).max() > 1e-3       # tint + direction differ
+
+    # refraction: the bottom checker shows through shallow water and the
+    # image differs from the flat depth-fog base
+    rgb_r = viz.shade_pond(tilt, refraction=True)
+    rgb_p = viz.shade_pond(tilt)
+    assert np.abs(rgb_r - rgb_p).max() > 1e-3
+    assert np.isfinite(rgb_r).all()
+
+    import pytest
+    with pytest.raises(ValueError, match="reflection"):
+        viz.shade_pond(flat, reflection="realtime")
 
 
 def test_cascade_demo_cli(tmp_path):

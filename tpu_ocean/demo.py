@@ -114,6 +114,11 @@ def run_pond(args) -> int:
         viz.save_fields(args.out, fields, prefix="pond", step=args.steps)
         viz.save_pond_render_png(os.path.join(args.out, "pond_render.png"),
                                  fields)
+        # the other half of the _REFLECTIONTYPE keyword pair + the GrabPass
+        # refraction stand-in (MistralWaterCommon.cginc:73-195)
+        viz.save_pond_render_png(
+            os.path.join(args.out, "pond_render_cubemap.png"), fields,
+            reflection="cubemap", refraction=True)
     print(f"# {args.steps} pond steps, {len(bank)} waves: "
           f"{metrics.summary()}", file=sys.stderr)
     return 0

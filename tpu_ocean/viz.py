@@ -89,23 +89,78 @@ def save_render_png(path: str, fields, **kw) -> str:
     return path
 
 
+def procedural_sky_equirect(height: int = 32, width: int = 64,
+                            sky_color=(0.65, 0.78, 0.9),
+                            horizon_color=(0.85, 0.88, 0.9),
+                            sun_dir=(0.4, 0.55, 0.2),
+                            sun_color=(1.0, 0.96, 0.85)) -> np.ndarray:
+    """A small equirectangular environment map [H, W, 3] — the asset-free
+    default for shade_pond(reflection='cubemap'): vertical zenith→horizon
+    gradient plus a soft sun disc, standing in for the demo material's
+    _CubeMap texture (MistralWaterCommon.cginc:149-153)."""
+    v = np.linspace(0.0, np.pi, height)               # polar angle (0=zenith)
+    u = np.linspace(-np.pi, np.pi, width, endpoint=False)
+    theta, phi = np.meshgrid(v, u, indexing="ij")
+    d = np.stack([np.sin(theta) * np.sin(phi), np.cos(theta),
+                  np.sin(theta) * np.cos(phi)], axis=-1)
+    pitch = np.clip(d[..., 1], 0.0, 1.0)[..., None]
+    img = (np.asarray(horizon_color) * (1 - pitch)
+           + np.asarray(sky_color) * pitch)
+    s = np.asarray(sun_dir, np.float64)
+    s /= np.linalg.norm(s)
+    sun = np.clip((d @ s), 0.0, 1.0) ** 64
+    img = img + np.asarray(sun_color) * sun[..., None]
+    return np.clip(img, 0.0, 1.0)
+
+
+def sample_equirect(env: np.ndarray, directions: np.ndarray) -> np.ndarray:
+    """Nearest sample of an equirect map [H, W, 3] along unit ``directions``
+    [..., 3] — the CPU texCUBE (MistralWaterCommon.cginc:152)."""
+    h, w = env.shape[:2]
+    d = directions / np.maximum(
+        np.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
+    theta = np.arccos(np.clip(d[..., 1], -1.0, 1.0))        # 0=zenith
+    phi = np.arctan2(d[..., 0], d[..., 2])                  # [-π, π)
+    i = np.clip((theta / np.pi) * (h - 1), 0, h - 1).astype(np.intp)
+    j = ((phi + np.pi) / (2 * np.pi) * w).astype(np.intp) % w
+    return env[i, j]
+
+
 def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
                deep_color=(0.02, 0.08, 0.12), sky_color=(0.65, 0.78, 0.9),
                horizon_color=(0.85, 0.88, 0.9), depth: float = 3.0,
-               foam_threshold: float = 0.92) -> np.ndarray:
+               foam_threshold: float = 0.92,
+               reflection: str = "procedural",
+               cubemap: Optional[np.ndarray] = None,
+               cube_tint=(1.0, 1.0, 1.0),
+               refraction: bool = False,
+               bottom: Optional[np.ndarray] = None,
+               distortion: float = 8.0) -> np.ndarray:
     """CPU re-implementation of the pond über-shader's fragment stage
     (MistralWaterBasic.shader + MistralWaterCommon.cginc:73-213) — the
     keyword-matrix features rendered procedurally:
 
       * depth fog: view-depth tint lerp(water, deep) (cginc:128-142),
         depth proxied by surface height below rest level;
-      * fresnel reflection: Schlick blend toward a procedural sky
-        (REFLECTIONTYPE_CUBEMAP stand-in, cginc:189-195);
+      * fresnel reflection, per the _REFLECTIONTYPE keyword pair
+        (MistralWaterBasic.shader:89-92): ``reflection='procedural'`` is the
+        analytic two-color sky blend; ``reflection='cubemap'`` samples an
+        equirect environment map along reflect(-view, normal) with a tint —
+        texCUBE(_CubeMap, worldReflect) * _CubeTint (cginc:149-153, 189-195);
+        pass ``cubemap=[H, W, 3]`` or get procedural_sky_equirect();
+      * ``refraction=True``: the GrabPass stand-in (cginc:98-142) — a
+        ``bottom`` image (default: procedural sand checker) sampled at
+        normal-DISTORTED texel coordinates (offset = normal.xz · distortion,
+        the _Distortion screen-UV shift at cginc:98) and attenuated by the
+        depth proxy, replacing the flat depth-fog base;
       * edge foam where the surface is near the rest level with high normal
         tilt — the shoreline-foam term (cginc:174-185).
 
     Returns float RGB [N, N, 3] in [0, 1].
     """
+    if reflection not in ("procedural", "cubemap"):
+        raise ValueError(f"reflection must be 'procedural' or 'cubemap', "
+                         f"got {reflection!r}")
     n = _to_host(fields.normal).astype(np.float64)
     h = _to_host(fields.offset_y if hasattr(fields, "offset_y")
                  else fields.height).astype(np.float64)
@@ -117,14 +172,40 @@ def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
     depth_f = np.clip(0.5 - h / (2.0 * max(depth, 1e-6)), 0.0, 1.0)
     water = np.asarray(water_color)
     deep = np.asarray(deep_color)
-    base = water * (1 - depth_f[..., None]) + deep * depth_f[..., None]
+    if refraction:
+        # normal-distorted bottom sample, depth-attenuated: the cheap
+        # tex2Dproj(_GrabTexture, distorted UV) + lerp(shallow·refr, deep,
+        # 1−refr.a) chain of cginc:111-142 with the solver's height as the
+        # depth proxy
+        nn = h.shape[0]
+        if bottom is None:
+            ii, jj = np.meshgrid(np.arange(nn), np.arange(nn), indexing="ij")
+            checker = (((ii // 8) + (jj // 8)) % 2).astype(np.float64)
+            bottom = (np.asarray([0.76, 0.7, 0.5])[None, None]
+                      * (0.8 + 0.2 * checker)[..., None])   # sandy checker
+        off_i = np.rint(n[..., 0] * distortion).astype(np.intp)
+        off_j = np.rint(n[..., 2] * distortion).astype(np.intp)
+        ii, jj = np.meshgrid(np.arange(nn), np.arange(nn), indexing="ij")
+        refr = bottom[(ii + off_i) % nn, (jj + off_j) % nn]
+        refr_a = (1.0 - depth_f)[..., None]        # saturate(_DepthAmount/Δz)
+        base = water * refr * refr_a + deep * (1 - refr_a)
+    else:
+        base = water * (1 - depth_f[..., None]) + deep * depth_f[..., None]
 
-    # fresnel (Schlick, F0=0.02) toward a procedural sky by reflected pitch
+    # fresnel (Schlick, F0=0.02) toward the selected reflection source
     f = 0.02 + 0.98 * (1.0 - cos_v) ** 5
-    refl_pitch = np.clip(2 * cos_v * n[..., 1] - view[1], 0.0, 1.0)
-    sky = (np.asarray(horizon_color)[None, None]
-           * (1 - refl_pitch[..., None])
-           + np.asarray(sky_color)[None, None] * refl_pitch[..., None])
+    if reflection == "cubemap":
+        env = cubemap if cubemap is not None else procedural_sky_equirect(
+            sky_color=sky_color, horizon_color=horizon_color)
+        # reflect(-view, normal) = 2(n·v)n − v (view is +y overhead)
+        refl = 2.0 * cos_v[..., None] * n - view[None, None]
+        sky = sample_equirect(np.asarray(env, np.float64), refl)
+        sky = sky * np.asarray(cube_tint)[None, None]
+    else:
+        refl_pitch = np.clip(2 * cos_v * n[..., 1] - view[1], 0.0, 1.0)
+        sky = (np.asarray(horizon_color)[None, None]
+               * (1 - refl_pitch[..., None])
+               + np.asarray(sky_color)[None, None] * refl_pitch[..., None])
     rgb = base * (1 - f[..., None]) + sky * f[..., None]
 
     # edge foam: high tilt near the rest level
