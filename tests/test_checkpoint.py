@@ -90,6 +90,48 @@ def test_orbax_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_sharded_like_restore_both_representations(tmp_path):
+    """load_checkpoint_orbax(like=...): leaves restore INTO like's shardings
+    (the multi-process fleet's resume path, VERDICT r3 #4), across the
+    representation pair — a real_state save restores as a complex view and
+    vice versa (the plane wire format is shared with the npz family)."""
+    from tpu_ocean.checkpoint import (save_checkpoint_orbax,
+                                      load_checkpoint_orbax)
+    from tpu_ocean.parallel import make_mesh
+    from tpu_ocean.solver_dist import DistributedOceanSolver
+    from tpu_ocean.solver import OceanStateReal
+    cfg = OceanConfig(resolution=32, length=32.0, wind=(8.0, 5.0),
+                      amplitude=0.5, spectrum_layout="fft",
+                      normals_mode="stencil")
+    mesh = make_mesh(shard=8)
+    real = DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
+                                  real_state=True)
+    st = real.init(jax.random.PRNGKey(3))
+    for _ in range(2):
+        st, _ = real.step(st, 1 / 60)
+    d = str(tmp_path / "orbax_sharded")
+    save_checkpoint_orbax(d, st)
+
+    back = load_checkpoint_orbax(d, like=real.init(jax.random.PRNGKey(0)))
+    assert isinstance(back, OceanStateReal)
+    assert back.h0_re.sharding == st.h0_re.sharding
+    for a, b in zip(st, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed step == uninterrupted step, bitwise
+    a1, f1 = real.step(real.shard_state(
+        __import__("jax").tree.map(np.asarray, st)), 1 / 60)
+    a2, f2 = real.step(back, 1 / 60)
+    np.testing.assert_array_equal(np.asarray(f1.height),
+                                  np.asarray(f2.height))
+
+    # cross-representation: a COMPLEX distributed solver restores the same
+    # snapshot as its own view, shard-layout intact
+    cplx = DistributedOceanSolver(cfg, mesh, fft_backend="pallas")
+    cview = load_checkpoint_orbax(d, like=cplx.init(jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(np.asarray(jax.numpy.real(cview.h0)),
+                                  np.asarray(st.h0_re))
+
+
 def test_cascade_checkpoint_roundtrip_resumes_bitwise(tmp_path):
     from tpu_ocean.cascade import CascadeSolver, default_cascade
     from tpu_ocean.checkpoint import (save_cascade_checkpoint,

@@ -140,3 +140,32 @@ def test_ensemble_threads_member_solver_switches():
     cstate, cfields = combo.step(cstate, 1 / 60)
     assert cfields.height.shape == (4, 32, 32)
     assert np.isfinite(np.asarray(cfields.height)).all()
+
+
+def test_dp_sp_composition_real_state():
+    """DP × SP with real_state=True: the composed step runs on the
+    OceanStateReal pytree (complex-free end to end) and member 0 matches a
+    standalone real-state distributed run with the same key."""
+    from tpu_ocean.ensemble import EnsembleDistributedSolver
+    from tpu_ocean.solver import OceanStateReal
+    cfg = _cfg(32)
+    mesh = make_mesh(batch=2, shard=4)
+    combo = EnsembleDistributedSolver(cfg, mesh, ensemble_size=2,
+                                      fft_backend="pallas",
+                                      real_state=True)
+    key = jax.random.PRNGKey(13)
+    st = combo.init(key)
+    assert isinstance(st, OceanStateReal)
+    for _ in range(2):
+        st, f = combo.step(st, 1 / 60)
+    assert f.height.shape == (2, 32, 32)
+
+    solo = DistributedOceanSolver(_cfg(32), make_mesh(shard=8),
+                                  fft_backend="pallas", real_state=True)
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        s0 = solo.init(keys[i])
+        for _ in range(2):
+            s0, f0 = solo.step(s0, 1 / 60)
+        np.testing.assert_allclose(np.asarray(f.height[i]),
+                                   np.asarray(f0.height), atol=2e-5)

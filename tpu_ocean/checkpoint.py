@@ -218,26 +218,67 @@ class CheckpointManager:
 
 # ---------------------------------------------------------------- orbax path
 
-def save_checkpoint_orbax(directory: str, state: OceanState) -> None:
-    """Async-capable sharded checkpoint via Orbax (multi-host pods). The .npz
-    path above stays the default: it has no daemon, no directory protocol, and
-    restores anywhere."""
+def _orbax_tree(state) -> dict:
+    """The orbax wire tree: the same all-f32 plane pairs as the npz format,
+    so both checkpoint families interoperate across representations. Sharded
+    leaves stay sharded — each process writes only its addressable shards
+    (orbax's distributed save; SURVEY §5.4 / roadmap #12)."""
+    from tpu_ocean.solver import OceanStateReal
+    if isinstance(state, OceanStateReal):
+        planes = {"h0_re": state.h0_re, "h0_im": state.h0_im,
+                  "h0c_re": state.h0c_re, "h0c_im": state.h0c_im}
+    else:
+        planes = {"h0_re": jnp.real(state.h0), "h0_im": jnp.imag(state.h0),
+                  "h0c_re": jnp.real(state.h0_conj),
+                  "h0c_im": jnp.imag(state.h0_conj)}
+    planes.update(phase=state.phase, t=state.t, step=state.step,
+                  foam_accum=state.foam_accum)
+    return planes
+
+
+def save_checkpoint_orbax(directory: str, state) -> None:
+    """Async-capable SHARDED checkpoint via Orbax (multi-host fleets): every
+    process calls this collectively; each writes only the shards it owns.
+    Accepts OceanState or OceanStateReal (wire format identical — plane
+    pairs). The .npz path above stays the single-host default: it has no
+    daemon, no directory protocol, and restores anywhere."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(directory),
-               {"h0_re": jnp.real(state.h0), "h0_im": jnp.imag(state.h0),
-                "h0c_re": jnp.real(state.h0_conj),
-                "h0c_im": jnp.imag(state.h0_conj),
-                "phase": state.phase, "t": state.t, "step": state.step,
-                "foam_accum": state.foam_accum},
-               force=True)
+    ckptr.save(os.path.abspath(directory), _orbax_tree(state), force=True)
     ckptr.wait_until_finished()
 
 
-def load_checkpoint_orbax(directory: str) -> OceanState:
+def load_checkpoint_orbax(directory: str, like=None):
+    """Restore an orbax checkpoint.
+
+    ``like`` (a state pytree, e.g. ``solver.init(...)`` on the SAME mesh —
+    either representation) makes the restore SHARDED: each leaf is read
+    directly into ``like``'s sharding, so a multi-process fleet resumes
+    without ever materializing the global state on one host, and an
+    OceanStateReal ``like`` keeps the restore complex-free. Without it,
+    the legacy single-host behavior: a replicated complex OceanState."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    d = ckptr.restore(os.path.abspath(directory))
+    path = os.path.abspath(directory)
+    if like is not None:
+        from tpu_ocean.solver import OceanStateReal
+        target = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            _orbax_tree(like))
+        d = ckptr.restore(path, target)
+        common = dict(phase=d["phase"], t=d["t"], step=d["step"],
+                      foam_accum=d["foam_accum"])
+        if isinstance(like, OceanStateReal):
+            return OceanStateReal(h0_re=d["h0_re"], h0_im=d["h0_im"],
+                                  h0c_re=d["h0c_re"], h0c_im=d["h0c_im"],
+                                  **common)
+        # recombine per-shard on device under the same sharding as `like`
+        tie = jax.jit(lambda re, im: (re + 1j * im).astype(jnp.complex64),
+                      out_shardings=like.h0.sharding)
+        return OceanState(h0=tie(d["h0_re"], d["h0_im"]),
+                          h0_conj=tie(d["h0c_re"], d["h0c_im"]), **common)
+    d = ckptr.restore(path)
 
     def push(re, im):   # combine on device (complex host↔device is fragile)
         return (jnp.asarray(re, jnp.float32)

@@ -119,21 +119,32 @@ class EnsembleDistributedSolver:
                          spmd_axis_name="batch")
         self._step_jit = jax.jit(vstep, donate_argnums=(0,))
 
-    def init(self, key=None) -> OceanState:
+    def init(self, key=None):
         if key is None:
             key = jax.random.PRNGKey(self.cfg.seed)
         keys = jax.random.split(key, self.ensemble_size)
         members = [self._inner.init(k) for k in keys]
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *members)
-        shard_tail = {"h0": ("shard",), "h0_conj": ("shard",),
-                      "phase": ("shard",), "t": (), "step": (),
-                      "foam_accum": (None, "shard")}
+        if getattr(self._inner, "real_state", False):
+            # all-real composition: the member step's state specs are the
+            # OceanStateReal pytree, so DP × SP stays complex-free end to end
+            from tpu_ocean.solver import OceanStateReal
+            cls = OceanStateReal
+            shard_tail = {"h0_re": ("shard",), "h0_im": ("shard",),
+                          "h0c_re": ("shard",), "h0c_im": ("shard",),
+                          "phase": ("shard",), "t": (), "step": (),
+                          "foam_accum": (None, "shard")}
+        else:
+            cls = OceanState
+            shard_tail = {"h0": ("shard",), "h0_conj": ("shard",),
+                          "phase": ("shard",), "t": (), "step": (),
+                          "foam_accum": (None, "shard")}
         put = {f: jax.device_put(getattr(stacked, f),
                                  NamedSharding(self.mesh,
                                                P("batch", *shard_tail[f])))
-               for f in OceanState._fields}
-        return OceanState(**put)
+               for f in cls._fields}
+        return cls(**put)
 
     def step(self, state: OceanState, dt: float = 1.0 / 60.0):
         """[E, ...] sharded state → ([E, ...] state, [E, ...] fields)."""
