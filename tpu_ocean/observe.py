@@ -110,7 +110,14 @@ class Metrics:
 def profile_trace(logdir: str):
     """jax.profiler trace around a block; open the result in TensorBoard.
     Wraps the hot loop the way the reference *should* have wrapped its 44
-    blits per frame."""
+    blits per frame.
+
+    Hardware-verified on the tunneled runtime in round 3
+    (bench/trace_capture.py — the round-2 hang was a toolchain bug that
+    moved underneath us): the device track carries hardware-timestamped
+    per-kernel events whose per-step sum reproduces the benchlib K-ladder
+    headline (BASELINE.md r3). Force execution INSIDE the window (tinypull)
+    or the deferred dispatches may fall outside it."""
     jax.profiler.start_trace(logdir)
     try:
         yield
@@ -137,9 +144,12 @@ def stage_breakdown(solver, state, dt: float = 1.0 / 60.0,
                     ks=(8, 32, 128), forcing: str = "auto") -> dict:
     """Per-stage wall-clock breakdown WITHOUT a device profiler.
 
-    `jax.profiler.trace` hangs on the tunneled TPU runtime (probed, round 2
-    — docs/coverage.md §5.1), so this times stage-subset programs with the
-    validated K-ladder (benchlib.time_steps_ladder) and differences them:
+    Built when `jax.profiler.trace` hung on the tunneled runtime (round 2);
+    the hang is gone in round 3's toolchain (bench/trace_capture.py) and
+    the device trace CONFIRMED this breakdown's numbers — both tools stay:
+    this one needs no profiler support and works on any backend. It times
+    stage-subset programs with the validated K-ladder
+    (benchlib.time_steps_ladder) and differences them:
 
         dispersion+assembly+transform  (state → spatial planes)
         dispersion only                (phase update)

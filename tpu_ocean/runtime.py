@@ -77,7 +77,13 @@ class Simulation:
             # symmetrize is a bitwise no-op on states a packing solver wrote
             # (OceanSolver.symmetrize: idempotent) and the Hermitian
             # projection on pre-packing checkpoints — safe either way
-            self.state = self.solver.symmetrize(restored[0])
+            state = restored[0]
+            if hasattr(self.solver, "shard_state"):
+                # distributed runtime: load_checkpoint returns host arrays;
+                # place them onto the mesh layout BEFORE the first step so
+                # the donated step aliases in place instead of resharding
+                state = self.solver.shard_state(state)
+            self.state = self.solver.symmetrize(state)
             import numpy as np
             self._steps_done = int(np.asarray(
                 jax.device_get(self.state.step)))   # one pull at startup only
