@@ -72,11 +72,27 @@ _LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 #: frozen r2 evidence, the fallback when no ledger has been written yet
 _LEDGER_FALLBACK = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "bench", "BENCH_evidence_r2_gauss_1024.json")
+#: the driver's headline configuration: ONLY runs at this resolution may
+#: write the flagship ledger — a 4096² family sweep must never become the
+#: number a failed 1024² headline capture embeds as "last validated"
+_FLAGSHIP_RES = 1024
 
 
-def _load_ledger():
-    """(result_dict, age_hours | None) of the newest validated headline."""
-    for path in (_LEDGER, _LEDGER_FALLBACK):
+def _ledger_path(res: int) -> str:
+    if res == _FLAGSHIP_RES:
+        return _LEDGER
+    return _LEDGER.replace(".json", f"_{res}.json")
+
+
+def _load_ledger(res: int = _FLAGSHIP_RES):
+    """(result_dict, age_hours | None) of the newest validated headline
+    for this resolution (falling back to the flagship, then frozen r2
+    evidence — each clearly labeled by its own 'metric' field)."""
+    paths = [_ledger_path(res)]
+    if res != _FLAGSHIP_RES:
+        paths.append(_LEDGER)
+    paths.append(_LEDGER_FALLBACK)
+    for path in paths:
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -91,9 +107,9 @@ def _load_ledger():
     return None, None, None
 
 
-def _store_ledger(out: dict):
+def _store_ledger(out: dict, res: int = _FLAGSHIP_RES):
     try:
-        with open(_LEDGER, "w") as f:
+        with open(_ledger_path(res), "w") as f:
             json.dump({"captured_unix": time.time(),
                        "captured_iso": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                      time.gmtime()),
@@ -330,10 +346,14 @@ def main():
                                 pallas_fields=f, precision=args.precision,
                                 pack_channels=args.pack_channels)
 
+    # single-backend children scale with the grid: the K-ladder's top rung
+    # alone costs ~70 s at 8192² (plus a cold Mosaic compile) — a flat
+    # 150 s child timeout silently nulled every large-N family capture
+    single_child_s = max(150.0, min(560.0, 150.0 * (args.res / 2048.0) ** 2))
     measure = ((lambda t, f=False: _run_child(
                     t, args,
                     {"realsweep": 560.0, "calibrate": 210.0,
-                     "canary": args.canary_timeout}.get(t, 150.0),
+                     "canary": args.canary_timeout}.get(t, single_child_s),
                     fields=f))
                if not args.in_process else _in_process)
 
@@ -479,7 +499,7 @@ def main():
         # a failed RUN is not a missing MEASUREMENT — embed the newest
         # archived validated measurement INLINE with its age so the
         # artifact of record is auditable, never a bare null
-        result, age_h, src = _load_ledger()
+        result, age_h, src = _load_ledger(args.res)
         if result is not None:
             out["last_validated"] = {"file": src, "age_hours": age_h,
                                      "result": result}
@@ -533,7 +553,7 @@ def main():
         # newest validated headline, embedded by future failed runs (never
         # goes stale). --in-process is the CPU/debug path: its numbers must
         # never masquerade as archived hardware evidence.
-        _store_ledger(out)
+        _store_ledger(out, args.res)
     print(json.dumps(out))
     return 0
 

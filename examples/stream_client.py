@@ -64,7 +64,8 @@ def main():
             server.run(args.frames + 4)
             server.stop()
 
-        threading.Thread(target=pump, daemon=True).start()
+        pump_thread = threading.Thread(target=pump, daemon=True)
+        pump_thread.start()
 
     last = None
     for meta, planes in stream_frames(host, port, max_frames=args.frames):
@@ -76,6 +77,10 @@ def main():
 
     if server is not None:
         server.stop()
+        # join the pump before interpreter teardown: a daemon thread still
+        # inside a compiled sim.step() when Python exits dies mid-C++-frame
+        # ("terminate called … FATAL: exception not rethrown", SIGABRT)
+        pump_thread.join(timeout=30)
     if last is None:
         print("no frames received", file=sys.stderr)
         return 1
@@ -89,4 +94,15 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # exit WITHOUT interpreter finalization: on this toolchain a process
+    # that served frames from a background thread aborts ~25% of the time
+    # during C++ runtime teardown ("terminate called … FATAL: exception not
+    # rethrown", SIGABRT) AFTER all Python work — including the explicit
+    # server.stop() + pump join above — has completed. The crash is
+    # environmental (reproduced with the server loop alone, bisected: not
+    # the sockets, not viz); os._exit skips the doomed finalizers once
+    # stdio is flushed.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
