@@ -334,3 +334,105 @@ def test_legacy_silent_client_gets_full_resolution():
             assert header["full_resolution"] == 64
         finally:
             sock.close()
+
+
+def test_frame_stride_temporal_lod():
+    """{"frame_stride": 2}: the client receives every 2nd broadcast frame
+    (temporal per-client LOD) while a full-rate client sees them all."""
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height",)) as server:
+        host, port = server.address
+        got = {}
+        errs = []
+
+        def client(tag, **kw):
+            try:
+                got[tag] = list(stream_frames(host, port, max_frames=3, **kw))
+            except Exception as e:
+                errs.append((tag, e))
+
+        threads = [threading.Thread(target=client, args=("full",)),
+                   threading.Thread(target=client, args=("slow",),
+                                    kwargs=dict(frame_stride=2))]
+        for t in threads:
+            t.start()
+        while server.client_count < 2 and any(t.is_alive() for t in threads):
+            pass
+        server.run(steps=8)
+        server.stop()                    # EOF so max_frames never blocks
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs, errs
+
+    full_steps = [m["step"] for m, _ in got["full"]]
+    slow_steps = [m["step"] for m, _ in got["slow"]]
+    assert full_steps == [1, 2, 3]
+    # every 2nd broadcast since subscription: consecutive gaps of 2
+    assert len(slow_steps) == 3
+    assert all(b - a == 2 for a, b in zip(slow_steps, slow_steps[1:])), \
+        slow_steps
+
+
+def test_streams_distributed_velocity():
+    """A domain-decomposed real-state Simulation streams the computed
+    velocity plane — DistributedOceanSolver.velocity on the serving path
+    (complex-free end to end on the wire)."""
+    from tpu_ocean.parallel.mesh import make_mesh
+    mesh = make_mesh(shard=8)
+    sim = Simulation(CFG, fft_backend="pallas", real_state=True, mesh=mesh)
+    with FrameServer(sim, fields=("height", "velocity")) as server:
+        host, port = server.address
+        frames = []
+        errs = []
+
+        def client():
+            try:
+                frames.extend(stream_frames(host, port, max_frames=3))
+            except Exception as e:
+                errs.append(e)
+
+        t = threading.Thread(target=client)
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=3)
+        t.join(timeout=60)
+        assert not t.is_alive() and not errs, errs
+
+    assert frames[-1][0]["step"] == 3      # last frame == final sim state
+    v = frames[-1][1]["velocity"]
+    assert v.shape == (64, 64)
+    assert np.isfinite(v).all() and np.abs(v).max() > 0
+    # matches the solver's own velocity at the same state
+    want = np.asarray(sim.solver.velocity(sim.state))
+    np.testing.assert_allclose(v, want, atol=2e-6 * max(np.abs(want).max(),
+                                                        1e-9))
+
+
+def test_solo_strided_client_still_advances():
+    """Regression: with ONLY a strided client connected, the broadcast must
+    still run on its off-phase frames (it advances the stride counter) —
+    skipping it froze the client's schedule forever."""
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height",)) as server:
+        host, port = server.address
+        got = []
+        errs = []
+
+        def client():
+            try:
+                got.extend(stream_frames(host, port, max_frames=2,
+                                         lod=2, frame_stride=2))
+            except Exception as e:
+                errs.append(e)
+
+        t = threading.Thread(target=client)
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=6)
+        server.stop()
+        t.join(timeout=30)
+        assert not errs, errs
+    assert [m["step"] for m, _ in got] == [1, 3]
+    assert got[0][1]["height"].shape == (32, 32)   # lod composes with stride

@@ -19,21 +19,23 @@ becomes a network stream. This module is that hand-off:
 
 Wire protocol (version tag "tpu-ocean/1", little-endian f32 planes):
 
-    client → server on connect (OPTIONAL, one JSON line): a spatial-LOD
-        request — {"lod": d} (power-of-two resolution divisor) or
+    client → server on connect (OPTIONAL, one JSON line): a per-client LOD
+        request — {"lod": d} (power-of-two resolution divisor),
         {"camera_distance": meters} (mapped through lod_divisor_for_distance,
-        the spatial twin of lod.periods_for_distance's temporal stretch).
-        Legacy clients that send nothing get the full grid after a short
-        negotiation window. This is the serving-side analogue of the
-        reference's distance-based tessellation falloff
-        (MistralWaterCommon.cginc:215-296, UnityEdgeLengthBasedTess at
-        edge length 31): a distant consumer cannot resolve per-texel
-        detail, so it receives mean-pooled planes covering the same world
-        extent at N/d × N/d.
+        the spatial twin of lod.periods_for_distance's temporal stretch),
+        and/or {"frame_stride": k} (receive every k-th frame — the TEMPORAL
+        half of per-client LOD; composes with the solver-side band schedule,
+        which is shared across clients). Legacy clients that send nothing
+        get the full grid at full rate after a short negotiation window.
+        This is the serving-side analogue of the reference's distance-based
+        tessellation falloff (MistralWaterCommon.cginc:215-296,
+        UnityEdgeLengthBasedTess at edge length 31): a distant consumer
+        cannot resolve per-texel detail, so it receives mean-pooled planes
+        covering the same world extent at N/d × N/d.
     server → client on connect:  one JSON line
         {"proto": "tpu-ocean/1", "resolution": N/d, "length": L,
-         "lod": d, "full_resolution": N, "fields": [...],
-         "dtype": "float32"}
+         "lod": d, "frame_stride": k, "full_resolution": N,
+         "fields": [...], "dtype": "float32"}
     per frame:                   one JSON line
         {"step": k, "t": seconds}
       followed by the raw (N/d)×(N/d) f32 plane bytes of each declared
@@ -157,24 +159,26 @@ class FrameServer:
         return sum(4 * int(np.prod(_plane_shape(name, m)))
                    for name in self.fields)
 
-    def _header_for(self, divisor: int) -> bytes:
+    def _header_for(self, divisor: int, stride: int = 1) -> bytes:
         n = self.sim.cfg.resolution
         return (json.dumps({
             "proto": PROTO,
             "resolution": n // divisor,   # what the stream actually carries
             "length": self._world_length,
             "lod": divisor,
+            "frame_stride": stride,
             "full_resolution": n,
             "fields": list(self.fields),
             "dtype": "float32",
         }) + "\n").encode()
 
-    def _negotiate_lod(self, conn: socket.socket) -> int:
-        """Read the OPTIONAL one-line spatial-LOD request ({"lod": d} or
-        {"camera_distance": x}). Legacy clients (including pre-LOD native
-        consumers) send nothing and get the full grid after the short
-        negotiation window; malformed requests clamp rather than kill the
-        connection — a client bug must not take the server down."""
+    def _negotiate_lod(self, conn: socket.socket):
+        """Read the OPTIONAL one-line LOD request ({"lod": d},
+        {"camera_distance": x}, {"frame_stride": k}); returns
+        (divisor, stride). Legacy clients (including pre-LOD native
+        consumers) send nothing and get the full grid at full rate after
+        the short negotiation window; malformed requests clamp rather than
+        kill the connection — a client bug must not take the server down."""
         n = self.sim.cfg.resolution
         conn.settimeout(0.25)
         buf = b""
@@ -189,17 +193,22 @@ class FrameServer:
         finally:
             conn.settimeout(None)
         if not buf.strip():
-            return 1
+            return 1, 1
         try:
             req = json.loads(buf)
         except ValueError:
-            return 1
+            return 1, 1
+        stride = 1
+        try:
+            stride = max(1, min(64, int(req.get("frame_stride", 1))))
+        except (TypeError, ValueError):
+            pass
         if "lod" in req:
-            return _clamp_divisor(req["lod"], n)
+            return _clamp_divisor(req["lod"], n), stride
         if "camera_distance" in req:
-            return lod_divisor_for_distance(float(req["camera_distance"]),
-                                            self._world_length, n)
-        return 1
+            return (lod_divisor_for_distance(float(req["camera_distance"]),
+                                             self._world_length, n), stride)
+        return 1, stride
 
     def _accept_loop(self):
         while not self._stop.is_set():
@@ -209,7 +218,7 @@ class FrameServer:
                 continue
             except OSError:
                 return                   # listener closed by stop()
-            divisor = self._negotiate_lod(conn)
+            divisor, stride = self._negotiate_lod(conn)
             # bound the kernel send buffer to ~2 frames: an autotuned
             # multi-MB buffer would hide seconds of latency from the
             # drop-oldest policy (bytes already in the kernel cannot be
@@ -218,7 +227,7 @@ class FrameServer:
             conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
                             max(65536, 2 * self._frame_bytes_for(divisor)))
             try:
-                conn.sendall(self._header_for(divisor))
+                conn.sendall(self._header_for(divisor, stride))
             except OSError:
                 conn.close()
                 continue
@@ -226,7 +235,8 @@ class FrameServer:
             sender = threading.Thread(target=self._send_loop,
                                       args=(q, conn), daemon=True)
             with self._lock:
-                self._clients.append((q, conn, divisor))
+                self._clients.append({"q": q, "conn": conn, "lod": divisor,
+                                      "stride": stride, "seen": 0})
             sender.start()
 
     def _send_loop(self, q: queue.Queue, conn: socket.socket):
@@ -249,7 +259,7 @@ class FrameServer:
             conn.close()
             with self._lock:
                 self._clients = [cl for cl in self._clients
-                                 if cl[0] is not q]
+                                 if cl["q"] is not q]
 
     def _broadcast(self, payloads: dict):
         """Enqueue each client's divisor-matched payload (a client whose
@@ -259,8 +269,14 @@ class FrameServer:
             return
         with self._lock:
             clients = list(self._clients)
-        for q, _, divisor in clients:
-            payload = payloads.get(divisor)
+        for cl in clients:
+            q = cl["q"]
+            # temporal per-client LOD: every stride-th broadcast frame
+            # (counted per client from its subscription)
+            cl["seen"] += 1
+            if (cl["seen"] - 1) % cl["stride"] != 0:
+                continue
+            payload = payloads.get(cl["lod"])
             if payload is None:
                 continue
             while True:
@@ -318,10 +334,17 @@ class FrameServer:
         while not self._stop.is_set() and (steps is None or done < steps):
             fields = self.sim.step()
             with self._lock:
-                divisors = sorted({d for _, _, d in self._clients})
-            if divisors:                 # device pull only when someone reads
+                any_clients = bool(self._clients)
+                # payloads only for divisors DUE this frame (stride phase);
+                # device pull only when someone actually reads
+                due = sorted({cl["lod"] for cl in self._clients
+                              if cl["seen"] % cl["stride"] == 0})
+            if any_clients:
+                # broadcast even with no due divisor: it advances every
+                # client's stride counter — skipping it would freeze
+                # off-phase strided clients forever
                 self._broadcast({d: self.frame_payload(fields, d)
-                                 for d in divisors})
+                                 for d in due})
             done += 1
 
     def stop(self):
@@ -329,7 +352,7 @@ class FrameServer:
         self._listener.close()
         with self._lock:
             clients = list(self._clients)
-        for q, conn, _ in clients:
+        for q, conn in ((cl["q"], cl["conn"]) for cl in clients):
             # best-effort sentinel (make room if the queue is full) — the
             # sender sees None, or an OSError from the closed socket
             try:
@@ -369,21 +392,25 @@ def _read_exact(sock_file, count: int) -> bytes:
 def stream_frames(host: str, port: int,
                   max_frames: Optional[int] = None,
                   lod: Optional[int] = None,
-                  camera_distance: Optional[float] = None
+                  camera_distance: Optional[float] = None,
+                  frame_stride: Optional[int] = None
                   ) -> Iterator[Tuple[dict, dict]]:
     """Connect to a FrameServer and yield (meta, {field: ndarray}) frames.
 
     ``lod`` requests planes decimated by that power-of-two divisor;
     ``camera_distance`` lets the server pick the divisor (spatial LOD —
-    lod_divisor_for_distance). The header's "resolution"/"lod" report what
-    was granted. The arrays are fresh copies (safe to hold). Stops after
-    ``max_frames`` or when the server closes the stream.
+    lod_divisor_for_distance); ``frame_stride`` asks for every k-th frame
+    (temporal LOD). The header's "resolution"/"lod"/"frame_stride" report
+    what was granted. The arrays are fresh copies (safe to hold). Stops
+    after ``max_frames`` or when the server closes the stream.
     """
     req = {}
     if lod is not None:
         req["lod"] = int(lod)
     if camera_distance is not None:
         req["camera_distance"] = float(camera_distance)
+    if frame_stride is not None:
+        req["frame_stride"] = int(frame_stride)
     with socket.create_connection((host, port)) as sock:
         # always send the request line (even empty): it ends the server's
         # negotiation window immediately instead of after its timeout
