@@ -153,3 +153,12 @@ def test_serve_cli_runs_headless(tmp_path, capsys):
                "--out", str(tmp_path)])
     assert rc == 0
     assert "serving 32^2" in capsys.readouterr().err
+
+
+def test_serve_cli_real_state_packed(tmp_path, capsys):
+    """--real-state --pack-channels: the CLI serves the TPU production
+    shape (all-f32 state, plane backends forced)."""
+    rc = main(["serve", "--res", "32", "--steps", "2", "--real-state",
+               "--pack-channels", "--out", str(tmp_path)])
+    assert rc == 0
+    assert "serving 32^2" in capsys.readouterr().err

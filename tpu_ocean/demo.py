@@ -178,10 +178,17 @@ def run_serve(args) -> int:
 
     cfg = OCEAN_DEMO if not args.res else OCEAN_DEMO.replace(
         resolution=args.res, length=float(args.res))
+    kw = {}
+    if args.real_state:
+        kw["real_state"] = True
+        if args.backend not in ("pallas", "pallas_fused"):
+            args.backend = "pallas"      # real_state needs the plane backends
+    if args.pack_channels:
+        kw["pack_channels"] = True
     sim = Simulation(cfg, fft_backend=args.backend, out_dir=args.out,
                      checkpoint_every=args.checkpoint_every,
                      export_every=args.dump_every,
-                     seed_key=jax.random.PRNGKey(args.seed))
+                     seed_key=jax.random.PRNGKey(args.seed), **kw)
     with FrameServer(sim, fields=tuple(args.fields.split(",")),
                      host=args.host, port=args.port) as server:
         host, port = server.address
@@ -235,6 +242,11 @@ def main(argv=None) -> int:
                    help="0 = ephemeral (printed on stderr)")
     p.add_argument("--fields", type=str, default="height,foam",
                    help="comma-separated OceanFields leaves to stream")
+    p.add_argument("--real-state", action="store_true",
+                   help="all-f32 solver state (pallas backend; the TPU "
+                        "production/serving shape — solver.OceanStateReal)")
+    p.add_argument("--pack-channels", action="store_true",
+                   help="Hermitian channel packing (docs/parity.md ledger)")
 
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
