@@ -172,26 +172,29 @@ def stage_breakdown(solver, state, dt: float = 1.0 / 60.0,
     c = solver._consts
     cfg = solver.cfg
 
-    def phase_of(st, dtv):
+    def phase_of(st, dtv, cc):
         from tpu_ocean.evolve import evolve_phase_accumulate
         if cfg.evolution_mode == "absolute":
-            return c["omega"] * (st.t + dtv / cfg.t_division)
-        return evolve_phase_accumulate(st.phase, c["omega"],
+            return cc["omega"] * (st.t + dtv / cfg.t_division)
+        return evolve_phase_accumulate(st.phase, cc["omega"],
                                        dtv * cfg.dt_multiplier)
 
-    # stage subsets as (state, dt) -> (state, fields-ish) steppers so they
-    # share the benchlib contract; each advances a tiny recurrent carry so
-    # no iteration is dead
-    def step_full(st, dtv):
-        return solver._step_impl(st, dtv, c)
+    # stage subsets as (state, dt, consts) -> (state, fields-ish) steppers —
+    # the consts dict rides benchlib's ``extra`` as a REAL jit argument:
+    # closing over the device arrays embeds them in the program body, which
+    # overflows the remote compiler's request limit at 4096²+ (HTTP 413 —
+    # the exact failure mode solver.py's constants rule exists to avoid).
+    # Each stage advances a tiny recurrent carry so no iteration is dead.
+    def step_full(st, dtv, cc):
+        return solver._step_impl(st, dtv, cc)
 
-    def step_dispersion(st, dtv):
-        ph = phase_of(st, dtv)
+    def step_dispersion(st, dtv, cc):
+        ph = phase_of(st, dtv, cc)
         return st._replace(phase=ph, t=st.t + dtv), {"p": ph}
 
-    def step_transform(st, dtv):
-        ph = phase_of(st, dtv)
-        out = solver._fields_from_phase_real(st, ph, c)
+    def step_transform(st, dtv, cc):
+        ph = phase_of(st, dtv, cc)
+        out = solver._fields_from_phase_real(st, ph, cc)
         # stop before field extraction is impossible at the API level, so
         # transform-only is approximated by consuming only the spatial
         # planes the transform produced (height/disp) — XLA dead-codes the
@@ -202,7 +205,8 @@ def stage_breakdown(solver, state, dt: float = 1.0 / 60.0,
     res = {}
     for name, fn in (("full", step_full), ("transform", step_transform),
                      ("dispersion", step_dispersion)):
-        lad = time_steps_ladder(fn, state, dt, ks=ks, forcing=forcing)
+        lad = time_steps_ladder(fn, state, dt, ks=ks, forcing=forcing,
+                                extra=c)
         res[f"{name}_ms"] = round(lad.per_step_s * 1e3, 4)
         res[f"{name}_suspect"] = lad.suspect
     res["fields_ms"] = round(res["full_ms"] - res["transform_ms"], 4)
