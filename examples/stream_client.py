@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--host", type=str, default="")
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--out", type=str, default="out/stream.png")
+    ap.add_argument("--lod", type=int, default=0,
+                    help="spatial LOD: power-of-two resolution divisor")
+    ap.add_argument("--camera", type=float, default=0.0,
+                    help="camera distance (m): the server picks the divisor")
+    ap.add_argument("--stride", type=int, default=0,
+                    help="temporal LOD: receive every k-th frame")
     args = ap.parse_args()
 
     from tpu_ocean.serve import stream_frames
@@ -61,14 +67,23 @@ def main():
             import time
             while server.client_count == 0 and not server.stopped:
                 time.sleep(0.01)
-            server.run(args.frames + 4)
+            # a strided client consumes every k-th broadcast: serve enough
+            server.run(args.frames * max(1, args.stride) + 4)
             server.stop()
 
         pump_thread = threading.Thread(target=pump, daemon=True)
         pump_thread.start()
 
     last = None
-    for meta, planes in stream_frames(host, port, max_frames=args.frames):
+    lod_kw = {}
+    if args.lod:
+        lod_kw["lod"] = args.lod
+    if args.camera:
+        lod_kw["camera_distance"] = args.camera
+    if args.stride:
+        lod_kw["frame_stride"] = args.stride
+    for meta, planes in stream_frames(host, port, max_frames=args.frames,
+                                      **lod_kw):
         h = planes["height"]
         print(f"step {meta['step']:4d}  t={meta['t']:7.3f}s  "
               f"h in [{h.min():+.3f}, {h.max():+.3f}]  "
