@@ -409,6 +409,72 @@ def test_streams_distributed_velocity():
                                                         1e-9))
 
 
+@pytest.mark.parametrize("evil", [
+    b"5\n",                                        # non-dict JSON
+    b'{"lod": "huge"}\n',                          # non-numeric lod
+    b'{"camera_distance": "far"}\n',               # non-numeric distance
+    b'{"lod": null}\n',
+    b'[1, 2]\n',
+])
+def test_malformed_lod_request_clamps_and_server_survives(evil):
+    """Regression (ADVICE r3, high): a malformed LOD request must clamp to
+    defaults for THAT client and must not kill the accept path — a second,
+    well-formed client connects and streams afterwards."""
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height",)) as server:
+        host, port = server.address
+        # evil client: sends garbage, still gets a clamped full-res header
+        with socket.create_connection((host, port)) as bad:
+            bad.sendall(evil)
+            header = json.loads(bad.makefile("rb").readline())
+            assert header["proto"] == PROTO
+            assert header["lod"] == 1 and header["frame_stride"] == 1
+        # the server must still admit and serve a new client
+        frames = []
+        errs = []
+
+        def client():
+            try:
+                frames.extend(stream_frames(host, port, max_frames=1))
+            except Exception as e:
+                errs.append(e)
+
+        t = threading.Thread(target=client)
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=2)
+        t.join(timeout=30)
+        assert not t.is_alive() and not errs, errs
+    assert len(frames) == 1
+
+
+def test_concurrent_connects_admit_in_parallel():
+    """Negotiation runs per-client (ADVICE r3): a silent client that waits
+    out the full 0.25 s legacy window must not delay other admissions —
+    k fast clients admit while the silent one is still negotiating."""
+    import time
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height",)) as server:
+        host, port = server.address
+        silent = socket.create_connection((host, port))  # says nothing
+        try:
+            t0 = time.monotonic()
+            fast = []
+            for _ in range(3):
+                s = socket.create_connection((host, port))
+                s.sendall(b"{}\n")       # ends negotiation immediately
+                json.loads(s.makefile("rb").readline())
+                fast.append(s)
+            elapsed = time.monotonic() - t0
+            # serialized behind the silent window this would be >= 0.25 s
+            assert elapsed < 0.2, elapsed
+            for s in fast:
+                s.close()
+        finally:
+            silent.close()
+
+
 def test_solo_strided_client_still_advances():
     """Regression: with ONLY a strided client connected, the broadcast must
     still run on its off-phase frames (it advances the stride counter) —

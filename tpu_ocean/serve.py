@@ -198,19 +198,32 @@ class FrameServer:
             req = json.loads(buf)
         except ValueError:
             return 1, 1
+        if not isinstance(req, dict):    # e.g. a bare '5\n' — clamp, don't die
+            return 1, 1
         stride = 1
         try:
             stride = max(1, min(64, int(req.get("frame_stride", 1))))
         except (TypeError, ValueError):
             pass
-        if "lod" in req:
-            return _clamp_divisor(req["lod"], n), stride
-        if "camera_distance" in req:
-            return (lod_divisor_for_distance(float(req["camera_distance"]),
-                                             self._world_length, n), stride)
+        # the docstring's guarantee is load-bearing: EVERY malformed value
+        # clamps to defaults — an exception here would kill this client's
+        # handler (and before r4, the whole accept loop)
+        try:
+            if "lod" in req:
+                return _clamp_divisor(int(req["lod"]), n), stride
+            if "camera_distance" in req:
+                return (lod_divisor_for_distance(
+                    float(req["camera_distance"]),
+                    self._world_length, n), stride)
+        except (TypeError, ValueError):
+            pass
         return 1, stride
 
     def _accept_loop(self):
+        """Accept only — negotiation (with its 0.25 s legacy-client window)
+        runs in the per-client handler thread so N simultaneous connects
+        admit concurrently instead of serializing behind one slow/silent
+        negotiator."""
         while not self._stop.is_set():
             try:
                 conn, _ = self._listener.accept()
@@ -218,6 +231,14 @@ class FrameServer:
                 continue
             except OSError:
                 return                   # listener closed by stop()
+            threading.Thread(target=self._client_handler, args=(conn,),
+                             daemon=True).start()
+
+    def _client_handler(self, conn: socket.socket):
+        """Negotiate LOD, send the header, register the client, then become
+        its sender thread. Any exception closes only this connection — a
+        client bug must never take the accept loop (or the server) down."""
+        try:
             divisor, stride = self._negotiate_lod(conn)
             # bound the kernel send buffer to ~2 frames: an autotuned
             # multi-MB buffer would hide seconds of latency from the
@@ -226,18 +247,15 @@ class FrameServer:
             # queue_frames, not by tcp_wmem
             conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
                             max(65536, 2 * self._frame_bytes_for(divisor)))
-            try:
-                conn.sendall(self._header_for(divisor, stride))
-            except OSError:
-                conn.close()
-                continue
-            q = queue.Queue(maxsize=self._queue_frames)
-            sender = threading.Thread(target=self._send_loop,
-                                      args=(q, conn), daemon=True)
-            with self._lock:
-                self._clients.append({"q": q, "conn": conn, "lod": divisor,
-                                      "stride": stride, "seen": 0})
-            sender.start()
+            conn.sendall(self._header_for(divisor, stride))
+        except OSError:
+            conn.close()
+            return
+        q = queue.Queue(maxsize=self._queue_frames)
+        with self._lock:
+            self._clients.append({"q": q, "conn": conn, "lod": divisor,
+                                  "stride": stride, "seen": 0})
+        self._send_loop(q, conn)
 
     def _send_loop(self, q: queue.Queue, conn: socket.socket):
         try:
@@ -307,24 +325,35 @@ class FrameServer:
     def stopped(self) -> bool:
         return self._stop.is_set()
 
-    def frame_payload(self, fields, divisor: int = 1) -> bytes:
-        """meta line + raw planes for one OceanFields, mean-pooled by the
-        client's spatial-LOD divisor — exposed for tests."""
+    def _host_planes(self, fields) -> dict:
+        """Pull every served field to host ONCE (full resolution) — the
+        single device→host transfer per frame; all per-divisor payloads
+        decimate these host arrays (a device pull per LOD tier would put
+        k× the HBM→host traffic on the serving hot path)."""
         import jax
-        meta = (json.dumps({"step": self.sim.step_count,
-                            "t": self.sim.step_count * self.sim.dt})
-                + "\n").encode()
 
-        def plane(name):
+        def pull(name):
             if name == "velocity":
                 x = self.sim.solver.velocity(self.sim.state)
             else:
                 x = getattr(fields, name)
-            x = np.asarray(jax.device_get(x))
-            return np.ascontiguousarray(
-                decimate_plane(x, divisor, name), dtype="<f4").tobytes()
+            return np.asarray(jax.device_get(x))
 
-        return meta + b"".join(plane(name) for name in self.fields)
+        return {name: pull(name) for name in self.fields}
+
+    def frame_payload(self, fields, divisor: int = 1) -> bytes:
+        """meta line + raw planes for one OceanFields, mean-pooled by the
+        client's spatial-LOD divisor — exposed for tests."""
+        return self._payload_from_host(self._host_planes(fields), divisor)
+
+    def _payload_from_host(self, host: dict, divisor: int) -> bytes:
+        meta = (json.dumps({"step": self.sim.step_count,
+                            "t": self.sim.step_count * self.sim.dt})
+                + "\n").encode()
+        return meta + b"".join(
+            np.ascontiguousarray(decimate_plane(host[name], divisor, name),
+                                 dtype="<f4").tobytes()
+            for name in self.fields)
 
     def run(self, steps: Optional[int] = None):
         """Step the simulation, broadcasting every frame; None = until
@@ -340,10 +369,12 @@ class FrameServer:
                 due = sorted({cl["lod"] for cl in self._clients
                               if cl["seen"] % cl["stride"] == 0})
             if any_clients:
+                # one device pull per frame, shared across all due divisors
+                host = self._host_planes(fields) if due else {}
                 # broadcast even with no due divisor: it advances every
                 # client's stride counter — skipping it would freeze
                 # off-phase strided clients forever
-                self._broadcast({d: self.frame_payload(fields, d)
+                self._broadcast({d: self._payload_from_host(host, d)
                                  for d in due})
             done += 1
 
