@@ -51,17 +51,20 @@ import time
 
 _REAL_BACKENDS = ("pallas", "pallas_fused")   # support real_state=True
 #: the complex-free sweep measured by the realsweep child and --in-process:
-#: (backend, pallas_fields, pack_channels). Parity-grade flagship first (the
-#: headline must survive a killed tail — results stream); then the packed
-#: variant (docs/parity.md ledger: Hermitian pairs share one FFT, 2 instead
-#: of 3 transforms); the unfused-stencil comparison point last.
-_REAL_SWEEP = (("pallas", True, False), ("pallas", True, True),
-               ("pallas", False, False))
+#: (backend, pallas_fields, pack_channels, half_spectrum). Parity-grade
+#: flagship first (the headline must survive a killed tail — results
+#: stream); then the packed variant (docs/parity.md ledger: Hermitian pairs
+#: share one FFT, 2 instead of 3 transforms); then packed+half (VERDICT r3
+#: #1: the last packed channel's C2R route, 1.5 transform-equivalents); the
+#: unfused-stencil comparison point last.
+_REAL_SWEEP = (("pallas", True, False, False), ("pallas", True, True, False),
+               ("pallas", True, True, True), ("pallas", False, False, False))
 
 
-def _variant_label(backend: str, fields: bool, packed: bool) -> str:
-    return backend + ("+fields" if fields else "") + ("+packed" if packed
-                                                      else "")
+def _variant_label(backend: str, fields: bool, packed: bool,
+                   half: bool = False) -> str:
+    return (backend + ("+fields" if fields else "")
+            + ("+packed" if packed else "") + ("+half" if half else ""))
 
 
 #: newest validated headline, archived on every valid run and embedded
@@ -165,7 +168,8 @@ def _measure_calibration() -> dict:
 def _measure_backend(backend: str, res: int, steps: int,
                      method: str, pallas_fields: bool = False,
                      precision: str = "float32",
-                     pack_channels: bool = False) -> dict:
+                     pack_channels: bool = False,
+                     half_spectrum: bool = False) -> dict:
     import jax
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.solver import OceanSolver
@@ -176,7 +180,8 @@ def _measure_backend(backend: str, res: int, steps: int,
     solver = OceanSolver(cfg, fft_backend=backend,
                          real_state=backend in _REAL_BACKENDS,
                          pallas_fields=pallas_fields,
-                         pack_channels=pack_channels)
+                         pack_channels=pack_channels,
+                         half_spectrum=half_spectrum)
     state = solver.init(jax.random.PRNGKey(0))
     dt = 1.0 / 60.0
     if method == "dispatch":
@@ -210,6 +215,8 @@ def _run_child(task: str, args, timeout_s: float, fields: bool = False,
         cmd.append("--pallas-fields")
     if args.pack_channels:
         cmd.append("--pack-channels")
+    if args.half_spectrum:
+        cmd.append("--half-spectrum")
     for label in skip:
         cmd += ["--skip", label]
     if fast:
@@ -234,10 +241,69 @@ def _run_child(task: str, args, timeout_s: float, fields: bool = False,
     return {"error": f"no result ({rc})", "task": task}
 
 
-# HBM plane model per backend: f32 [N,N] planes moved per step (state +
-# spectra in/out per pass + fields). The fused backend skips the assembled-
-# spectrum round trip (ops/fused_spectrum_fft docstring traffic table).
-_PLANES = {"pallas_fused": 22, "default": 30}
+# ---- per-step roofline model (VERDICT r3 #6) -------------------------------
+# v5e peaks the fractions are against. MXU peak is the bf16 number: at the
+# parity tier (HIGHEST) every dot runs Mosaic's multi-pass fp32 emulation,
+# so the HARDWARE executes ~3-6x the nominal flops — mfu below counts
+# nominal (useful) flops, the honest utility number.
+_PEAK_TFLOPS = 197.0
+_PEAK_HBM_GBPS = 819.0
+
+
+def _step_model(label: str, n: int):
+    """(flops, bytes) per step for variant ``label`` at side ``n``.
+
+    FLOPs: the Gauss-3-dot four-step transforms (6·N²·(n1+n2) per axis pass
+    per channel — the Pallas kernels' own cost_estimate formula), scaled by
+    the variant's transform-equivalents (packed: 2 channels for 3 fields;
+    +half: the last channel's C2R route costs ~0.5), plus a small
+    elementwise allowance (assembly cos/sin + twiddles + fields stencil).
+    Cross-checked against the r3 device trace (bench/TRACE_r3_flagship_1024
+    .json): the two transform passes carry 0.270 ms of the 0.4176 ms step.
+
+    Bytes: f32 [N,N] planes moved, counted per pipeline stage (assembly
+    write, one HBM round trip per Pallas pass, fields-stencil reads, state
+    + output planes). Coarse (±20%) but explicit — every published number
+    carries its own roofline fraction instead of leaving MFU to be
+    reconstructed from scattered docs (BASELINE.md metrics section).
+    """
+    base = label.split("+")[0]
+    packed = "+packed" in label
+    half = "+half" in label
+    nch = 3                                  # flagship stencil-normals mode
+    pch = 2 if packed else nch
+    # four-step factors (pallas_fft._split_lanes / matmul._split_n family)
+    if n % 128 == 0:
+        n1, n2 = 128, n // 128
+    else:
+        n1 = max(d for d in range(1, n // 2 + 1) if n % d == 0)
+        n2 = n // n1
+    ch_eq = (pch - 0.5) if half else pch     # transform-equivalents
+    flops = 2 * 6 * n * n * (n1 + n2) * ch_eq    # two axis passes, Gauss
+    flops += n * n * (30 * pch + 80)             # assembly/twiddle/fields
+    if base == "pallas_fused":
+        # assembly fused into the row kernel: h0 read, no spectrum write
+        planes = 16 + 6 * pch
+    elif base in ("pallas", "matmul", "stockham", "reference"):
+        # 4 h0 + 2 phase rw + per channel (asm w 2, p1 rw 4, p2 rw 4)
+        # + 3 stencil reads + 7 non-transform output planes
+        planes = 16 + 10 * pch
+        if half:
+            planes -= 1        # half channel: half-size pass io, +V build
+    else:
+        planes = 16 + 10 * pch
+    return float(flops), planes * n * n * 4.0
+
+
+def _roofline_fields(label: str, n: int, step_s: float) -> dict:
+    flops, bytes_ = _step_model(label, n)
+    return {
+        "mfu": round(flops / step_s / (_PEAK_TFLOPS * 1e12), 4),
+        "hbm_roofline_frac": round(bytes_ / step_s / (_PEAK_HBM_GBPS * 1e9),
+                                   4),
+        "model_gflops_per_step": round(flops / 1e9, 3),
+        "model_mb_per_step": round(bytes_ / 1e6, 1),
+    }
 
 
 def main():
@@ -259,6 +325,9 @@ def main():
     ap.add_argument("--pack-channels", action="store_true",
                     help="Hermitian channel packing, 2 FFTs for 3 fields "
                          "(parity-ledger switch — docs/parity.md)")
+    ap.add_argument("--half-spectrum", action="store_true",
+                    help="C2R route for the last packed channel (needs "
+                         "--pack-channels; 1.5 transform-equivalents)")
     ap.add_argument("--precision", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="MXU dot precision mode (bfloat16 = fast mode, "
@@ -300,15 +369,16 @@ def main():
             # result STREAMS as its own JSON line so a parent that must
             # kill a hung tail still harvests the finished measurements;
             # --skip drops variants a prior attempt already banked.
-            for backend, fields, packed in _REAL_SWEEP:
-                label = _variant_label(backend, fields, packed)
+            for backend, fields, packed, half in _REAL_SWEEP:
+                label = _variant_label(backend, fields, packed, half)
                 if label in args.skip:
                     continue
                 try:
                     r = _measure_backend(backend, args.res, args.steps,
                                          args.method, pallas_fields=fields,
                                          precision=args.precision,
-                                         pack_channels=packed)
+                                         pack_channels=packed,
+                                         half_spectrum=half)
                     r["backend"] = label
                     if args.fast:
                         r["ladder"] = "reduced"    # retry path, gates intact
@@ -321,7 +391,8 @@ def main():
                 args.child, args.res, args.steps, args.method,
                 pallas_fields=args.pallas_fields,
                 precision=args.precision,
-                pack_channels=args.pack_channels)))
+                pack_channels=args.pack_channels,
+                half_spectrum=args.half_spectrum)))
         return 0
 
     # child budgets: the realsweep child pays one startup + three Mosaic
@@ -334,17 +405,23 @@ def main():
             return _measure_canary()
         if t == "realsweep":
             sweep = []
-            for b, pf, pk in _REAL_SWEEP:
-                r = _measure_backend(b, args.res, args.steps, args.method,
-                                     pallas_fields=pf,
-                                     precision=args.precision,
-                                     pack_channels=pk)
-                r["backend"] = _variant_label(b, pf, pk)
+            for b, pf, pk, hf in _REAL_SWEEP:
+                label = _variant_label(b, pf, pk, hf)
+                try:
+                    r = _measure_backend(b, args.res, args.steps,
+                                         args.method, pallas_fields=pf,
+                                         precision=args.precision,
+                                         pack_channels=pk, half_spectrum=hf)
+                    r["backend"] = label
+                except Exception as e:    # e.g. a variant invalid at this N
+                    r = {"backend": label,
+                         "error": f"{type(e).__name__}: {e}"}
                 sweep.append(r)
             return {"sweep": sweep}
         return _measure_backend(t, args.res, args.steps, args.method,
                                 pallas_fields=f, precision=args.precision,
-                                pack_channels=args.pack_channels)
+                                pack_channels=args.pack_channels,
+                                half_spectrum=args.half_spectrum)
 
     # single-backend children scale with the grid: the K-ladder's top rung
     # alone costs ~70 s at 8192² (plus a cold Mosaic compile) — a flat
@@ -373,6 +450,9 @@ def main():
         # The sweep order puts the parity-grade flagship FIRST, so the very
         # first completed variant suffices for a headline.
         done = set()
+        failed = set()   # variants that raised DETERMINISTICALLY (an error
+                         # line means the child answered — not an outage):
+                         # retrying them would only burn budget
         backoff = 30.0
         skip_canary = False
         while remaining() > 60.0:
@@ -395,7 +475,7 @@ def main():
             timeout = min(420.0 if fast else 560.0,
                           max(90.0, remaining() - 20.0))
             res0 = _run_child("realsweep", args, timeout,
-                              skip=sorted(done), fast=fast)
+                              skip=sorted(done | failed), fast=fast)
             got = res0.get("sweep", [])
             if not got and "error" in res0:
                 print(f"# sweep attempt {outage['sweep_attempts']}: "
@@ -404,11 +484,13 @@ def main():
                 if "error" in r:
                     print(f"# backend {r.get('backend', '?')}: FAILED "
                           f"({r['error']})", file=sys.stderr)
+                    if r.get("backend"):
+                        failed.add(r["backend"])
                     continue
                 done.add(r["backend"])
                 collected.append(r)
             have_valid = any(not r["suspect"] for r in collected)
-            if len(done) >= len(_REAL_SWEEP):
+            if len(done | failed) >= len(_REAL_SWEEP):
                 break                               # sweep complete
             if have_valid and remaining() < 300.0:
                 break            # bank the headline; tail isn't worth risk
@@ -442,7 +524,8 @@ def main():
             # name would masquerade as parity-grade in the evidence
             label = (backend if backend == "realsweep"
                      else _variant_label(backend, fields,
-                                         args.pack_channels))
+                                         args.pack_channels,
+                                         args.half_spectrum))
             if attempted > 0 and remaining() < 0:
                 print(f"# budget exceeded, skipping {label}",
                       file=sys.stderr)
@@ -454,7 +537,11 @@ def main():
                     print(f"# backend {r.get('backend', label)}: FAILED "
                           f"({r['error']})", file=sys.stderr)
                     continue
-                r.setdefault("backend", label)
+                if backend != "realsweep":
+                    # the child's own dict carries the bare backend name —
+                    # OVERRIDE with the full variant label (a packed/half
+                    # measurement must never masquerade as parity-grade)
+                    r["backend"] = label
                 collected.append(r)
 
     best = None
@@ -510,8 +597,8 @@ def main():
     n = args.res
     gps = n * n / step_s
     baseline_gps = 1024 * 1024 * 60.0  # reference: 1024² @ 60 FPS implied
-    planes = _PLANES.get(backend.split("+")[0], _PLANES["default"])
-    implied_tbps = planes * n * n * 4 / step_s / 1e12
+    _, model_bytes = _step_model(backend, n)
+    implied_tbps = model_bytes / step_s / 1e12
     # a calibration child that errored (slow tunnel startup) does not
     # invalidate a ladder that passed its own monotonicity/linearity/
     # physics checks; only an explicit measurable=False verdict does
@@ -529,6 +616,15 @@ def main():
         "forcing": best["forcing"],
         "implied_hbm_tbps": round(implied_tbps, 2),
     }
+    if not suspect:
+        out.update(_roofline_fields(backend, n, step_s))
+    # roofline fractions for EVERY valid measured variant (VERDICT r3 #6)
+    variants = [dict({"backend": r["backend"],
+                      "ms_per_step": round(r["per_step_s"] * 1e3, 4)},
+                     **_roofline_fields(r["backend"], n, r["per_step_s"]))
+                for r in collected if not r["suspect"]]
+    if variants:
+        out["variants"] = variants
     for key in ("ladder_ks", "ladder_walls_s", "fit_max_rel_resid",
                 "intercept_ms"):
         if key in best:

@@ -66,8 +66,9 @@ def test_outage_recovery_banks_headline(monkeypatch, capsys, tmp_path):
             assert "pallas+fields" in skip and fast
             r1 = _ok_result("pallas+fields+packed", 0.42)
             r2 = _ok_result("pallas", 0.65)
-            r1["ladder"] = r2["ladder"] = "reduced"
-            return {"sweep": [r1, r2]}
+            r3 = _ok_result("pallas+fields+packed+half", 0.40)
+            r1["ladder"] = r2["ladder"] = r3["ladder"] = "reduced"
+            return {"sweep": [r1, r3, r2]}
         if task == "calibrate":
             return {"measurable": True, "achieved_tflops": 172.0,
                     "intercept_ms": 30.0, "forcing": "tinypull"}
@@ -77,10 +78,17 @@ def test_outage_recovery_banks_headline(monkeypatch, capsys, tmp_path):
                         ["--budget-s", "1200"], fake_child)
     assert rc == 0
     assert out["value"] is not None
-    assert out["backend"] == "pallas+fields+packed"     # fastest valid
+    assert out["backend"] == "pallas+fields+packed+half"  # fastest valid
     assert out["parity_grade_backend"] == "pallas+fields"
     assert out["outage"] == {"canary_attempts": 3, "sweep_attempts": 2}
     assert out["ladder"] == "reduced"
+    # roofline fields ride the headline AND every valid variant (r3 #6)
+    assert 0 < out["mfu"] < 1 and 0 < out["hbm_roofline_frac"]
+    assert {v["backend"] for v in out["variants"]} == {
+        "pallas+fields", "pallas+fields+packed",
+        "pallas+fields+packed+half", "pallas"}
+    assert all("mfu" in v and "hbm_roofline_frac" in v
+               for v in out["variants"])
     # the validated headline was archived for future failed runs
     with open(str(tmp_path / "ledger.json")) as f:
         led = json.load(f)

@@ -1,0 +1,129 @@
+"""Half-spectrum (C2R) route (pallas_fft.ifft2_planes_half, VERDICT r3 #1):
+the last packed channel's spectrum is exactly Hermitian, so its transform
+computes spectral rows 0..N/2 only and folds the conjugate half analytically.
+
+Parity claims under test:
+  * transform level — on ANY Hermitian spectrum, the half route equals the
+    Re part of the full complex transform (both storage regimes);
+  * solver level — OceanSolver(..., half_spectrum=True) reproduces the
+    packed solver's fields to f32 rounding (which itself matches unpacked,
+    test_packing).
+Reference anchor: the symmetry is the one the reference's Stockham shader
+packs two channels with (Stockham.shader:53-54), applied per-transform."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+from tests.test_packing import _cfg, _pair, _assert_fields_close
+
+
+def _hermitian_spectrum(n, c=1, seed=0, scale=0.3):
+    """Random exactly-Hermitian [C, N, N] complex spectrum (numpy f64 →
+    f32 planes)."""
+    rng = np.random.default_rng(seed)
+    s = scale * (rng.normal(size=(c, n, n)) + 1j * rng.normal(size=(c, n, n)))
+    neg = (-np.arange(n)) % n
+    s = 0.5 * (s + np.conj(s[:, np.ix_(neg, neg)[0], np.ix_(neg, neg)[1]]))
+    return s
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_half_transform_matches_full_re(n):
+    from tpu_ocean.fft.pallas_fft import ifft2_planes_auto, ifft2_planes_half
+    s = _hermitian_spectrum(n, c=2, seed=3)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    fr, fi = ifft2_planes_auto(re, im, True)
+    m = n // 2
+    half = ifft2_planes_half(re[:, :m + 1], im[:, :m + 1], True)
+    scale = np.abs(np.asarray(fr)).max()
+    # full transform of a Hermitian spectrum is real: Im ≈ 0 pins the input
+    assert np.abs(np.asarray(fi)).max() < 1e-4 * scale
+    np.testing.assert_allclose(np.asarray(half), np.asarray(fr),
+                               atol=2e-5 * scale)
+
+
+def test_half_transform_natural_store_regime():
+    """Force the large-N regime (natural-store row kernel + einsum column)
+    at a small N via the public cap override — the 4096² code path."""
+    from tpu_ocean.fft import pallas_fft
+    n = 128
+    s = _hermitian_spectrum(n, c=1, seed=5)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    fr, _ = pallas_fft.ifft2_planes_auto(re, im, True)
+    with pallas_fft.transposed_store_cap(32):
+        half = pallas_fft.ifft2_planes_half(re[:, :n // 2 + 1],
+                                            im[:, :n // 2 + 1], True)
+    scale = np.abs(np.asarray(fr)).max()
+    np.testing.assert_allclose(np.asarray(half), np.asarray(fr),
+                               atol=2e-5 * scale)
+
+
+def test_half_transform_validates_input():
+    from tpu_ocean.fft.pallas_fft import ifft2_planes_half
+    x = jnp.zeros((1, 30, 64), jnp.float32)
+    with pytest.raises(ValueError, match="N/2"):
+        ifft2_planes_half(x, x, True)
+    y = jnp.zeros((1, 33, 64), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        ifft2_planes_half(y, y, inverse=False)
+
+
+@pytest.mark.parametrize("normals,fields_kernel", [
+    ("stencil", False), ("stencil", True), ("spectral", False)])
+def test_half_spectrum_step_matches_packed(normals, fields_kernel):
+    """Flagship-shaped parity: half_spectrum vs plain packed on the SAME
+    injected h0 (CLAUDE.md: one shared h0, never independent draws)."""
+    cfg = _cfg(n=64, normals=normals)
+    h0, h0c = _pair(64)
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+              pallas_fields=fields_kernel)
+    ref = OceanSolver(cfg, **kw)
+    got = OceanSolver(cfg, half_spectrum=True, **kw)
+    s_ref = ref.init(h0=h0, h0_conj=h0c)
+    s_got = got.init(h0=h0, h0_conj=h0c)
+    for _ in range(3):
+        s_ref, f_ref = ref.step(s_ref, 1 / 60)
+        s_got, f_got = got.step(s_got, 1 / 60)
+    _assert_fields_close(f_got, f_ref, 5e-6)
+
+
+def test_half_spectrum_validation():
+    cfg = _cfg(n=64)
+    with pytest.raises(ValueError, match="pack_channels"):
+        OceanSolver(cfg, fft_backend="pallas", real_state=True,
+                    half_spectrum=True)
+    with pytest.raises(ValueError, match="real_state"):
+        OceanSolver(cfg, fft_backend="pallas", pack_channels=True,
+                    half_spectrum=True)
+    with pytest.raises(ValueError, match="real_state|pallas"):
+        OceanSolver(cfg, fft_backend="pallas_fused", real_state=True,
+                    pack_channels=True, half_spectrum=True)
+    with pytest.raises(ValueError, match="resolution"):
+        OceanSolver(_cfg(n=24), fft_backend="pallas", real_state=True,
+                    pack_channels=True, half_spectrum=True)
+
+
+def test_half_spectrum_simulation_passthrough(tmp_path):
+    """Simulation(**solver_kw) carries the switch; checkpoint/resume keeps
+    the trajectory bitwise (same wire format — no new state)."""
+    from tpu_ocean.runtime import Simulation
+    cfg = _cfg(n=64)
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+              half_spectrum=True)
+    sim = Simulation(cfg, out_dir=str(tmp_path), checkpoint_every=2, **kw)
+    assert sim.solver.half_spectrum
+    sim.run(2)
+    sim.close()
+    sim2 = Simulation(cfg, out_dir=str(tmp_path), checkpoint_every=2, **kw)
+    assert sim2.step_count == 2
+    f_a = sim.step()
+    f_b = sim2.step()
+    np.testing.assert_array_equal(np.asarray(f_a.height),
+                                  np.asarray(f_b.height))
+    sim2.close()

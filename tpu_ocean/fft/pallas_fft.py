@@ -566,6 +566,104 @@ def fft1d_natural_large(re, im, inverse: bool,
     return ore.reshape(c, m, n), oim.reshape(c, m, n)
 
 
+# ---------------------------------------------------------------------------
+# Half-spectrum (C2R) route — the per-transform half of the Hermitian
+# symmetry (VERDICT r3 #1). A Hermitian spectrum S[k1,k2] = conj(S[-k1,-k2])
+# transforms to a REAL field, so the full complex 2-D pipeline computes
+# twice the information it keeps. This route harvests it:
+#
+#   1. row pass on spectral rows k1 = 0..N/2-1 only (+ the Nyquist row via a
+#      one-row einsum): x̂[k1, n2] for the top half. By Hermitian symmetry
+#      x̂[N-k1, n2] = conj(x̂[k1, n2]), so the bottom half is never computed.
+#   2. column pass as the classic C2R even/odd fold (the same identity the
+#      reference's Stockham two-channel packing uses one level shallower,
+#      Stockham.shader:53-54): with M = N/2 and Y[k] = x̂[k, n2],
+#
+#          v[m]  = x[2m, n2] + i·x[2m+1, n2]
+#                = Σ_{k=0}^{M-1} V[k] e^{+2πi mk/M},
+#          V[k]  = P[k] + i·w[k]·Q[k],   w[k] = e^{+2πi k/N},
+#          P     = Y + conj(G),  Q = Y − conj(G),
+#          G[k]  = Y[M−k]  (G[0] = Y[M], the Nyquist plane).
+#
+#      One length-M complex transform per column instead of length-N, then
+#      the outputs interleave as even/odd spatial rows.
+#
+# Cost per Hermitian channel ≈ half a full channel on BOTH passes — and the
+# column pass's stage intermediates (the measured 4096² HBM bottleneck,
+# BASELINE.md r3 probes) halve with it. Composes with pack_channels: the
+# last packed channel carries a single real field (A = 0 in
+# evolve.packed_coefficients), so its spectrum is exactly Hermitian.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _c2r_twiddles_np(m: int, inverse: bool):
+    """w[k] = e^{±2πi k / (2m)} for the C2R even/odd fold."""
+    sign = +1.0 if inverse else -1.0
+    w = np.exp(sign * 2j * np.pi * np.arange(m) / (2 * m))
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+def _c2r_combine(yr, yi, nyqr, nyqi, inverse: bool, axis: int):
+    """V[k] = (Y + conj(G)) + i·w·(Y − conj(G)) along ``axis`` (the k1
+    axis of the half row-pass output); nyq* are the Nyquist planes shaped
+    with a size-1 dim at ``axis``. Pure XLA elementwise + flip — runs
+    between the two Pallas passes."""
+    m = yr.shape[axis]
+    wc_np, ws_np = _c2r_twiddles_np(m, inverse)
+    shape = [1] * yr.ndim
+    shape[axis] = m
+    wc = jnp.asarray(wc_np).reshape(shape)
+    ws = jnp.asarray(ws_np).reshape(shape)
+    ax = axis % yr.ndim
+    gr = jnp.concatenate(
+        [nyqr, jnp.flip(lax.slice_in_dim(yr, 1, None, axis=ax), ax)], ax)
+    gi = jnp.concatenate(
+        [nyqi, jnp.flip(lax.slice_in_dim(yi, 1, None, axis=ax), ax)], ax)
+    pr, pi = yr + gr, yi - gi
+    qr, qi = yr - gr, yi + gi
+    return (pr - wc * qi - ws * qr,
+            pi + wc * qr - ws * qi)
+
+
+def ifft2_planes_half(re, im, inverse: bool = True,
+                      precision=lax.Precision.HIGHEST):
+    """Half-spectrum 2-D inverse transform: (re, im) [C, N/2+1, N] — rows
+    k1 = 0..N/2 of a HERMITIAN spectrum — → REAL spatial fields [C, N, N]
+    (one f32 array; the Im part is identically zero and never computed).
+    Unnormalized, same conventions as ifft2_planes_auto. Both regimes:
+    transposed-store Pallas ≤ MAX_PALLAS_N, natural-store + einsum column
+    beyond."""
+    if not inverse:
+        raise NotImplementedError("the C2R fold is derived for the inverse "
+                                  "transform (the solver's only direction)")
+    c, mp1, n = re.shape
+    m = mp1 - 1
+    if 2 * m != n:
+        raise ValueError(f"half-spectrum input must carry N/2+1 rows; "
+                         f"got {mp1} for N={n}")
+    from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
+                                      ifft1d_planes_axis2)
+    # Nyquist spectral row: one-row transform (2·N² MACs — noise)
+    nyr, nyi = ifft1d_planes_lastaxis(re[:, m:, :], im[:, m:, :],
+                                      inverse, precision)       # [C, 1, N]
+    if n <= MAX_PALLAS_N:
+        # transposed regime: k1 lands on the LANE axis after pass 1
+        yr, yi = _fft1d_transposed(re[:, :m], im[:, :m], inverse,
+                                   precision)                   # [C, N, M]
+        vr, vi = _c2r_combine(yr, yi,
+                              jnp.swapaxes(nyr, -1, -2),
+                              jnp.swapaxes(nyi, -1, -2), inverse, axis=-1)
+        xr, xi = _fft1d_transposed(vr, vi, inverse, precision)  # [C, M, N]
+    else:
+        # natural regime: k1 stays on axis -2; einsum column pass at length M
+        yr, yi = fft1d_natural_large(re[:, :m], im[:, :m], inverse,
+                                     precision)                 # [C, M, N]
+        vr, vi = _c2r_combine(yr, yi, nyr, nyi, inverse, axis=-2)
+        xr, xi = ifft1d_planes_axis2(vr, vi, inverse, precision)
+    # x[2m] = Re v[m], x[2m+1] = Im v[m]: interleave as even/odd rows
+    return jnp.stack([xr, xi], axis=2).reshape(c, n, n)
+
+
 def ifft2_pallas(x: jnp.ndarray, inverse: bool = True,
                  precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """Unnormalized inverse FFT over the last two axes of [..., N, N].

@@ -99,7 +99,8 @@ class OceanSolver:
     def __init__(self, cfg: OceanConfig, fft_backend: str = "reference",
                  eval_mode: str = "fft", pallas_fields: bool = False,
                  real_state: bool = False,
-                 pack_channels: Optional[bool] = None):
+                 pack_channels: Optional[bool] = None,
+                 half_spectrum: bool = False):
         if eval_mode not in ("fft", "direct"):
             raise ValueError(f"bad eval_mode {eval_mode!r}")
         if real_state:
@@ -181,6 +182,27 @@ class OceanSolver:
         #: channels actually transformed (= _nch unless packed)
         self._pch = ((2 if self._nch == 3 else 3) if self.pack_channels
                      else self._nch)
+        # Half-spectrum (C2R) route for the LAST packed channel: that
+        # channel carries a single real field (A = 0 in
+        # evolve.packed_coefficients → its spectrum is exactly Hermitian
+        # after symmetrize), so pallas_fft.ifft2_planes_half transforms only
+        # spectral rows 0..N/2 and folds the conjugate half analytically —
+        # ~half that channel's transform cost on both axes. 3 live fields
+        # then ride 1.5 transform-equivalents (the information floor), down
+        # from packing's 2. Requires the Hermitian projection packing
+        # already performs, hence pack_channels; plane-based pipeline only.
+        if half_spectrum:
+            if not self.pack_channels:
+                raise ValueError("half_spectrum rides the last PACKED "
+                                 "channel's Hermitian structure — it "
+                                 "requires pack_channels=True")
+            if not real_state or fft_backend != "pallas":
+                raise ValueError("half_spectrum supports the plane-based "
+                                 "real_state 'pallas' pipeline only")
+            if cfg.resolution % 16 != 0 or cfg.resolution < 64:
+                raise ValueError("half_spectrum needs resolution % 16 == 0 "
+                                 "and >= 64 (the N/2-length column kernels)")
+        self.half_spectrum = bool(half_spectrum)
         consts = {
             "omega": np.asarray(omega_grid(cfg), dtype=np.float32),
         }
@@ -408,7 +430,8 @@ class OceanSolver:
                              pack_channels=(self.pack_channels
                                             if new_cfg.spectrum_layout
                                             == self.cfg.spectrum_layout
-                                            else None))
+                                            else None),
+                             half_spectrum=self.half_spectrum)
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution
@@ -524,6 +547,24 @@ class OceanSolver:
                 else:
                     from tpu_ocean.evolve import assemble_spectra_real
                     re, im = assemble_spectra_real(pair, phase, c["coeffs"])
+            if self.pack_channels and self.half_spectrum:
+                from tpu_ocean.fft.pallas_fft import ifft2_planes_half
+                mh = cfg.resolution // 2
+                with jax.named_scope("ifft2"):
+                    re_f, im_f = ifft2_planes_auto(re[:-1], im[:-1], True,
+                                                   self._mxu_precision)
+                with jax.named_scope("ifft2_half"):
+                    # XLA narrows the assembly to the sliced rows (the
+                    # slice feeds the only consumer of channel -1)
+                    last = ifft2_planes_half(re[-1:, :mh + 1],
+                                             im[-1:, :mh + 1], True,
+                                             self._mxu_precision)[0]
+                with jax.named_scope("fields"):
+                    if self._nch == 3:
+                        return self._extract_fields_planes(
+                            re_f[0], im_f[0], last, None, None, c)
+                    return self._extract_fields_planes(
+                        re_f[0], im_f[0], re_f[1], im_f[1], last, c)
             with jax.named_scope("ifft2"):
                 re, im = ifft2_planes_auto(re, im, True,
                                            self._mxu_precision)
