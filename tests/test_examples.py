@@ -71,3 +71,13 @@ def test_lod_cascade_reports_skipped_work():
     assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
     assert "band-FFT invocations" in r.stdout
     assert "skipped by the" in r.stdout
+
+
+def test_spray_on_pond_family(tmp_path):
+    """--family pond: spray seeds from the Gerstner bank's closed-form
+    velocity at rising crests (VERDICT r3 #7)."""
+    out = str(tmp_path / "pond_spray.png")
+    r = _run(["examples/spray.py", "--family", "pond", "--n", "48",
+              "--steps", "8", "--v-min", "0.05", "--out", out])
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-800:]
+    assert "pond spray" in r.stdout and os.path.getsize(out) > 300

@@ -475,6 +475,47 @@ def test_concurrent_connects_admit_in_parallel():
             silent.close()
 
 
+def test_serves_pond_family_with_velocity():
+    """The pond family (PondSimulation) streams through the same wire
+    protocol: height/normal aliases plus the computed velocity plane
+    (gerstner_velocity) — pond/ocean serving symmetry (VERDICT r3 #7)."""
+    from tpu_ocean.config import PondConfig
+    from tpu_ocean.runtime import PondSimulation
+    sim = PondSimulation(PondConfig(resolution=64), dt=1 / 60)
+    with FrameServer(sim, fields=("height", "normal", "velocity")) as server:
+        host, port = server.address
+        frames = []
+        errs = []
+
+        def client():
+            try:
+                frames.extend(stream_frames(host, port, max_frames=2))
+            except Exception as e:
+                errs.append(e)
+
+        t = threading.Thread(target=client)
+        t.start()
+        while server.client_count == 0 and t.is_alive():
+            pass
+        server.run(steps=3)
+        t.join(timeout=30)
+        assert not t.is_alive() and not errs, errs
+
+    assert frames[0][1]["height"].shape == (64, 64)
+    assert frames[0][1]["normal"].shape == (64, 64, 3)
+    v = frames[-1][1]["velocity"]
+    assert v.shape == (64, 64) and np.isfinite(v).all() and np.abs(v).max() > 0
+    # velocity equals the solver's own closed form at the frame's clock
+    from tpu_ocean.gerstner import PondSolver
+    offline = PondSolver(PondConfig(resolution=64))
+    for meta, planes in frames:
+        want = np.asarray(offline.velocity(meta["t"]))
+        np.testing.assert_allclose(planes["velocity"], want, atol=1e-6)
+        np.testing.assert_allclose(
+            planes["height"], np.asarray(offline.fields(meta["t"]).offset_y),
+            atol=1e-6)
+
+
 def test_solo_strided_client_still_advances():
     """Regression: with ONLY a strided client connected, the broadcast must
     still run on its off-phase frames (it advances the stride counter) —

@@ -217,3 +217,46 @@ def test_lod_velocity_is_displayed_surface_rate():
     # plain cascade's at the same state phase — delegate identity
     v_inner = np.asarray(lod.inner.velocity(st.cascade))
     np.testing.assert_array_equal(v, v_inner)
+
+
+# ------------------------------------------------- pond family (VERDICT r3 #7)
+
+@pytest.mark.parametrize("mode", ["gerstner", "wave"])
+def test_pond_velocity_matches_fd(mode):
+    """PondSolver.velocity (gerstner_velocity / sinusoid_velocity): the
+    closed-form ∂h/∂t matches a central finite difference of the bank's own
+    height output."""
+    from tpu_ocean.config import PondConfig
+    from tpu_ocean.gerstner import PondSolver
+    cfg = PondConfig(resolution=64, displacement_mode=mode)
+    solver = PondSolver(cfg)
+    t, eps = 1.7, 1e-3
+    v = np.asarray(solver.velocity(t))
+    hp = np.asarray(solver.fields(t + eps).offset_y)
+    hm = np.asarray(solver.fields(t - eps).offset_y)
+    fd = (hp - hm) / (2 * eps)
+    assert _rel_l2(v, fd) < 1e-3
+    assert np.abs(v).max() > 0
+
+
+def test_pond_velocity_off_mode_is_zero():
+    from tpu_ocean.config import PondConfig
+    from tpu_ocean.gerstner import PondSolver
+    cfg = PondConfig(resolution=32, displacement_mode="off")
+    assert np.abs(np.asarray(PondSolver(cfg).velocity(2.0))).max() == 0.0
+
+
+def test_pond_simulation_state_is_clock():
+    """PondSimulation.state is the sim clock — what solver.velocity consumes
+    on the serving path (runtime.PondSimulation docstring)."""
+    from tpu_ocean.config import PondConfig
+    from tpu_ocean.runtime import PondSimulation
+    sim = PondSimulation(PondConfig(resolution=32), dt=0.25)
+    sim.run(3)
+    assert sim.state == pytest.approx(0.75)
+    v_sim = np.asarray(sim.solver.velocity(sim.state))
+    v_ref = np.asarray(sim.solver.velocity(0.75))
+    np.testing.assert_array_equal(v_sim, v_ref)
+    # fields carry the serving aliases (height == offset_y)
+    np.testing.assert_array_equal(np.asarray(sim.fields.height),
+                                  np.asarray(sim.fields.offset_y))

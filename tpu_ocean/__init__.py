@@ -26,7 +26,7 @@ from tpu_ocean.config import (
 )
 from tpu_ocean.solver import OceanState, OceanFields, OceanSolver
 from tpu_ocean.gerstner import PondSolver, WaveBank
-from tpu_ocean.runtime import Simulation
+from tpu_ocean.runtime import Simulation, PondSimulation
 
 __version__ = "0.1.0"
 
@@ -42,6 +42,7 @@ __all__ = [
     "PondSolver",
     "WaveBank",
     "Simulation",
+    "PondSimulation",
 ]
 
 # Heavier subsystems import lazily from their modules:

@@ -121,6 +121,20 @@ class PondFields(NamedTuple):
     offset_z: jax.Array
     normal: jax.Array        # [N, N, 3]
 
+    # serving aliases: the pond family streams through the same wire names
+    # as the ocean (serve.STREAMABLE), so one client consumes either
+    @property
+    def height(self):
+        return self.offset_y
+
+    @property
+    def disp_x(self):
+        return self.offset_x
+
+    @property
+    def disp_z(self):
+        return self.offset_z
+
 
 def gerstner_eval(bank: WaveBank, x, z, t, normal_mode: str = "analytic"):
     """Evaluate the wave bank at positions (x, z), time t. Pure jnp; fuses
@@ -195,6 +209,36 @@ def sinusoid_eval(cfg: PondConfig, x, z, t):
     return PondFields(zeros, y0, zeros, n)
 
 
+def gerstner_velocity(bank: WaveBank, x, z, t):
+    """Analytic vertical surface velocity ∂y/∂t of the Gerstner bank:
+
+        y(p, t) = Σ a_w sin(f_w·dot(d_w, p) + ω_w t)
+        ∂y/∂t   = Σ a_w ω_w cos(f_w·dot(d_w, p) + ω_w t)
+
+    The pond twin of OceanSolver.velocity (iω-weighted spectrum) — closed
+    form, no finite differencing; what spray/Doppler/FSI consumers read
+    (MistralWaterLib.cginc:71-99 is the evaluated bank)."""
+    arrs = bank.as_arrays()
+    amps = jnp.asarray(arrs["amps"])
+    dx = jnp.asarray(arrs["dirs_x"])
+    dz = jnp.asarray(arrs["dirs_z"])
+    freqs = jnp.asarray(arrs["freqs"])
+    omegas = jnp.asarray(arrs["omegas"])
+    phase = (freqs * (x[..., None] * dx + z[..., None] * dz)
+             + omegas * jnp.asarray(t, dtype=x.dtype))
+    return jnp.sum(amps * omegas * jnp.cos(phase), axis=-1)
+
+
+def sinusoid_velocity(cfg: PondConfig, x, z, t):
+    """∂y/∂t of the _DISPLACEMENTMODE_WAVE sheet (MistralWaterLib.cginc:134):
+    y = A·sin(s·t + x·f) − A·cos(s·t + z·f)
+    ⇒ ∂y/∂t = A·s·(cos(s·t + x·f) + sin(s·t + z·f))."""
+    a = cfg.amplitude * 0.01
+    st = cfg.speed * jnp.asarray(t, dtype=x.dtype)
+    return a * cfg.speed * (jnp.cos(st + x * cfg.frequency)
+                            + jnp.sin(st + z * cfg.frequency))
+
+
 class PondSolver:
     """Pond solver over a regular grid (the TPU stand-in for the per-vertex
     shader evaluation; BASELINE config 3: 512², 16 waves)."""
@@ -213,6 +257,7 @@ class PondSolver:
         self._x = np.asarray(x, dtype=np.float32)
         self._z = np.asarray(z, dtype=np.float32)
         self._eval = jax.jit(self._eval_impl)
+        self._velocity_jit = jax.jit(self._velocity_impl)
 
     def _eval_impl(self, t):
         mode = self.cfg.displacement_mode
@@ -232,3 +277,22 @@ class PondSolver:
 
     def fields(self, t: float) -> PondFields:
         return self._eval(jnp.asarray(t, dtype=jnp.float32))
+
+    def _velocity_impl(self, t):
+        mode = self.cfg.displacement_mode
+        if mode == "gerstner":
+            return gerstner_velocity(self.bank, jnp.asarray(self._x),
+                                     jnp.asarray(self._z), t)
+        if mode == "wave":
+            return sinusoid_velocity(self.cfg, jnp.asarray(self._x),
+                                     jnp.asarray(self._z), t)
+        return jnp.zeros_like(jnp.asarray(self._x))
+
+    def velocity(self, t) -> jax.Array:
+        """Vertical surface velocity ∂h/∂t [N, N] at time ``t`` — analytic
+        for both wave families (gerstner_velocity / sinusoid_velocity).
+        The pond is stateless in t, so the 'state' a serving runtime holds
+        IS the clock: runtime.PondSimulation passes its t here, making the
+        call signature line up with OceanSolver.velocity(state) on the
+        serving path (serve.FrameServer)."""
+        return self._velocity_jit(jnp.asarray(t, dtype=jnp.float32))

@@ -328,3 +328,58 @@ class CascadeSimulation(Simulation):
         self.cfg = new_cfgs[0]
         if rebuilt:
             self._steps_done = 0   # full re-init: progress restarted
+
+
+class PondSimulation:
+    """The serving-contract runtime for the Gerstner/sinusoid pond family
+    (gerstner.PondSolver): cfg / dt / step() / step_count / state / solver —
+    what serve.FrameServer consumes, so the pond streams through the same
+    wire protocol as the ocean (the reference renders both families from
+    one consumer loop, OceanRenderer.cs:91-110 + the pond material).
+
+    The pond is stateless in t (the reference's vertex shader evaluates
+    _Time directly, MistralWaterLib.cginc:81), so ``state`` IS the clock —
+    which is exactly what PondSolver.velocity consumes, lining the serving
+    path's ``solver.velocity(sim.state)`` call up across families."""
+
+    def __init__(self, cfg, bank=None, normal_mode: str = "analytic",
+                 use_pallas: bool = False, dt: float = 1.0 / 60.0):
+        from tpu_ocean.gerstner import PondSolver
+        self.cfg = cfg
+        self.dt = dt
+        self.solver = PondSolver(cfg, bank=bank, normal_mode=normal_mode,
+                                 use_pallas=use_pallas)
+        self._steps_done = 0
+        self.fields = None
+
+    @property
+    def step_count(self) -> int:
+        return self._steps_done
+
+    @property
+    def state(self):
+        return self._steps_done * self.dt      # t — see class docstring
+
+    @property
+    def world_length(self) -> float:
+        return self.cfg.resolution * self.cfg.unit_width
+
+    def step(self):
+        self._steps_done += 1
+        self.fields = self.solver.fields(self.state)
+        jax.block_until_ready(self.fields.offset_y)
+        return self.fields
+
+    def run(self, steps: int):
+        for _ in range(steps):
+            self.step()
+        return self.fields
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -143,8 +143,12 @@ class FrameServer:
 
         n = sim.cfg.resolution
         # the PLANES' physical extent (cascades: display_length, not
-        # band 0's length) — Simulation.world_length owns that rule
-        self._world_length = getattr(sim, "world_length", sim.cfg.length)
+        # band 0's length) — Simulation.world_length owns that rule.
+        # (Lazy fallback: PondConfig has no .length, but PondSimulation
+        # provides world_length — don't evaluate the default eagerly.)
+        self._world_length = (sim.world_length
+                              if hasattr(sim, "world_length")
+                              else sim.cfg.length)
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._listener = socket.create_server((host, port))
