@@ -33,10 +33,11 @@ def test_pond_demo_cli(tmp_path):
                "--out", str(tmp_path)])
     assert rc == 0
     assert glob.glob(str(tmp_path / "pond_offset_y_*.png"))
-    # both halves of the _REFLECTIONTYPE keyword pair render
-    # (MistralWaterCommon.cginc:149-195): procedural + cubemap/refraction
+    # the full _REFLECTIONTYPE keyword matrix renders
+    # (MistralWaterCommon.cginc:149-195): procedural + cubemap + realtime
     assert glob.glob(str(tmp_path / "pond_render.png"))
     assert glob.glob(str(tmp_path / "pond_render_cubemap.png"))
+    assert glob.glob(str(tmp_path / "pond_render_realtime.png"))
 
 
 def test_shade_pond_cubemap_and_refraction():
@@ -77,7 +78,50 @@ def test_shade_pond_cubemap_and_refraction():
 
     import pytest
     with pytest.raises(ValueError, match="reflection"):
-        viz.shade_pond(flat, reflection="realtime")
+        viz.shade_pond(flat, reflection="screenspace")
+
+
+def test_shade_pond_realtime_planar_reflection():
+    """reflection='realtime' (_REFLECTIONTYPE_REALTIME, MistralWaterCommon
+    .cginc:153-159): the scene frame is MIRRORED about the water plane and
+    sampled at normal-distorted projected texels. A marker placed at scene
+    row r must appear (on flat water, zero distortion) at row N-1-r."""
+    from collections import namedtuple
+    F = namedtuple("F", ["height", "normal", "foam"])
+    n = 16
+    flat = F(height=np.zeros((n, n), np.float32),
+             normal=np.broadcast_to(
+                 np.asarray([0.0, 1.0, 0.0], np.float32), (n, n, 3)).copy(),
+             foam=np.zeros((n, n), np.float32))
+    scene = np.zeros((n, n, 3))
+    scene[3, :, 0] = 1.0                      # red marker stripe at row 3
+    refl = viz.planar_reflection(scene, np.asarray(flat.normal, np.float64),
+                                 distortion=0.0)
+    assert refl[n - 1 - 3, 0, 0] == 1.0       # mirrored about the water line
+    assert refl[3, 0, 0] == 0.0
+
+    # through shade_pond: the mirrored marker row carries more red than the
+    # rest of the frame (fresnel-weighted but nonzero on flat water)
+    rgb = viz.shade_pond(flat, reflection="realtime", scene=scene)
+    assert rgb.shape == (n, n, 3)
+    base = viz.shade_pond(flat, reflection="realtime",
+                          scene=np.zeros((n, n, 3)))
+    assert (rgb[n - 1 - 3] - base[n - 1 - 3])[:, 0].min() > 0
+    np.testing.assert_allclose(rgb[5], base[5])
+
+    # tilted water perturbs the sampled texel (the tex2Dproj bump offset)
+    tilted = np.asarray([0.3, 0.9, 0.0], np.float64)
+    tilted /= np.linalg.norm(tilted)
+    tilt = F(height=np.zeros((n, n), np.float32),
+             normal=np.broadcast_to(tilted.astype(np.float32),
+                                    (n, n, 3)).copy(),
+             foam=np.zeros((n, n), np.float32))
+    refl_t = viz.planar_reflection(scene, np.asarray(tilt.normal, np.float64),
+                                   distortion=8.0)
+    assert not np.array_equal(refl_t, refl)
+    # default scene: renders finite without any asset
+    rgb_d = viz.shade_pond(tilt, reflection="realtime")
+    assert np.isfinite(rgb_d).all() and (rgb_d >= 0).all()
 
 
 def test_cascade_demo_cli(tmp_path):

@@ -114,11 +114,14 @@ def run_pond(args) -> int:
         viz.save_fields(args.out, fields, prefix="pond", step=args.steps)
         viz.save_pond_render_png(os.path.join(args.out, "pond_render.png"),
                                  fields)
-        # the other half of the _REFLECTIONTYPE keyword pair + the GrabPass
+        # the rest of the _REFLECTIONTYPE keyword matrix + the GrabPass
         # refraction stand-in (MistralWaterCommon.cginc:73-195)
         viz.save_pond_render_png(
             os.path.join(args.out, "pond_render_cubemap.png"), fields,
             reflection="cubemap", refraction=True)
+        viz.save_pond_render_png(
+            os.path.join(args.out, "pond_render_realtime.png"), fields,
+            reflection="realtime", refraction=True)
     print(f"# {args.steps} pond steps, {len(bank)} waves: "
           f"{metrics.summary()}", file=sys.stderr)
     return 0

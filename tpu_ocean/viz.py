@@ -126,6 +126,43 @@ def sample_equirect(env: np.ndarray, directions: np.ndarray) -> np.ndarray:
     return env[i, j]
 
 
+def procedural_scene_frame(n: int, sky_color=(0.65, 0.78, 0.9),
+                           horizon_color=(0.85, 0.88, 0.9)) -> np.ndarray:
+    """Asset-free default for shade_pond(reflection='realtime'): a stand-in
+    for what the reference's reflection camera sees above the water — a
+    zenith→horizon gradient with a sun disc and a dark 'dock' strip near
+    the horizon edge (an asymmetric feature, so the mirroring is visible
+    and testable). [N, N, 3] float RGB."""
+    i = np.linspace(0.0, 1.0, n)[:, None]                    # 0 = far/zenith
+    img = (np.asarray(sky_color)[None, None] * (1 - i[..., None])
+           + np.asarray(horizon_color)[None, None] * i[..., None])
+    jj = np.arange(n)[None, :]
+    sun = np.exp(-(((i * n - 0.2 * n) ** 2 + (jj - 0.7 * n) ** 2)
+                   / (0.003 * n * n + 1e-9)))
+    img = img + np.asarray([1.0, 0.96, 0.8])[None, None] * sun[..., None]
+    dock = (i > 0.9).astype(np.float64)                      # near edge
+    img = img * (1 - 0.8 * dock[..., None])
+    return np.clip(img, 0.0, 1.0)
+
+
+def planar_reflection(scene: np.ndarray, normal: np.ndarray,
+                      distortion: float = 8.0) -> np.ndarray:
+    """The _REFLECTIONTYPE_REALTIME analogue (MistralWaterCommon.cginc:
+    153-159): the reference renders the scene from a camera MIRRORED about
+    the water plane into _ReflectionTex and samples it with projected,
+    normal-perturbed UVs (tex2Dproj(_ReflectionTex, I.screenPos + bump)).
+    Here the mirrored render is the ``scene`` frame flipped about the water
+    line, and the projective UV perturbation is the surface normal's xz
+    footprint in texels — the same distortion rule the GrabPass refraction
+    stand-in uses, applied to the mirrored image instead of the bottom."""
+    nn = normal.shape[0]
+    mirrored = np.asarray(scene, np.float64)[::-1]   # reflection-camera flip
+    off_i = np.rint(normal[..., 0] * distortion).astype(np.intp)
+    off_j = np.rint(normal[..., 2] * distortion).astype(np.intp)
+    ii, jj = np.meshgrid(np.arange(nn), np.arange(nn), indexing="ij")
+    return mirrored[(ii + off_i) % nn, (jj + off_j) % nn]
+
+
 def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
                deep_color=(0.02, 0.08, 0.12), sky_color=(0.65, 0.78, 0.9),
                horizon_color=(0.85, 0.88, 0.9), depth: float = 3.0,
@@ -133,6 +170,7 @@ def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
                reflection: str = "procedural",
                cubemap: Optional[np.ndarray] = None,
                cube_tint=(1.0, 1.0, 1.0),
+               scene: Optional[np.ndarray] = None,
                refraction: bool = False,
                bottom: Optional[np.ndarray] = None,
                distortion: float = 8.0) -> np.ndarray:
@@ -148,6 +186,10 @@ def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
         equirect environment map along reflect(-view, normal) with a tint —
         texCUBE(_CubeMap, worldReflect) * _CubeTint (cginc:149-153, 189-195);
         pass ``cubemap=[H, W, 3]`` or get procedural_sky_equirect();
+        ``reflection='realtime'`` is the _REFLECTIONTYPE_REALTIME half:
+        the ``scene`` frame (default procedural_scene_frame) mirrored about
+        the water plane and sampled at normal-distorted projected texels —
+        tex2Dproj(_ReflectionTex, screenPos + bump) (cginc:153-159);
       * ``refraction=True``: the GrabPass stand-in (cginc:98-142) — a
         ``bottom`` image (default: procedural sand checker) sampled at
         normal-DISTORTED texel coordinates (offset = normal.xz · distortion,
@@ -158,9 +200,9 @@ def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
 
     Returns float RGB [N, N, 3] in [0, 1].
     """
-    if reflection not in ("procedural", "cubemap"):
-        raise ValueError(f"reflection must be 'procedural' or 'cubemap', "
-                         f"got {reflection!r}")
+    if reflection not in ("procedural", "cubemap", "realtime"):
+        raise ValueError(f"reflection must be 'procedural', 'cubemap', or "
+                         f"'realtime', got {reflection!r}")
     n = _to_host(fields.normal).astype(np.float64)
     h = _to_host(fields.offset_y if hasattr(fields, "offset_y")
                  else fields.height).astype(np.float64)
@@ -201,6 +243,11 @@ def shade_pond(fields, water_color=(0.12, 0.35, 0.38),
         refl = 2.0 * cos_v[..., None] * n - view[None, None]
         sky = sample_equirect(np.asarray(env, np.float64), refl)
         sky = sky * np.asarray(cube_tint)[None, None]
+    elif reflection == "realtime":
+        if scene is None:
+            scene = procedural_scene_frame(h.shape[0], sky_color=sky_color,
+                                           horizon_color=horizon_color)
+        sky = planar_reflection(scene, n, distortion)
     else:
         refl_pitch = np.clip(2 * cos_v * n[..., 1] - view[1], 0.0, 1.0)
         sky = (np.asarray(horizon_color)[None, None]
