@@ -184,12 +184,16 @@ def _measure_backend(backend: str, res: int, steps: int,
                          half_spectrum=half_spectrum)
     state = solver.init(jax.random.PRNGKey(0))
     dt = 1.0 / 60.0
+    # the solver may auto-route at scale (solver.PALLAS_PLAIN_ROUTE_N);
+    # record it so the evidence names the pipeline that actually ran
+    routed = ({"routed_backend": solver.fft_backend}
+              if solver.fft_backend != backend else {})
     if method == "dispatch":
         m = time_steps_meta(solver._step_impl, state, dt, k1=steps // 8,
                             k2=max(32, steps), method="dispatch",
                             extra=solver._consts)
         return {"backend": backend, "per_step_s": m.per_step_s,
-                "suspect": bool(m.suspect), "forcing": m.forcing}
+                "suspect": bool(m.suspect), "forcing": m.forcing, **routed}
     k = max(8, steps // 4)
     lad = time_steps_ladder(solver._step_impl, state, dt,
                             ks=(k, 8 * k, 64 * k), extra=solver._consts,
@@ -199,7 +203,7 @@ def _measure_backend(backend: str, res: int, steps: int,
             "ladder_ks": lad.ks,
             "ladder_walls_s": [round(w, 5) for w in lad.walls_s],
             "fit_max_rel_resid": round(lad.max_rel_resid, 4),
-            "intercept_ms": round(lad.intercept_s * 1e3, 2)}
+            "intercept_ms": round(lad.intercept_s * 1e3, 2), **routed}
 
 
 def _run_child(task: str, args, timeout_s: float, fields: bool = False,

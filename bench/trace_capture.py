@@ -1,24 +1,28 @@
-"""Device-profiler trace of the flagship step — §5.1 closed on hardware.
+"""Device-profiler trace of the flagship (or sharded) step — §5.1 on hardware.
 
 Rounds 1-2 probed `jax.profiler.trace` on the tunneled runtime and it hung;
 re-probed in round 3 it WORKS (toolchain moved underneath us). This script
-captures a real trace of the flagship 1024² step (pallas + fused fields +
-packed + real_state), parses the Chrome-trace device track, and reports the
-per-step DEVICE-EVENT duration — a timing source fully independent of
-benchlib's K-ladder wall-clock differencing:
+captures a real trace of the step (pallas + fused fields + packed +
+real_state), parses the Chrome-trace device track, and reports the per-step
+DEVICE-EVENT duration — a timing source fully independent of benchlib's
+K-ladder wall-clock differencing:
 
   * benchlib: host walls of one fori executable at several trip counts,
-    slope-fitted (bench.py headline: 0.4176 ms/step).
+    slope-fitted (bench.py headline).
   * here: the TPU profiler's own hardware-timestamped program events.
 
 Agreement between the two is the strongest possible validation of the
-timing methodology on this runtime. Writes bench/TRACE_r3_flagship_1024.json
-and leaves the raw trace (xplane.pb + trace.json.gz) under --out for
-TensorBoard. Run:  timeout 900 python bench/trace_capture.py
+timing methodology on this runtime.
+
+Run:  timeout 900  python bench/trace_capture.py                 # flagship
+      timeout 1800 python bench/trace_capture.py --dist --res 4096
+Writes bench/TRACE_<tag>_<flagship|dist>_<res>.json and leaves the raw
+trace (xplane.pb + trace.json.gz) under --out for TensorBoard.
 """
 
 from __future__ import annotations
 
+import argparse
 import collections
 import glob
 import gzip
@@ -30,29 +34,54 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from tpu_ocean.config import OCEAN_DEMO
-    from tpu_ocean.solver import OceanSolver
 
-    out = (sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv
-           else "/tmp/tpu_ocean_trace_r3")
-    steps = 12
-    cfg = OCEAN_DEMO  # 1024² flagship
-    solver = OceanSolver(cfg, fft_backend="pallas", real_state=True,
-                         pallas_fields=True, pack_channels=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--dist", action="store_true",
+                    help="trace the DistributedOceanSolver shard_map step "
+                         "at D=1 (VERDICT r3 #3: the sharded program had "
+                         "never been profiled)")
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--tag", type=str, default="r4")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    kind = "dist" if args.dist else "flagship"
+    out = args.out or f"/tmp/tpu_ocean_trace_{args.tag}_{kind}_{args.res}"
+
+    cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
+    if args.dist:
+        from jax.sharding import Mesh
+        from tpu_ocean.solver_dist import DistributedOceanSolver
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("shard",))
+        solver = DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
+                                        real_state=True, pack_channels=True,
+                                        pallas_fields=True)
+        extra = (solver._omega, solver._coeffs,
+                 solver._pre_re, solver._pre_im,
+                 solver._post_re, solver._post_im,
+                 solver._x0, solver._z0)
+        step = jax.jit(lambda st, dt: solver._sharded_step(st, dt, *extra))
+    else:
+        from tpu_ocean.solver import OceanSolver
+        solver = OceanSolver(cfg, fft_backend="pallas", real_state=True,
+                             pallas_fields=True, pack_channels=True)
+        consts = solver._consts
+        step = jax.jit(lambda st, dt: solver._step_impl(st, dt, consts))
     state = solver.init(jax.random.PRNGKey(0))
-    step = jax.jit(solver._step_impl)
     dt = jnp.float32(1.0 / 60.0)
 
     # warm (compile outside the trace window)
-    state, f = step(state, dt, solver._consts)
+    state, f = step(state, dt)
     jax.block_until_ready(f.height)
 
     tiny = jax.jit(lambda s: s + 1.0)
     with jax.profiler.trace(out):
-        for _ in range(steps):
-            state, f = step(state, dt, solver._consts)
+        for _ in range(args.steps):
+            state, f = step(state, dt)
         # tinypull INSIDE the window: the in-order queue guarantees every
         # dispatched step executed before the trace closes (benchlib's
         # demonstrated forcing mode on this runtime)
@@ -72,27 +101,29 @@ def main() -> int:
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             occ[e.get("name", "?")].append(e.get("dur", 0))
-    step_events = {k: v for k, v in occ.items() if "_step_impl" in k}
+    # the per-dispatch program event: jit_<fn> / ..._step_impl / shard_map
+    step_events = {k: v for k, v in occ.items()
+                   if "step" in k.lower() and len(v) >= args.steps // 2}
     durs = sorted(us for v in step_events.values() for us in v)
     result = {
         "ok": bool(durs),
-        "what": "TPU profiler device-track durations of the flagship step "
-                "(1024², pallas+fields+packed, real_state) — independent "
-                "cross-check of the benchlib K-ladder headline",
-        "steps_traced": steps,
+        "what": f"TPU profiler device-track durations of the {kind} step "
+                f"({args.res}^2, pallas+fields+packed, real_state) — "
+                "independent cross-check of the benchlib K-ladder",
+        "steps_traced": args.steps,
+        "step_event_names": sorted(step_events),
         "device_step_events": len(durs),
         "device_ms_per_step_median": round(
             durs[len(durs) // 2] / 1e3, 4) if durs else None,
         "device_ms_per_step_min": round(durs[0] / 1e3, 4) if durs else None,
         "device_ms_per_step_max": round(durs[-1] / 1e3, 4) if durs else None,
-        "benchlib_headline_ms": 0.4176,   # bench/BENCH_latest_validated.json
         "other_device_events": {
             k: {"n": len(v), "total_ms": round(sum(v) / 1e3, 4)}
             for k, v in sorted(occ.items()) if k not in step_events},
         "trace_dir": out,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "TRACE_r3_flagship_1024.json")
+                        f"TRACE_{args.tag}_{kind}_{args.res}.json")
     with open(path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))

@@ -93,6 +93,19 @@ class OceanFields(NamedTuple):
     jacobian: jax.Array
 
 
+#: grid sides AT OR ABOVE this auto-route the non-fused 'pallas' backend to
+#: 'pallas_fused' (roadmap #14 / VERDICT r3 #2): at 8192² the non-fused
+#: pipeline materializes the assembled spectrum planes (6 × 256 MB f32
+#: unpacked) ON TOP of the einsum column pass's stage intermediates, and the
+#: r3 family sweep measured it crashing the TPU worker outright
+#: (UNAVAILABLE) — while the fused pipeline (assembly inside the row kernel,
+#: no spectrum round trip) is hardware-verified at 8192² (BASELINE.md:
+#: 73.7 ms/step). The route is internal and automatic so no user-reachable
+#: config can kill the worker; half_spectrum opts out (it is an explicit
+#: plane-pipeline switch and itself removes a third of the planes).
+PALLAS_PLAIN_ROUTE_N = 8192
+
+
 class OceanSolver:
     """Builds and owns the jitted step for a fixed OceanConfig."""
 
@@ -145,6 +158,12 @@ class OceanSolver:
                 warnings.warn(f"{fft_backend} unsupported at N={n}; "
                               f"falling back to 'matmul'")
                 fft_backend = "matmul"
+        if (fft_backend == "pallas" and eval_mode == "fft"
+                and cfg.spectrum_layout == "fft" and not half_spectrum
+                and n >= PALLAS_PLAIN_ROUTE_N):
+            # see PALLAS_PLAIN_ROUTE_N: the non-fused pipeline's extra
+            # materialized planes crash the worker at this scale
+            fft_backend = "pallas_fused"
         self.fft_backend = fft_backend
 
         # ---- trace-time constants ----
