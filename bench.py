@@ -630,7 +630,7 @@ def main():
     if variants:
         out["variants"] = variants
     for key in ("ladder_ks", "ladder_walls_s", "fit_max_rel_resid",
-                "intercept_ms"):
+                "intercept_ms", "routed_backend"):
         if key in best:
             out[key] = best[key]
     if ("+packed" in backend and best_parity is not None

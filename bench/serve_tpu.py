@@ -1,0 +1,141 @@
+"""Measure the serving hot path on the real TPU (VERDICT r3 #5).
+
+test_serve.py proves the protocol functionally (CPU); this measures the
+SYSTEM on hardware: a real_state Simulation stepping on the chip while a
+FrameServer broadcasts to N concurrent clients at mixed {lod, frame_stride},
+plus a deliberately slow client that must trigger drop-oldest (never
+backpressure).
+
+Metrics (wall-clock is CORRECT here, unlike kernel timing: every served
+frame device_gets real f32 planes, and on this runtime a host pull of a
+program's output forces everything enqueued before it — the serving loop's
+wall therefore bounds true throughput INCLUDING transfer; CLAUDE.md's
+benchlib rule is about dispatch-only loops with no pulls):
+
+  * unserved steps/s — the Simulation loop alone (block+pull per frame);
+  * served steps/s with N mixed-LOD clients — interference = ratio;
+  * frames/s delivered per client (client-side receive count / wall);
+  * dropped_frames under a stalled client, with the loop rate intact.
+
+Run on the session TPU:
+    timeout 900 python bench/serve_tpu.py [--res 1024] [--steps 300]
+Writes bench/SERVE_TPU_r4.json. Reference anchor: OceanRenderer.cs:91-110 —
+the per-frame consumer loop this subsystem replaces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import numpy as np
+    import jax
+    from tpu_ocean.config import OCEAN_DEMO
+    from tpu_ocean.runtime import Simulation
+    from tpu_ocean.serve import FrameServer, stream_frames
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--fields", type=str, default="height,normal,velocity")
+    ap.add_argument("--tag", type=str, default="r4")
+    args = ap.parse_args()
+    fields = tuple(args.fields.split(","))
+
+    cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
+    kw = dict(fft_backend="pallas", real_state=True, pallas_fields=True,
+              pack_channels=True)
+
+    # ---- baseline: the unserved loop, forced by pulling one plane per frame
+    sim = Simulation(cfg, **kw)
+    sim.step()                                # compile outside the window
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        f = sim.step()
+        np.asarray(jax.device_get(f.height))  # the pull a consumer would do
+    unserved_s = time.perf_counter() - t0
+    unserved_sps = args.steps / unserved_s
+
+    # ---- served: N mixed clients (full, lod=2, lod=4+stride=2) + a staller
+    sim2 = Simulation(cfg, **kw)
+    sim2.step()
+    counts = {}
+    errs = []
+
+    def client(tag, **ckw):
+        try:
+            n = 0
+            for _meta, _planes in stream_frames(*server.address,
+                                                max_frames=None, **ckw):
+                n += 1
+                counts[tag] = n
+        except Exception as e:               # server close ends the stream
+            if not isinstance(e, (ConnectionError, OSError)):
+                errs.append((tag, repr(e)))
+
+    with FrameServer(sim2, fields=fields, queue_frames=4) as server:
+        threads = [
+            threading.Thread(target=client, args=("full",), daemon=True),
+            threading.Thread(target=client, args=("lod2",),
+                             kwargs=dict(lod=2), daemon=True),
+            threading.Thread(target=client, args=("lod4_stride2",),
+                             kwargs=dict(lod=4, frame_stride=2),
+                             daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        # the stalled client: subscribes, never reads, tiny receive window
+        staller = socket.socket()
+        staller.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        staller.connect(server.address)
+        staller.sendall(b"{}\n")
+        while server.client_count < 4:
+            time.sleep(0.01)
+        t0 = time.perf_counter()
+        server.run(steps=args.steps)
+        served_s = time.perf_counter() - t0
+        dropped = server.dropped_frames
+        staller.close()
+    served_sps = args.steps / served_s
+    time.sleep(0.5)                          # let client threads observe EOF
+
+    out = {
+        "what": "serving hot path on hardware: real_state flagship stepping "
+                "+ FrameServer broadcast to mixed-LOD clients + a stalled "
+                "client (drop-oldest, never backpressure)",
+        "res": args.res, "steps": args.steps, "fields": list(fields),
+        "unserved_steps_per_s": round(unserved_sps, 2),
+        "served_steps_per_s": round(served_sps, 2),
+        "interference_pct": round(100.0 * (unserved_sps / served_sps - 1.0),
+                                  2),
+        "client_frames": counts,
+        "client_frames_per_s": {k: round(v / served_s, 2)
+                                for k, v in counts.items()},
+        "dropped_frames_with_staller": dropped,
+        "client_errors": errs,
+        "note": "wall-clock valid here: every frame device_gets real f32 "
+                "planes (forcing pull); this measures the SYSTEM incl. "
+                "transfer, not the kernel (that is bench.py's job)",
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"SERVE_TPU_{args.tag}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    ok = (not errs and dropped > 0
+          and counts.get("full", 0) > 0
+          and counts.get("lod4_stride2", 0) > 0)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

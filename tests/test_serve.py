@@ -516,6 +516,47 @@ def test_serves_pond_family_with_velocity():
             atol=1e-6)
 
 
+def test_one_device_pull_per_frame_with_mixed_lod_clients():
+    """Interference bound (ADVICE r3 / VERDICT r3 #5): the solver loop's
+    serving overhead must not scale with client count — _host_planes (the
+    only device→host transfer) runs at most ONCE per frame no matter how
+    many LOD divisors are subscribed."""
+    sim = Simulation(CFG, fft_backend="matmul")
+    with FrameServer(sim, fields=("height",)) as server:
+        host, port = server.address
+        calls = {"n": 0}
+        orig = server._host_planes
+
+        def counting(fields):
+            calls["n"] += 1
+            return orig(fields)
+
+        server._host_planes = counting
+        got = {}
+        errs = []
+
+        def client(tag, **kw):
+            try:
+                got[tag] = list(stream_frames(host, port, max_frames=2, **kw))
+            except Exception as e:
+                errs.append((tag, e))
+
+        threads = [threading.Thread(target=client, args=(f"c{d}",),
+                                    kwargs=dict(lod=d)) for d in (1, 2, 4)]
+        for t in threads:
+            t.start()
+        while server.client_count < 3 and any(t.is_alive() for t in threads):
+            pass
+        steps = 4
+        server.run(steps=steps)
+        server.stop()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs, errs
+    assert calls["n"] <= steps           # once per frame, NOT per divisor
+    assert all(len(v) == 2 for v in got.values())
+
+
 def test_solo_strided_client_still_advances():
     """Regression: with ONLY a strided client connected, the broadcast must
     still run on its off-phase frames (it advances the stride counter) —
