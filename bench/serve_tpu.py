@@ -43,6 +43,15 @@ def main() -> int:
     from tpu_ocean.runtime import Simulation
     from tpu_ocean.serve import FrameServer, stream_frames
 
+    # persistent compile cache (bench.py policy): a retried run after a
+    # tunnel outage skips the multi-minute Mosaic recompiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tpu_ocean_jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=300)
@@ -51,19 +60,28 @@ def main() -> int:
     args = ap.parse_args()
     fields = tuple(args.fields.split(","))
 
+    def note(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
     cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
     kw = dict(fft_backend="pallas", real_state=True, pallas_fields=True,
               pack_channels=True)
 
     # ---- baseline: the unserved loop, forced by pulling one plane per frame
     sim = Simulation(cfg, **kw)
+    note("compiling step...")
     sim.step()                                # compile outside the window
+    if "velocity" in fields:
+        np.asarray(jax.device_get(sim.solver.velocity(sim.state)))
+    note("unserved baseline loop...")
     t0 = time.perf_counter()
     for _ in range(args.steps):
         f = sim.step()
         np.asarray(jax.device_get(f.height))  # the pull a consumer would do
     unserved_s = time.perf_counter() - t0
     unserved_sps = args.steps / unserved_s
+    note(f"unserved: {unserved_sps:.2f} steps/s")
 
     # ---- served: N mixed clients (full, lod=2, lod=4+stride=2) + a staller
     sim2 = Simulation(cfg, **kw)
@@ -100,9 +118,11 @@ def main() -> int:
         staller.sendall(b"{}\n")
         while server.client_count < 4:
             time.sleep(0.01)
+        note("serving loop...")
         t0 = time.perf_counter()
         server.run(steps=args.steps)
         served_s = time.perf_counter() - t0
+        note(f"served: {args.steps / served_s:.2f} steps/s")
         dropped = server.dropped_frames
         staller.close()
     served_sps = args.steps / served_s

@@ -65,6 +65,15 @@ def run_soak(args) -> dict:
     from tpu_ocean.solver import OceanSolver
     from tpu_ocean.checkpoint import save_checkpoint, load_checkpoint
 
+    # persistent compile cache (bench.py policy): the orchestrator's four
+    # children share one compiled executable instead of four Mosaic compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tpu_ocean_jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     cfg = _cfg(args.res)
     solver = OceanSolver(cfg, fft_backend="pallas", real_state=True,
                          pallas_fields=True, pack_channels=True,

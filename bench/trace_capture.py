@@ -39,6 +39,15 @@ def main() -> int:
     import jax.numpy as jnp
     from tpu_ocean.config import OCEAN_DEMO
 
+    # persistent compile cache (bench.py policy): retries after tunnel
+    # outages skip the multi-minute Mosaic recompiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tpu_ocean_jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--dist", action="store_true",
