@@ -58,7 +58,12 @@ _REAL_BACKENDS = ("pallas", "pallas_fused")   # support real_state=True
 #: #1: the last packed channel's C2R route, 1.5 transform-equivalents); the
 #: unfused-stencil comparison point last.
 _REAL_SWEEP = (("pallas", True, False, False), ("pallas", True, True, False),
-               ("pallas", True, True, True), ("pallas", False, False, False))
+               ("pallas", True, True, True),
+               # assembly fused INTO the row pass — r1 compared it only
+               # under broken dispatch timing and without packing; give the
+               # auto headline the chance to pick it (r4)
+               ("pallas_fused", True, True, False),
+               ("pallas", False, False, False))
 
 
 def _variant_label(backend: str, fields: bool, packed: bool,
