@@ -127,16 +127,10 @@ def _store_ledger(out: dict, res: int = _FLAGSHIP_RES):
 
 
 def _enable_compile_cache():
-    """Persistent compilation cache: a retried child skips recompiles when
-    the PJRT plugin supports executable serialization (silently a no-op —
-    one JAX warning per compile — where it does not)."""
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/tpu_ocean_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    """Persistent compilation cache shared by every harness — see
+    tpu_ocean.benchlib.enable_compile_cache."""
+    from tpu_ocean.benchlib import enable_compile_cache
+    enable_compile_cache()
 
 
 def _measure_canary() -> dict:
@@ -304,6 +298,18 @@ def _step_model(label: str, n: int):
     return float(flops), planes * n * n * 4.0
 
 
+def _model_label(r: dict) -> str:
+    """The label the FLOP/byte model should cost: when the solver rerouted
+    internally (N ≥ PALLAS_PLAIN_ROUTE_N sends 'pallas' to 'pallas_fused'),
+    the bytes model must follow the pipeline that actually RAN, not the one
+    requested — r4's 8192² route evidence was ~36/28 overstated otherwise."""
+    label = r["backend"]
+    routed = r.get("routed_backend")
+    if routed and routed != label.split("+")[0]:
+        label = "+".join([routed] + label.split("+")[1:])
+    return label
+
+
 def _roofline_fields(label: str, n: int, step_s: float) -> dict:
     flops, bytes_ = _step_model(label, n)
     return {
@@ -434,8 +440,11 @@ def main():
 
     # single-backend children scale with the grid: the K-ladder's top rung
     # alone costs ~70 s at 8192² (plus a cold Mosaic compile) — a flat
-    # 150 s child timeout silently nulled every large-N family capture
-    single_child_s = max(150.0, min(560.0, 150.0 * (args.res / 2048.0) ** 2))
+    # 150 s child timeout silently nulled every large-N family capture, and
+    # the r4 family showed 560 s is not enough for a COLD 8192² compile
+    # over the tunnel either (three children died at 560 s in a row; the
+    # persistent cache never populates when the compile itself is killed)
+    single_child_s = max(150.0, min(1200.0, 150.0 * (args.res / 2048.0) ** 2))
     measure = ((lambda t, f=False: _run_child(
                     t, args,
                     {"realsweep": 560.0, "calibrate": 210.0,
@@ -493,7 +502,13 @@ def main():
                 if "error" in r:
                     print(f"# backend {r.get('backend', '?')}: FAILED "
                           f"({r['error']})", file=sys.stderr)
-                    if r.get("backend"):
+                    # ban only DETERMINISTIC refusals (bad variant at this
+                    # N). Runtime/tunnel errors (XlaRuntimeError UNAVAILABLE
+                    # mid-ladder, ...) are outages wearing an error line —
+                    # the retry loop exists precisely to re-attempt them.
+                    if r.get("backend") and r["error"].split(":")[0] in (
+                            "ValueError", "NotImplementedError",
+                            "TypeError"):
                         failed.add(r["backend"])
                     continue
                 done.add(r["backend"])
@@ -606,7 +621,7 @@ def main():
     n = args.res
     gps = n * n / step_s
     baseline_gps = 1024 * 1024 * 60.0  # reference: 1024² @ 60 FPS implied
-    _, model_bytes = _step_model(backend, n)
+    _, model_bytes = _step_model(_model_label(best), n)
     implied_tbps = model_bytes / step_s / 1e12
     # a calibration child that errored (slow tunnel startup) does not
     # invalidate a ladder that passed its own monotonicity/linearity/
@@ -626,11 +641,12 @@ def main():
         "implied_hbm_tbps": round(implied_tbps, 2),
     }
     if not suspect:
-        out.update(_roofline_fields(backend, n, step_s))
+        out.update(_roofline_fields(_model_label(best), n, step_s))
     # roofline fractions for EVERY valid measured variant (VERDICT r3 #6)
     variants = [dict({"backend": r["backend"],
                       "ms_per_step": round(r["per_step_s"] * 1e3, 4)},
-                     **_roofline_fields(r["backend"], n, r["per_step_s"]))
+                     **_roofline_fields(_model_label(r), n,
+                                        r["per_step_s"]))
                 for r in collected if not r["suspect"]]
     if variants:
         out["variants"] = variants

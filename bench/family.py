@@ -90,6 +90,13 @@ def main() -> int:
                          if l.startswith("{")]
                 rec = json.loads(lines[-1]) if lines else {
                     "value": None, "error": f"no output (rc={p.returncode})"}
+                if rec.get("value") is None:
+                    # keep the per-backend failure lines for the post-mortem
+                    # (they go to the child's stderr and were lost in r4's
+                    # first 8192² family failure)
+                    rec["stderr_tail"] = [
+                        l for l in p.stderr.splitlines()[-12:]
+                        if not l.startswith("WARNING")]
             except subprocess.TimeoutExpired:
                 rec = {"value": None, "error": "family child timeout"}
             rec["res"] = res

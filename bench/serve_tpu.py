@@ -43,14 +43,8 @@ def main() -> int:
     from tpu_ocean.runtime import Simulation
     from tpu_ocean.serve import FrameServer, stream_frames
 
-    # persistent compile cache (bench.py policy): a retried run after a
-    # tunnel outage skips the multi-minute Mosaic recompiles
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/tpu_ocean_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpu_ocean.benchlib import enable_compile_cache
+    enable_compile_cache()   # retries after outages skip Mosaic recompiles
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)

@@ -5,14 +5,17 @@ the REAL chip. This script runs 10⁴-10⁵ steps on device via chunked jitted
 fori loops with per-chunk physics gates, plus a SIGKILL/resume bitwise
 cross-check:
 
-  gates per chunk (computed IN-JIT, pulled as one tiny all-real vector —
-  the only safe pull pattern on this runtime, CLAUDE.md):
-    * Hs = 4·std(height) inside a drift envelope around the run's initial
-      value (the beat envelope of the quantized/capillary mode mix);
-    * energy = mean(h²) finite and inside the same envelope;
-    * foam_accum bounded in [0, 1] (foam_decay > 0 exercises the
-      accumulator — the r2 boundedness proof, now on hardware);
-    * no NaN anywhere (max|h| finite).
+  gates (stats computed IN-JIT, pulled as one tiny all-real vector — the
+  only safe pull pattern on this runtime, CLAUDE.md):
+    * per chunk: energy/Hs/max|h| finite, zero NaN, foam_accum bounded in
+      [0, 1] (foam_decay > 0 exercises the accumulator — the r2
+      boundedness proof, now on hardware);
+    * whole trajectory: energy = mean(h²) inside the calibrated beat
+      envelope around the RUN MEAN (min > 0.2×mean, max < 3×mean) with no
+      secular first-vs-last-quarter trend — the same invariant the CPU
+      suite pins (tests/test_diagnostics.py
+      test_phase_evolution_is_long_run_stable; beats of ±30% are physical,
+      so chunk-0-relative drift gates would flag the physics).
 
   kill/resume (SURVEY §5.3-5.5 on hardware): --kill-after-chunk K
   checkpoints every chunk boundary (npz v2, all-real wire format) and
@@ -65,20 +68,19 @@ def run_soak(args) -> dict:
     from tpu_ocean.solver import OceanSolver
     from tpu_ocean.checkpoint import save_checkpoint, load_checkpoint
 
-    # persistent compile cache (bench.py policy): the orchestrator's four
-    # children share one compiled executable instead of four Mosaic compiles
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/tpu_ocean_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # honor an explicit CPU request (bench.py policy: the axon
+    # sitecustomize re-points JAX at the tunnel during interpreter start;
+    # only a post-import config update wins over it)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    from tpu_ocean.benchlib import enable_compile_cache
+    enable_compile_cache()   # the orchestrator's 4 children share 1 compile
 
     cfg = _cfg(args.res)
     solver = OceanSolver(cfg, fft_backend="pallas", real_state=True,
                          pallas_fields=True, pack_channels=True,
                          half_spectrum=args.half)
-    dt = jnp.float32(1.0 / 60.0)
+    dt = np.float32(1.0 / 60.0)     # host scalar: embeds, never re-fetched
     ckpt = os.path.join(args.out_dir, "soak_ckpt.npz")
     start_chunk = 0
     if args.resume:
@@ -90,11 +92,13 @@ def run_soak(args) -> dict:
 
     consts = solver._consts
 
-    def chunk_fn(st):
+    # consts enter as a jit ARGUMENT (CLAUDE.md hard rule: closed-over
+    # device arrays are re-fetched over the tunnel at lowering)
+    def chunk_fn(st, c):
         def body(_, s):
-            return solver._step_impl(s, dt, consts)[0]
+            return solver._step_impl(s, dt, c)[0]
         st = lax.fori_loop(0, args.chunk - 1, body, st)
-        st, fields = solver._step_impl(st, dt, consts)
+        st, fields = solver._step_impl(st, dt, c)
         h = fields.height
         stats = jnp.stack([
             4.0 * jnp.std(h),                      # Hs
@@ -108,29 +112,33 @@ def run_soak(args) -> dict:
 
     chunk_jit = jax.jit(chunk_fn, donate_argnums=(0,))
 
+    def run_chunk(st):
+        return chunk_jit(st, consts)
+
     n_chunks = args.steps // args.chunk
-    hs0 = energy0 = None
-    gates_ok = True
-    worst = {"hs_drift": 0.0, "energy_drift": 0.0, "max_abs_h": 0.0,
-             "foam_max": 0.0, "nans": 0.0}
+    # per-chunk gates: finiteness, zero NaN, foam_accum bounded. The
+    # energy/Hs stability gates are applied over the WHOLE trajectory at
+    # the end, mirroring the calibrated CPU invariant
+    # (tests/test_diagnostics.py test_phase_evolution_is_long_run_stable):
+    # phase accumulation only rotates modes, so variance oscillates inside
+    # a beat envelope around the RUN MEAN (±30% beats are physical) —
+    # gating chunk k against chunk 0 would flag the beat itself.
+    per_chunk_ok = True
+    hs_series, e_series = [], []
+    worst = {"max_abs_h": 0.0, "foam_max": 0.0, "nans": 0.0}
     t0 = time.time()
     for k in range(start_chunk, n_chunks):
-        state, stats = chunk_jit(state)
+        state, stats = run_chunk(state)
         s = np.asarray(jax.device_get(stats))   # tiny all-real pull: forces
         hs, energy, max_h, foam_mx, foam_mn, nans = map(float, s)
-        if hs0 is None:
-            hs0, energy0 = hs, energy
-        worst["hs_drift"] = max(worst["hs_drift"], abs(hs / hs0 - 1.0))
-        worst["energy_drift"] = max(worst["energy_drift"],
-                                    abs(energy / energy0 - 1.0))
+        hs_series.append(hs)
+        e_series.append(energy)
         worst["max_abs_h"] = max(worst["max_abs_h"], max_h)
         worst["foam_max"] = max(worst["foam_max"], foam_mx)
         worst["nans"] = max(worst["nans"], nans)
         ok = (np.isfinite([hs, energy, max_h]).all() and nans == 0
-              and 0.0 <= foam_mn and foam_mx <= 1.0 + 1e-6
-              and abs(hs / hs0 - 1.0) < args.drift
-              and abs(energy / energy0 - 1.0) < 2 * args.drift)
-        gates_ok = gates_ok and bool(ok)
+              and 0.0 <= foam_mn and foam_mx <= 1.0 + 1e-6)
+        per_chunk_ok = per_chunk_ok and bool(ok)
         if args.checkpoint_every_chunk or args.kill_after_chunk >= 0:
             save_checkpoint(ckpt, state, cfg)
         if args.kill_after_chunk == k:
@@ -138,17 +146,28 @@ def run_soak(args) -> dict:
                               "step": (k + 1) * args.chunk}), flush=True)
             os.kill(os.getpid(), signal.SIGKILL)   # exact own PID
         if (k - start_chunk) % 10 == 0 or not ok:
-            print(f"# chunk {k + 1}/{n_chunks}: Hs={hs:.4f} "
-                  f"(drift {hs / hs0 - 1.0:+.2%}) E={energy:.5f} "
+            print(f"# chunk {k + 1}/{n_chunks}: Hs={hs:.4f} E={energy:.5f} "
                   f"max|h|={max_h:.3f} foam=[{foam_mn:.3f},{foam_mx:.3f}] "
                   f"nans={nans:.0f} ok={ok}", file=sys.stderr, flush=True)
     wall = time.time() - t0
+    e = np.asarray(e_series)
+    q = max(1, len(e) // 4)
+    # the invariant's envelope: no collapse below 0.2×mean, no blowup
+    # above 3×mean, no secular trend between the first and last quarters
+    envelope_ok = bool(e.min() > 0.2 * e.mean() and e.max() < 3.0 * e.mean())
+    trend = float(e[:q].mean() / e[-q:].mean()) if len(e) >= 2 else 1.0
+    trend_ok = bool(0.5 < trend < 2.0)
     return {
         "steps": n_chunks * args.chunk, "chunk": args.chunk,
         "res": args.res, "resumed_from_chunk": start_chunk,
-        "gates_ok": gates_ok, "worst": worst,
-        "drift_envelope": args.drift,
-        "hs_initial": hs0,
+        "gates_ok": per_chunk_ok and envelope_ok and trend_ok,
+        "per_chunk_ok": per_chunk_ok,
+        "envelope_ok": envelope_ok, "trend_ok": trend_ok,
+        "worst": worst,
+        "energy_envelope": {"min_over_mean": round(float(e.min() / e.mean()), 4),
+                            "max_over_mean": round(float(e.max() / e.mean()), 4),
+                            "first_last_quarter_ratio": round(trend, 4)},
+        "hs_mean": round(float(np.mean(hs_series)), 4),
         "wall_s": round(wall, 1),
         "device_ms_per_step_wall_bound": round(
             wall * 1e3 / max(1, (n_chunks - start_chunk) * args.chunk), 4),
@@ -161,8 +180,12 @@ def orchestrate(args) -> int:
     """Three children: uninterrupted 20k twin → killed-at-random-chunk run →
     resume; final states must match bitwise. Then the long soak."""
     import random
-    base = [sys.executable, os.path.abspath(__file__), "--res",
-            str(args.res)]
+    # forward EVERY physics/pacing flag — kill_at below is computed from
+    # args.chunk, so a child running a different chunk size would let the
+    # SIGKILL silently never fire and the resume test would test nothing
+    base = [sys.executable, os.path.abspath(__file__),
+            "--res", str(args.res), "--chunk", str(args.chunk),
+            ] + (["--half"] if args.half else [])
     outdir = args.out_dir
     os.makedirs(outdir, exist_ok=True)
     short = args.kill_pair_steps
@@ -196,8 +219,9 @@ def orchestrate(args) -> int:
                                args.soak_timeout)
     out = {
         "what": "hardware soak (VERDICT r3 #4): chunked fori on the real "
-                "chip with Hs/energy drift gates, bounded foam_accum, NaN "
-                "gate; SIGKILL at a random chunk boundary + bitwise resume",
+                "chip; energy inside the calibrated beat envelope with no "
+                "secular trend, bounded foam_accum, NaN gate; SIGKILL at a "
+                "random chunk boundary + bitwise resume",
         "kill_resume_bitwise_ok": bitwise,
         "soak_gates_ok": results["soak"].get("gates_ok"),
         **{k: v for k, v in results.items()},
@@ -218,8 +242,6 @@ def main() -> int:
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=100_000)
     ap.add_argument("--chunk", type=int, default=1000)
-    ap.add_argument("--drift", type=float, default=0.25,
-                    help="allowed |Hs/Hs0 - 1| envelope (phase-mode beat)")
     ap.add_argument("--half", action="store_true")
     ap.add_argument("--out-dir", type=str, default="/tmp/tpu_ocean_soak")
     ap.add_argument("--resume", action="store_true")

@@ -39,14 +39,8 @@ def main() -> int:
     import jax.numpy as jnp
     from tpu_ocean.config import OCEAN_DEMO
 
-    # persistent compile cache (bench.py policy): retries after tunnel
-    # outages skip the multi-minute Mosaic recompiles
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/tpu_ocean_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpu_ocean.benchlib import enable_compile_cache
+    enable_compile_cache()   # retries after outages skip Mosaic recompiles
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
@@ -55,10 +49,13 @@ def main() -> int:
                          "at D=1 (VERDICT r3 #3: the sharded program had "
                          "never been profiled)")
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--half", action="store_true",
+                    help="trace the half-spectrum (C2R) headline variant — "
+                         "per-kernel budget of the 0.397 ms r4 flagship")
     ap.add_argument("--tag", type=str, default="r4")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
-    kind = "dist" if args.dist else "flagship"
+    kind = "dist" if args.dist else ("half" if args.half else "flagship")
     out = args.out or f"/tmp/tpu_ocean_trace_{args.tag}_{kind}_{args.res}"
 
     cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
@@ -73,13 +70,21 @@ def main() -> int:
                  solver._pre_re, solver._pre_im,
                  solver._post_re, solver._post_im,
                  solver._x0, solver._z0)
-        step = jax.jit(lambda st, dt: solver._sharded_step(st, dt, *extra))
+        # consts as ARGUMENTS (CLAUDE.md hard rule: closed-over device
+        # arrays are re-fetched at lowering — minutes over the tunnel) and
+        # a jit name carrying 'step' so the device-track filter below can
+        # find the program event (jit__sharded_step / jit__step_impl — a
+        # lambda would trace as 'jit__lambda' and match nothing)
+        step_fn = jax.jit(solver._sharded_step)
+        step = lambda st, dt: step_fn(st, dt, *extra)
     else:
         from tpu_ocean.solver import OceanSolver
         solver = OceanSolver(cfg, fft_backend="pallas", real_state=True,
-                             pallas_fields=True, pack_channels=True)
+                             pallas_fields=True, pack_channels=True,
+                             half_spectrum=args.half)
         consts = solver._consts
-        step = jax.jit(lambda st, dt: solver._step_impl(st, dt, consts))
+        step_fn = jax.jit(solver._step_impl)
+        step = lambda st, dt: step_fn(st, dt, consts)
     state = solver.init(jax.random.PRNGKey(0))
     dt = jnp.float32(1.0 / 60.0)
 
@@ -110,10 +115,23 @@ def main() -> int:
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             occ[e.get("name", "?")].append(e.get("dur", 0))
-    # the per-dispatch program event: jit_<fn> / ..._step_impl / shard_map
+    # the per-dispatch program event: jit_<fn> / ..._step_impl / shard_map.
+    # Sub-fragments of the same program ('_step_local.2', ...) also carry
+    # 'step' — pooling them with the outer event would publish a fragment
+    # median as the step time (seen on the r4 dist capture: 3.08 ms pooled
+    # vs the 16.4 ms program). Prefer the OUTER jit_ program event.
     step_events = {k: v for k, v in occ.items()
                    if "step" in k.lower() and len(v) >= args.steps // 2}
-    durs = sorted(us for v in step_events.values() for us in v)
+
+    def _med(v):
+        s = sorted(v)
+        return s[len(s) // 2]
+
+    outer_names = [k for k in step_events if k.startswith("jit_")]
+    outer = (max(outer_names or step_events or [None],
+                 key=lambda k: _med(step_events[k])) if step_events
+             else None)
+    durs = sorted(step_events.get(outer, []))
     result = {
         "ok": bool(durs),
         "what": f"TPU profiler device-track durations of the {kind} step "
@@ -121,6 +139,9 @@ def main() -> int:
                 "independent cross-check of the benchlib K-ladder",
         "steps_traced": args.steps,
         "step_event_names": sorted(step_events),
+        "step_event_used": outer,
+        "step_event_medians_ms": {k: round(_med(v) / 1e3, 4)
+                                  for k, v in sorted(step_events.items())},
         "device_step_events": len(durs),
         "device_ms_per_step_median": round(
             durs[len(durs) // 2] / 1e3, 4) if durs else None,
