@@ -1,0 +1,148 @@
+"""Mirror-balanced distributed half-spectrum route
+(fft.distributed.ifft2_x_sharded_half — D5 × the r4 C2R headline lever).
+
+Parity claims under test, on the fake 8-device CPU mesh:
+  * transform level — on ANY exactly-Hermitian spectrum the sharded half
+    route equals the Re part of the full sharded transform, for every even
+    shard count and BOTH storage regimes (transposed-store / natural-store
+    + einsum column);
+  * load balance is structural — every device row-transforms N/(2D) rows
+    (lower devices directly, upper devices via the local conj/z-flip
+    partner derivation), so there is no idle half to observe; what CAN be
+    asserted is that the result is invariant in D;
+  * solver level — DistributedOceanSolver(half_spectrum=True) matches its
+    own non-half packed twin to f32 rounding (same topology on both sides,
+    so the comparison isolates the C2R fold) and the single-device
+    OceanSolver(half_spectrum=True) under the suite's standard tolerances.
+
+Reference anchor: the symmetry is the one the reference's Stockham shader
+packs two channels with (Stockham.shader:53-54); the distributed win is
+that the last packed channel's all_to_all transpose volume halves."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+import pytest
+
+from tpu_ocean.config import OceanConfig
+from tpu_ocean.solver import OceanSolver
+from tpu_ocean.solver_dist import DistributedOceanSolver
+from tests.test_packing import _cfg, _pair, _assert_fields_close
+from tests.test_half_spectrum import _hermitian_spectrum
+
+
+def _mesh_d(d):
+    devs = np.asarray(jax.devices()[:d]).reshape(1, d)
+    return Mesh(devs, axis_names=("batch", "shard"))
+
+
+def _sharded_half(re, im, mesh, cap=None):
+    """Run ifft2_x_sharded_half under shard_map (X-sharded in, Z-sharded
+    out), optionally forcing the natural-store regime via the cap."""
+    from tpu_ocean.fft import distributed, pallas_fft
+
+    def local(r, i):
+        return distributed.ifft2_x_sharded_half(r, i, "shard")
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, "shard", None), P(None, "shard", None)),
+                   out_specs=P(None, None, "shard"), check_vma=False)
+    if cap is None:
+        return np.asarray(fn(re, im))
+    with pallas_fft.transposed_store_cap(cap):
+        return np.asarray(fn(re, im))
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+@pytest.mark.parametrize("regime", ["transposed", "natural"])
+def test_sharded_half_matches_full_re(d, regime):
+    from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
+    n = 128
+    s = _hermitian_spectrum(n, c=1, seed=11)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    fr, _ = ifft2_planes_auto(re, im, True)
+    got = _sharded_half(re, im, _mesh_d(d),
+                        cap=None if regime == "transposed" else 32)
+    scale = np.abs(np.asarray(fr)).max()
+    np.testing.assert_allclose(got, np.asarray(fr), atol=3e-5 * scale)
+
+
+def test_sharded_half_d1_degenerate():
+    """D == 1 reduces to the single-chip route exactly."""
+    from tpu_ocean.fft.pallas_fft import ifft2_planes_half
+    n = 64
+    s = _hermitian_spectrum(n, c=1, seed=7)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    want = np.asarray(ifft2_planes_half(re[:, :n // 2 + 1],
+                                        im[:, :n // 2 + 1], True))
+    got = _sharded_half(re, im, _mesh_d(1))
+    np.testing.assert_allclose(got, want, atol=1e-6 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("normals", ["stencil", "spectral"])
+def test_sharded_half_step_matches_nonhalf(normals):
+    """Same topology both sides — isolates the C2R fold from the usual
+    distributed-vs-single fp noise (one shared h0, CLAUDE.md)."""
+    n = 128
+    cfg = _cfg(n=n, normals=normals)
+    h0, h0c = _pair(n)
+    mesh = _mesh_d(8)
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True)
+    ref = DistributedOceanSolver(cfg, mesh, **kw)
+    got = DistributedOceanSolver(cfg, mesh, half_spectrum=True, **kw)
+    s_ref = ref.init(h0=h0, h0_conj=h0c)
+    s_got = got.init(h0=h0, h0_conj=h0c)
+    for _ in range(2):
+        s_ref, f_ref = ref.step(s_ref, 1 / 60)
+        s_got, f_got = got.step(s_got, 1 / 60)
+    _assert_fields_close(f_got, f_ref, 5e-6)
+
+
+def test_sharded_half_step_matches_single_device():
+    n = 128
+    cfg = _cfg(n=n)
+    h0, h0c = _pair(n)
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+              half_spectrum=True)
+    single = OceanSolver(cfg, **kw)
+    dist = DistributedOceanSolver(cfg, _mesh_d(8), **kw)
+    s1 = single.init(h0=h0, h0_conj=h0c)
+    s8 = dist.init(h0=h0, h0_conj=h0c)
+    for _ in range(2):
+        s1, f1 = single.step(s1, 1 / 60)
+        s8, f8 = dist.step(s8, 1 / 60)
+    tol = 2e-5 * np.abs(np.asarray(f1.height)).max()
+    np.testing.assert_allclose(np.asarray(f8.height), np.asarray(f1.height),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(f8.disp_z), np.asarray(f1.disp_z),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(f8.foam), np.asarray(f1.foam),
+                               atol=1e-4)
+
+
+def test_sharded_half_validation():
+    cfg = _cfg(n=64)
+    mesh = _mesh_d(8)
+    with pytest.raises(ValueError, match="pack_channels"):
+        DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
+                               real_state=True, half_spectrum=True)
+    with pytest.raises(ValueError, match="real_state|pallas"):
+        DistributedOceanSolver(cfg, mesh, fft_backend="pallas_fused",
+                               real_state=True, pack_channels=True,
+                               half_spectrum=True)
+    # N/(2D) = 4 rows per device: below the kernels' row-block floor
+    with pytest.raises(ValueError, match="mirror-balanced"):
+        DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
+                               real_state=True, pack_channels=True,
+                               half_spectrum=True)
+
+
+def test_half_row_perm_is_bijection():
+    from tpu_ocean.fft.distributed import _half_row_perm
+    for d, b in ((2, 16), (4, 8), (8, 32)):
+        inv = _half_row_perm(d, b)
+        assert sorted(inv.tolist()) == list(range(d * b // 2))

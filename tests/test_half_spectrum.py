@@ -74,21 +74,44 @@ def test_half_transform_validates_input():
         ifft2_planes_half(y, y, inverse=False)
 
 
-@pytest.mark.parametrize("normals,fields_kernel", [
-    ("stencil", False), ("stencil", True), ("spectral", False)])
-def test_half_spectrum_step_matches_packed(normals, fields_kernel):
+@pytest.mark.parametrize("normals,fields_kernel,backend", [
+    ("stencil", False, "pallas"), ("stencil", True, "pallas"),
+    ("spectral", False, "pallas"),
+    ("stencil", False, "pallas_fused"), ("stencil", True, "pallas_fused"),
+    ("spectral", False, "pallas_fused")])
+def test_half_spectrum_step_matches_packed(normals, fields_kernel, backend):
     """Flagship-shaped parity: half_spectrum vs plain packed on the SAME
-    injected h0 (CLAUDE.md: one shared h0, never independent draws)."""
+    injected h0 (CLAUDE.md: one shared h0, never independent draws).
+    'pallas_fused' rides ifft2_fused_planes_half — in-kernel assembly
+    composed with the C2R fold."""
     cfg = _cfg(n=64, normals=normals)
     h0, h0c = _pair(64)
-    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+    kw = dict(real_state=True, pack_channels=True,
               pallas_fields=fields_kernel)
-    ref = OceanSolver(cfg, **kw)
-    got = OceanSolver(cfg, half_spectrum=True, **kw)
+    ref = OceanSolver(cfg, fft_backend="pallas", **kw)
+    got = OceanSolver(cfg, fft_backend=backend, half_spectrum=True, **kw)
     s_ref = ref.init(h0=h0, h0_conj=h0c)
     s_got = got.init(h0=h0, h0_conj=h0c)
     for _ in range(3):
         s_ref, f_ref = ref.step(s_ref, 1 / 60)
+        s_got, f_got = got.step(s_got, 1 / 60)
+    _assert_fields_close(f_got, f_ref, 5e-6)
+
+
+def test_half_spectrum_fused_natural_store_regime():
+    """Fused half route in the LARGE-N regime (natural-store fused row
+    kernel + einsum column at length N/2 — the 4096² path), forced at a
+    small N via the public cap override."""
+    from tpu_ocean.fft import pallas_fft
+    cfg = _cfg(n=128)
+    h0, h0c = _pair(128)
+    kw = dict(real_state=True, pack_channels=True, half_spectrum=True)
+    ref = OceanSolver(cfg, fft_backend="pallas", **kw)
+    s_ref = ref.init(h0=h0, h0_conj=h0c)
+    s_ref, f_ref = ref.step(s_ref, 1 / 60)
+    with pallas_fft.transposed_store_cap(32):
+        got = OceanSolver(cfg, fft_backend="pallas_fused", **kw)
+        s_got = got.init(h0=h0, h0_conj=h0c)
         s_got, f_got = got.step(s_got, 1 / 60)
     _assert_fields_close(f_got, f_ref, 5e-6)
 
@@ -102,7 +125,7 @@ def test_half_spectrum_validation():
         OceanSolver(cfg, fft_backend="pallas", pack_channels=True,
                     half_spectrum=True)
     with pytest.raises(ValueError, match="real_state|pallas"):
-        OceanSolver(cfg, fft_backend="pallas_fused", real_state=True,
+        OceanSolver(cfg, fft_backend="matmul", real_state=True,
                     pack_channels=True, half_spectrum=True)
     with pytest.raises(ValueError, match="resolution"):
         OceanSolver(_cfg(n=24), fft_backend="pallas", real_state=True,

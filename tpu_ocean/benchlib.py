@@ -24,6 +24,7 @@ The scheme here is layered:
 from __future__ import annotations
 
 import contextlib
+import os
 import signal
 import time
 from dataclasses import dataclass
@@ -295,3 +296,29 @@ def time_steps(step_impl, state, dt: float, k1: int = 16, k2: int = 128,
     """Seconds per step (see time_steps_meta)."""
     return time_steps_meta(step_impl, state, dt, k1, k2, repeats,
                            method=method).per_step_s
+
+
+def enable_compile_cache(path: str = None):
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The hardware harnesses (bench.py, bench/{soak,serve_tpu,trace_capture,
+    family}.py) each run measurements in FRESH child interpreters so a hung
+    tunnel kills only the child — but that means every retry repays the
+    Mosaic/XLA compile (~20-40 s single-chip, minutes for 8192² over the
+    tunnel). With the persistent cache, only the first child compiles; every
+    retry and every sibling harness loads the executable from disk.
+
+    Safe to call multiple times / before or after backend init (it only
+    sets jax.config values). Keyed by program + compile options, so CPU
+    test runs and TPU runs never collide."""
+    import jax
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", ".jax_compile_cache")
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even fast compiles: the 1024² step itself lowers in ~2 s but
+    # the tunnel round trips make a cold trace 20-40 s
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

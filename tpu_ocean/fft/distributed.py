@@ -128,6 +128,134 @@ def ifft2_x_sharded_planes(re, im, axis_name: str, overlap_chunks: int = 1,
                              precision=precision)         # [C, X, N/D]
 
 
+def _half_row_perm(d: int, b: int):
+    """Inverse permutation restoring natural k1 order after the mirror-
+    balanced a2a (host numpy; ``d`` devices, ``b`` local rows). Device
+    i < d/2 contributes global rows [i·b, i·b + b/2); device i ≥ d/2
+    (mirror e = d−1−i) contributes [e·b + b/2, (e+1)·b) — together a
+    disjoint cover of [0, d·b/2)."""
+    import numpy as np
+    perm = []
+    for i in range(d):
+        if i < d // 2:
+            perm.extend(range(i * b, i * b + b // 2))
+        else:
+            e = d - 1 - i
+            perm.extend(range(e * b + b // 2, (e + 1) * b))
+    return np.argsort(np.asarray(perm))
+
+
+def ifft2_x_sharded_half(re, im, axis_name: str,
+                         precision=jax.lax.Precision.HIGHEST):
+    """Mirror-balanced distributed half-spectrum (C2R) transform — the
+    sharded twin of pallas_fft.ifft2_planes_half (D5 × the r4 headline
+    lever).
+
+    Input: (re, im) f32 [1, N/D, N] — the X-sharded assembled LAST packed
+    channel (exactly Hermitian after symmetrize: S[k1,k2] =
+    conj(S[−k1,−k2])). Output: [1, N, N/D] z-sharded REAL spatial plane,
+    the same local layout ifft2_x_sharded_planes produces.
+
+    Only spectral rows 0..N/2 carry information, but under X-sharding they
+    live on the lower half of the devices. Rather than idling the upper
+    half (or paying a resharding collective), each upper device derives the
+    partner rows it can build LOCALLY from the symmetry —
+    S[N−r, j] = conj(S[r, (−j) mod N]) is an elementwise conj + z-flip of
+    rows it already owns — so:
+
+        device i < D/2 row-transforms its local rows [0, B/2)        (direct)
+        device i ≥ D/2 row-transforms partners of its rows [1, B/2]  (derived)
+
+    Every device runs B/2 = N/(2D) rows — perfectly balanced, ZERO extra
+    collectives — and the all_to_all moves HALF the full-channel volume.
+    After the a2a the k1 axis is fully local, so a static jnp.take restores
+    natural row order (_half_row_perm), the C2R even/odd fold runs locally
+    (pallas_fft._c2r_combine — its z-flip is local too), and the column
+    pass is a length-N/2 transform whose Re/Im interleave as even/odd
+    output rows. The Nyquist spectral row (global row N/2 = local row 0 of
+    device D/2) is all_gathered (one [1,N] row — noise), transformed by a
+    one-row matmul on every device (SPMD-uniform), and z-shard-sliced into
+    the fold.
+
+    Both storage regimes, matching ifft2_x_sharded_planes: transposed-store
+    Pallas ≤ MAX_PALLAS_N, natural-store + einsum column beyond. Requires
+    D == 1 or D even, and (D == 1) or (N/(2D)) % 8 == 0 (kernel row-block
+    divisibility) — the solver validates.
+
+    Reference anchor: the same Hermitian symmetry the reference's Stockham
+    shader packs two channels with (Stockham.shader:53-54), here also
+    halving the distributed transpose volume.
+    """
+    from tpu_ocean.fft.pallas_fft import (_fft1d_transposed, _c2r_combine,
+                                          fft1d_natural_large, MAX_PALLAS_N)
+    from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
+                                      ifft1d_planes_axis2)
+    c, b, n = re.shape
+    d = lax.axis_size(axis_name)
+    mh = n // 2
+    nloc = n // d
+
+    if d == 1:
+        # degenerate mesh: exactly the single-chip route (rows 0..N/2 are
+        # all local)
+        from tpu_ocean.fft.pallas_fft import ifft2_planes_half
+        return ifft2_planes_half(re[:, :mh + 1], im[:, :mh + 1], True,
+                                 precision)
+
+    h = b // 2
+    # Nyquist spectral row → every device (one row; SPMD-uniform work)
+    g_re = lax.all_gather(re[:, :1, :], axis_name)     # [D, 1, 1, N]
+    g_im = lax.all_gather(im[:, :1, :], axis_name)
+    nyq_re, nyq_im = g_re[d // 2], g_im[d // 2]        # [1, 1, N]
+    nyr, nyi = ifft1d_planes_lastaxis(nyq_re, nyq_im, True,
+                                      precision)       # [1, 1, N]
+    z0 = lax.axis_index(axis_name) * nloc
+    nyr = lax.dynamic_slice_in_dim(nyr, z0, nloc, axis=-1)  # [1, 1, N/D]
+    nyi = lax.dynamic_slice_in_dim(nyi, z0, nloc, axis=-1)
+
+    # select this device's B/2 distinct rows (direct vs derived partner)
+    lo_re, lo_im = re[:, :h, :], im[:, :h, :]
+    # partners of local rows 1..B/2: conj + z-negflip, row order reversed
+    # so the batch ascends in global k1
+    negflip_z = lambda x: jnp.roll(jnp.flip(x, axis=-1), 1, axis=-1)
+    up_re = jnp.flip(negflip_z(re[:, 1:h + 1, :]), axis=1)
+    up_im = -jnp.flip(negflip_z(im[:, 1:h + 1, :]), axis=1)
+    is_lower = lax.axis_index(axis_name) < d // 2
+    sel_re = jnp.where(is_lower, lo_re, up_re)
+    sel_im = jnp.where(is_lower, lo_im, up_im)
+
+    inv = jnp.asarray(_half_row_perm(d, b))
+
+    if n > MAX_PALLAS_N:
+        # natural-store regime (the 4096² path)
+        yr, yi = fft1d_natural_large(sel_re, sel_im, True,
+                                     precision)        # [1, B/2, N]
+        both = jnp.stack([yr, yi])
+        both = lax.all_to_all(both, axis_name, split_axis=3,
+                              concat_axis=2, tiled=True)  # [2, 1, M, N/D]
+        yr, yi = both[0], both[1]
+        yr = jnp.take(yr, inv, axis=-2)
+        yi = jnp.take(yi, inv, axis=-2)
+        vr, vi = _c2r_combine(yr, yi, nyr, nyi, True, axis=-2)
+        xr, xi = ifft1d_planes_axis2(vr, vi, True, precision)  # [1, M, N/D]
+    else:
+        yr, yi = _fft1d_transposed(sel_re, sel_im, inverse=True,
+                                   precision=precision)   # [1, N, B/2]
+        both = jnp.stack([yr, yi])
+        both = lax.all_to_all(both, axis_name, split_axis=2,
+                              concat_axis=3, tiled=True)  # [2, 1, N/D, M]
+        yr, yi = both[0], both[1]
+        yr = jnp.take(yr, inv, axis=-1)
+        yi = jnp.take(yi, inv, axis=-1)
+        vr, vi = _c2r_combine(yr, yi,
+                              jnp.swapaxes(nyr, -1, -2),
+                              jnp.swapaxes(nyi, -1, -2), True, axis=-1)
+        xr, xi = _fft1d_transposed(vr, vi, inverse=True,
+                                   precision=precision)   # [1, M, N/D]
+    # x[2m] = Re v[m], x[2m+1] = Im v[m]: even/odd row interleave
+    return jnp.stack([xr, xi], axis=2).reshape(c, n, nloc)
+
+
 def ifft2_x_sharded(x: jnp.ndarray, axis_name: str,
                     backend: str = "reference",
                     overlap_chunks: int = 1,

@@ -427,3 +427,82 @@ def ifft2_fused_planes(h0_pair, phase, length: float, dz_sign: float,
                              packed=packed, nch_live=nch_live)
     return _fft1d_transposed(re, im, inverse=True, precision=precision)
 
+
+def ifft2_fused_planes_half(h0_pair, phase, length: float, dz_sign: float,
+                            pack_nyq, precision=None, epsilon: float = 1e-4,
+                            ch_count: int = 2, nch_live: int = 3):
+    """Fused-assembly twin of pallas_fft.ifft2_planes_half — the composition
+    of the round's two headline levers (half-spectrum C2R route + in-kernel
+    spectrum assembly).
+
+    The first ``ch_count − 1`` PACKED channels ride the full fused pipeline
+    (assemble_rowfft → _fft1d_transposed). The LAST packed channel is a lone
+    real field (A = 0 in evolve.packed_coefficients) whose spectrum is
+    exactly Hermitian after symmetrize, so its fused row pass runs over
+    spectral rows 0..N/2−1 ONLY (the kernels take a row-sliced input batch
+    with row_offset=0 — the sliced rows ARE global rows), the Nyquist
+    spectral row is assembled in XLA from ``pack_nyq`` (the HOST-numpy
+    [2P, 1, N] row slice of the solver's packed_coefficients grid —
+    CLAUDE.md: trace-time constants stay host arrays) and transformed by a
+    one-row matmul, and the conjugate half folds via the classic C2R
+    even/odd identity (pallas_fft._c2r_combine). vs the non-fused half
+    route this removes the assembled-spectrum HBM round trip
+    (1.5 transform-equivalents' worth of planes) that r3's device trace
+    priced at ~0.08 ms of the 0.42 ms flagship step.
+
+    Returns (re_full, im_full) f32 [ch_count−1, N, N] + ``last`` f32 [N, N]
+    (the final field is real — its Im is identically zero and never
+    computed). Both storage regimes: transposed ≤ MAX_FUSED_N, natural-store
+    + einsum column beyond (where the half route also halves the column
+    pass length — the measured 4096² HBM bottleneck)."""
+    from tpu_ocean.fft.matmul import ifft1d_planes_lastaxis
+    from tpu_ocean.fft.pallas_fft import _c2r_combine
+    from tpu_ocean.evolve import assemble_spectra_packed_real
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    m, n = phase.shape
+    mh = n // 2
+    kw = dict(precision=precision, epsilon=epsilon, packed=True,
+              nch_live=nch_live)
+
+    # full packed channels: the standard fused pipeline
+    re_t, im_t = assemble_rowfft_natural(h0_pair, phase, length, dz_sign,
+                                         ch_start=0, ch_count=ch_count - 1,
+                                         **kw) \
+        if n > MAX_FUSED_N else \
+        assemble_rowfft(h0_pair, phase, length, dz_sign,
+                        ch_start=0, ch_count=ch_count - 1, **kw)
+
+    # half channel: fused row pass over the Hermitian half 0..N/2−1
+    half_in = tuple(p[:mh] for p in h0_pair)
+    # Nyquist spectral row (global row N/2): one-row XLA assembly + matmul
+    # transform — 2·N² MACs, noise next to the kernels
+    nyq_in = tuple(p[mh:mh + 1] for p in h0_pair)
+    rnr, rni = assemble_spectra_packed_real(nyq_in, phase[mh:mh + 1],
+                                            jnp.asarray(pack_nyq))
+    nyr, nyi = ifft1d_planes_lastaxis(rnr[-1:], rni[-1:], True,
+                                      precision)              # [1, 1, N]
+
+    if n > MAX_FUSED_N:
+        from tpu_ocean.fft.matmul import ifft1d_planes_axis2
+        re_f, im_f = ifft1d_planes_axis2(re_t, im_t, True, precision)
+        yr, yi = assemble_rowfft_natural(half_in, phase[:mh], length,
+                                         dz_sign, ch_start=ch_count - 1,
+                                         ch_count=1, **kw)   # [1, M, N]
+        vr, vi = _c2r_combine(yr, yi, nyr, nyi, True, axis=-2)
+        xr, xi = ifft1d_planes_axis2(vr, vi, True, precision)  # [1, M, N]
+    else:
+        re_f, im_f = _fft1d_transposed(re_t, im_t, inverse=True,
+                                       precision=precision)
+        yr, yi = assemble_rowfft(half_in, phase[:mh], length, dz_sign,
+                                 ch_start=ch_count - 1, ch_count=1,
+                                 **kw)                        # [1, N, M]
+        vr, vi = _c2r_combine(yr, yi,
+                              jnp.swapaxes(nyr, -1, -2),
+                              jnp.swapaxes(nyi, -1, -2), True, axis=-1)
+        xr, xi = _fft1d_transposed(vr, vi, inverse=True,
+                                   precision=precision)       # [1, M, N]
+    # x[2m] = Re v[m], x[2m+1] = Im v[m]: interleave as even/odd rows
+    last = jnp.stack([xr, xi], axis=2).reshape(n, n)
+    return re_f, im_f, last
+

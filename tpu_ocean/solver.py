@@ -215,9 +215,11 @@ class OceanSolver:
                 raise ValueError("half_spectrum rides the last PACKED "
                                  "channel's Hermitian structure — it "
                                  "requires pack_channels=True")
-            if not real_state or fft_backend != "pallas":
+            if not real_state or fft_backend not in ("pallas",
+                                                     "pallas_fused"):
                 raise ValueError("half_spectrum supports the plane-based "
-                                 "real_state 'pallas' pipeline only")
+                                 "real_state 'pallas'/'pallas_fused' "
+                                 "pipelines only")
             if cfg.resolution % 16 != 0 or cfg.resolution < 64:
                 raise ValueError("half_spectrum needs resolution % 16 == 0 "
                                  "and >= 64 (the N/2-length column kernels)")
@@ -228,6 +230,10 @@ class OceanSolver:
         if self.pack_channels:
             consts["pack"] = np.asarray(
                 packed_coefficients(cfg, self._nch), dtype=np.float32)
+            # Nyquist spectral row of the packed grid — the fused half-
+            # spectrum route assembles that one row in XLA (the fused row
+            # kernels only see rows 0..N/2−1)
+            consts["pack_nyq"] = consts["pack"][:, n // 2:n // 2 + 1, :]
         else:
             # channel coefficients are REAL (evolve.spectrum_coefficients)
             consts["coeffs"] = np.asarray(
@@ -550,6 +556,20 @@ class OceanSolver:
             from tpu_ocean.config import EPSILON
             from tpu_ocean.ops.fused_spectrum_fft import ifft2_fused_planes
             dz_sign = -1.0 if cfg.oracle_sign_quirk else 1.0
+            if self.pack_channels and self.half_spectrum:
+                from tpu_ocean.ops.fused_spectrum_fft import (
+                    ifft2_fused_planes_half)
+                with jax.named_scope("fused_assembly_ifft2_half"):
+                    re_f, im_f, last = ifft2_fused_planes_half(
+                        pair, phase, cfg.length, dz_sign, c["pack_nyq"],
+                        precision=self._mxu_precision, epsilon=EPSILON,
+                        ch_count=self._pch, nch_live=self._nch)
+                with jax.named_scope("fields"):
+                    if self._nch == 3:
+                        return self._extract_fields_planes(
+                            re_f[0], im_f[0], last, None, None, c)
+                    return self._extract_fields_planes(
+                        re_f[0], im_f[0], re_f[1], im_f[1], last, c)
             with jax.named_scope("fused_assembly_ifft2"):
                 re, im = ifft2_fused_planes(pair, phase, cfg.length, dz_sign,
                                             precision=self._mxu_precision,

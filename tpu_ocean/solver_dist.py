@@ -43,7 +43,8 @@ class DistributedOceanSolver:
                  fft_backend: str = "reference", overlap_chunks: int = 1,
                  pallas_fields: bool = False,
                  real_state: bool = False,
-                 pack_channels: Optional[bool] = None):
+                 pack_channels: Optional[bool] = None,
+                 half_spectrum: bool = False):
         if "shard" not in mesh.axis_names:
             raise ValueError("mesh needs a 'shard' axis (parallel.make_mesh)")
         if fft_backend not in ("reference", "stockham", "matmul", "pallas",
@@ -110,6 +111,29 @@ class DistributedOceanSolver:
         #: channels actually transformed / transposed (= _nch unless packed)
         self._pch = ((2 if self._nch == 3 else 3) if self.pack_channels
                      else self._nch)
+        # Half-spectrum (C2R) route for the last packed channel, sharded:
+        # fft.distributed.ifft2_x_sharded_half (mirror-balanced — every
+        # device transforms N/(2D) rows, the a2a moves half that channel's
+        # volume). Same flag constraints as OceanSolver, plus the mesh/row
+        # divisibility the mirror scheme needs.
+        if half_spectrum:
+            if not self.pack_channels:
+                raise ValueError("half_spectrum rides the last PACKED "
+                                 "channel's Hermitian structure — it "
+                                 "requires pack_channels=True")
+            if not real_state or fft_backend != "pallas":
+                raise ValueError("half_spectrum supports the plane-based "
+                                 "real_state 'pallas' pipeline only")
+            if cfg.resolution % 16 != 0 or cfg.resolution < 64:
+                raise ValueError("half_spectrum needs resolution % 16 == 0 "
+                                 "and >= 64 (the N/2-length column kernels)")
+            if n_dev > 1 and (n_dev % 2 != 0
+                              or (n // (2 * n_dev)) % 8 != 0):
+                raise ValueError(
+                    f"half_spectrum's mirror-balanced sharding needs an "
+                    f"EVEN shard count with N/(2D) divisible by 8 (got "
+                    f"D={n_dev}, N={n}) — see ifft2_x_sharded_half")
+        self.half_spectrum = bool(half_spectrum)
         # >1 splits the channel batch so the all_to_all transpose of one
         # chunk overlaps the row butterflies of the next (SURVEY.md §5.8);
         # the fused backend chunks via per-channel-range kernel launches
@@ -519,6 +543,7 @@ class DistributedOceanSolver:
             # in the compiled multi-chip program (VERDICT r3 #3)
             pair = (state.h0_re, state.h0_im, state.h0c_re, state.h0c_im)
             if self.fft_backend == "pallas_fused":
+                half = None
                 re, im = self._fused_transform_planes(pair, phase)
             else:
                 if self.pack_channels:
@@ -527,13 +552,34 @@ class DistributedOceanSolver:
                 else:
                     from tpu_ocean.evolve import assemble_spectra_real
                     re, im = assemble_spectra_real(pair, phase, coeffs)
-                re, im = ifft2_x_sharded_planes(
-                    re, im, "shard", overlap_chunks=self.overlap_chunks,
-                    precision=self._mxu_precision)
+                if self.pack_channels and self.half_spectrum:
+                    from tpu_ocean.fft.distributed import ifft2_x_sharded_half
+                    half = ifft2_x_sharded_half(
+                        re[-1:], im[-1:], "shard",
+                        precision=self._mxu_precision)[0]   # [X, N/D] real
+                    # the half channel is its own launch group, so chunking
+                    # applies to the remaining full channels only
+                    oc = (self.overlap_chunks
+                          if (self._pch - 1) % self.overlap_chunks == 0
+                          else 1)
+                    re, im = ifft2_x_sharded_planes(
+                        re[:-1], im[:-1], "shard", overlap_chunks=oc,
+                        precision=self._mxu_precision)
+                else:
+                    half = None
+                    re, im = ifft2_x_sharded_planes(
+                        re, im, "shard", overlap_chunks=self.overlap_chunks,
+                        precision=self._mxu_precision)
             if self.pack_channels:
-                height, disp_x, disp_z = re[0], im[0], re[1]
-                slope_x = im[1] if self._nch == 5 else None
-                slope_z = re[2] if self._nch == 5 else None
+                if half is not None:
+                    height, disp_x = re[0], im[0]
+                    disp_z = half if self._nch == 3 else re[1]
+                    slope_x = im[1] if self._nch == 5 else None
+                    slope_z = half if self._nch == 5 else None
+                else:
+                    height, disp_x, disp_z = re[0], im[0], re[1]
+                    slope_x = im[1] if self._nch == 5 else None
+                    slope_z = re[2] if self._nch == 5 else None
             else:
                 height, disp_x, disp_z = re[0], im[1], im[2]
                 slope_x = im[3] if self._nch == 5 else None
