@@ -33,8 +33,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: single-chip flagship-switch-set references to difference against
-#: (bench/BENCH_latest_validated*.json; BASELINE.md r3 family table)
+#: (bench/BENCH_latest_validated*.json; BASELINE.md r3/r4 family tables)
 _FLAGSHIP_PACKED_MS = {1024: 0.4176, 2048: 2.093, 4096: 16.42}
+_FLAGSHIP_HALF_MS = {1024: 0.3999, 2048: 1.7812, 4096: 13.8504}
 #: ladder trip counts sized so the top rung stays ~10-20 s of device time
 _KS = {1024: (16, 128, 1024), 2048: (8, 64, 512), 4096: (8, 64, 512),
        8192: (2, 8, 64)}
@@ -52,6 +53,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--tag", type=str, default="r4")
+    ap.add_argument("--half", action="store_true",
+                    help="half-spectrum C2R route (mirror-balanced sharded "
+                         "twin at D>1; at D=1 it reduces to the single-chip "
+                         "route) — difference against the packed+half "
+                         "flagship instead")
     args = ap.parse_args()
     res = args.res
 
@@ -61,7 +67,8 @@ def main() -> int:
     # packed + real_state) so the delta isolates the shard_map structure
     solver = DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
                                     real_state=True, pack_channels=True,
-                                    pallas_fields=True)
+                                    pallas_fields=True,
+                                    half_spectrum=args.half)
     state = solver.init(jax.random.PRNGKey(0))
 
     extra = (solver._omega, solver._coeffs,
@@ -94,13 +101,16 @@ def main() -> int:
         "intercept_ms": round(lad.intercept_s * 1e3, 2),
         "wall_total_s": round(time.time() - t0, 1),
     }
-    flag = _FLAGSHIP_PACKED_MS.get(res)
+    flag = (_FLAGSHIP_HALF_MS if args.half
+            else _FLAGSHIP_PACKED_MS).get(res)
+    out["variant"] = "packed+half" if args.half else "packed"
     if flag is not None:
         out["flagship_packed_ms"] = flag
         out["overhead_ms_vs_flagship"] = round(out["ms_per_step"] - flag, 4)
         out["overhead_pct"] = round(
             100.0 * (out["ms_per_step"] / flag - 1.0), 2)
-    suffix = "" if res == 1024 else f"_{res}"
+    suffix = ("" if res == 1024 else f"_{res}") + (
+        "_half" if args.half else "")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"BENCH_evidence_{args.tag}_dist1{suffix}.json")
     with open(path, "w") as f:

@@ -45,7 +45,8 @@ def step_collectives_model(n: int, d: int, backend: str = "matmul",
                            overlap_chunks: int = 1,
                            pallas_fields: bool = False,
                            channels: int = C,
-                           pack_channels: bool = False) -> dict:
+                           pack_channels: bool = False,
+                           half_spectrum: bool = False) -> dict:
     """Per-STEP per-DEVICE collective inventory of the sharded solver step.
 
     all_to_all: ONE distributed transpose per step (the packed 5-channel 2-D
@@ -84,9 +85,16 @@ def step_collectives_model(n: int, d: int, backend: str = "matmul",
         # ride 2 complex transforms, 5 ride 3 — the transpose shrinks with
         # the transform batch
         channels = 2 if channels == 3 else 3
-    a2a_buffer = channels * rows_local * n * CPLX
+    # half-spectrum C2R (ifft2_x_sharded_half): the last packed channel's
+    # mirror-balanced a2a moves N/2 distinct rows — that channel's
+    # transpose volume halves (its Nyquist row rides a [1, N]-row
+    # all_gather — noise, reported separately)
+    ch_eq = (channels - 0.5) if (half_spectrum and pack_channels) else channels
+    a2a_buffer = int(ch_eq * rows_local * n * CPLX)
     a2a_wire = int(a2a_buffer * (d - 1) / d) if d > 1 else 0
     n_a2a = overlap_chunks if d > 1 else 0
+    if half_spectrum and pack_channels and d > 1:
+        n_a2a += 1                 # the half channel is its own launch
     n_halo = 6 if d > 1 else 0
     # strips actually moved: the jnp stencil path re-rolls the whitecap's
     # (dx, dz)±1 in a form XLA combines into the 6 ops but does not CSE —
@@ -105,6 +113,11 @@ def step_collectives_model(n: int, d: int, backend: str = "matmul",
         "a2a_pack_copy_bytes": pack_copy,
         "collective_permute_count": n_halo,
         "halo_wire_bytes": halo_wire,
+        # the Nyquist spectral row rides 2 tiny all_gathers (re, im):
+        # result buffer [D, 1, 1, N] f32 each (wire (D-1)/D of that)
+        "nyq_allgather_buffer_bytes": (2 * d * n * F32
+                                       if half_spectrum and pack_channels
+                                       and d > 1 else 0),
         "wire_bytes_total": a2a_wire + halo_wire,
     }
 
@@ -180,7 +193,9 @@ def hlo_collective_inventory(hlo_text: str) -> dict:
 def compiled_step_hlo(n: int, backend: str = "matmul",
                       overlap_chunks: int = 1,
                       pallas_fields: bool = False,
-                      pack_channels: bool = False) -> str:
+                      pack_channels: bool = False,
+                      half_spectrum: bool = False,
+                      real_state: bool = False) -> str:
     """Compile the real distributed step on the fake 8-device mesh."""
     import jax
     import jax.numpy as jnp
@@ -196,7 +211,9 @@ def compiled_step_hlo(n: int, backend: str = "matmul",
     solver = DistributedOceanSolver(cfg, mesh, fft_backend=backend,
                                     overlap_chunks=overlap_chunks,
                                     pallas_fields=pallas_fields,
-                                    pack_channels=pack_channels)
+                                    pack_channels=pack_channels,
+                                    half_spectrum=half_spectrum,
+                                    real_state=real_state)
     st = solver.init(jax.random.PRNGKey(0))
     args = (st, jnp.float32(1 / 60), solver._omega, solver._coeffs,
             solver._pre_re, solver._pre_im, solver._post_re, solver._post_im,
@@ -224,7 +241,8 @@ HBM_PLANES_PER_CH = (HBM_PLANES - HBM_PLANES_FIXED) / C   # transform passes
 
 
 def project(n: int, d: int, chip: str = "v5e",
-            mxu_frac: float = 0.6, pack_channels: bool = False) -> dict:
+            mxu_frac: float = 0.6, pack_channels: bool = False,
+            half_spectrum: bool = False) -> dict:
     """Projected per-step times and weak-scaling efficiency at side N on D
     chips (1-D ring decomposition, a2a rides the ring both ways).
 
@@ -233,8 +251,11 @@ def project(n: int, d: int, chip: str = "v5e",
     terms shrink by the same third) and the Gauss 3-dot kernels
     (6 real MACs per complex MAC instead of 8 — pallas_fft._gauss_cmul)."""
     h = CHIPS[chip]
-    m = step_collectives_model(n, d, pack_channels=pack_channels)
+    m = step_collectives_model(n, d, pack_channels=pack_channels,
+                               half_spectrum=half_spectrum)
     ch = 2 if pack_channels else C
+    if half_spectrum and pack_channels:
+        ch = 1.5        # transform-equivalents (the C2R route's floor)
     mac = 6 if pack_channels else 8       # Gauss kernels ship with packing
     local = n * n // d
     # only the transform-pass planes shrink with the channel count; the

@@ -87,3 +87,31 @@ def test_live_channel_reduction_is_real():
     bytes_5ch = step_collectives_model(64, 8,
                                        channels=5)["all_to_all_buffer_bytes"]
     assert inv["all-to-all"]["buffer_bytes"] == bytes_3ch < bytes_5ch
+
+
+def test_half_spectrum_transpose_reduction_is_real():
+    """half_spectrum=True: the last packed channel's mirror-balanced a2a
+    moves N/2 rows — 1.5 channel-equivalents total on the wire, in its own
+    collective, plus the two tiny Nyquist-row all_gathers. Model == HLO."""
+    n = 128     # N/(2D) = 8: the mirror scheme's row-block floor at D=8
+    hlo = compiled_step_hlo(n, "pallas", 1, False, pack_channels=True,
+                            half_spectrum=True, real_state=True)
+    inv = hlo_collective_inventory(hlo)
+    model = step_collectives_model(n, 8, "pallas", pack_channels=True,
+                                   half_spectrum=True)
+    assert inv["all-to-all"]["count"] == model["all_to_all_count"] == 2
+    assert (inv["all-to-all"]["buffer_bytes"]
+            == model["all_to_all_buffer_bytes"])
+    packed = step_collectives_model(n, 8, "pallas", pack_channels=True)
+    # 1.5 / 2 channel-equivalents
+    assert (model["all_to_all_buffer_bytes"] * 4
+            == packed["all_to_all_buffer_bytes"] * 3)
+    ag = inv.get("all-gather", {"count": 0, "buffer_bytes": 0})
+    assert ag["count"] == 2
+    assert ag["buffer_bytes"] == model["nyq_allgather_buffer_bytes"]
+    # the all_gather is noise at production scale: its buffer ∝ D·N vs the
+    # transpose's ∝ 1.5·N²/D — ratio 1.5·N/D², ~2 orders at config-5 size
+    big = step_collectives_model(4096, 8, "pallas", pack_channels=True,
+                                 half_spectrum=True)
+    assert (big["nyq_allgather_buffer_bytes"] * 50
+            < big["all_to_all_buffer_bytes"])
