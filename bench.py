@@ -189,7 +189,8 @@ def _measure_backend(backend: str, res: int, steps: int,
                      method: str, pallas_fields: bool = False,
                      precision: str = "float32",
                      pack_channels: bool = False,
-                     half_spectrum: bool = False) -> dict:
+                     half_spectrum: bool = False,
+                     forcing: str = "tinypull") -> dict:
     import jax
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.solver import OceanSolver
@@ -217,7 +218,7 @@ def _measure_backend(backend: str, res: int, steps: int,
     k = max(8, steps // 4)
     lad = time_steps_ladder(solver._step_impl, state, dt,
                             ks=(k, 8 * k, 64 * k), extra=solver._consts,
-                            escalate=True, forcing="tinypull")
+                            escalate=True, forcing=forcing)
     return {"backend": backend, "per_step_s": lad.per_step_s,
             "suspect": bool(lad.suspect), "forcing": lad.forcing,
             "ladder_ks": lad.ks,
@@ -241,6 +242,8 @@ def _run_child(task: str, args, timeout_s: float, fields: bool = False,
         cmd.append("--pack-channels")
     if args.half_spectrum:
         cmd.append("--half-spectrum")
+    if getattr(args, "forcing", "tinypull") != "tinypull":
+        cmd += ["--forcing", args.forcing]
     for label in skip:
         cmd += ["--skip", label]
     if fast:
@@ -378,6 +381,15 @@ def main():
                     help=argparse.SUPPRESS)   # sweep labels already measured
     ap.add_argument("--fast", action="store_true",
                     help=argparse.SUPPRESS)   # reduced ladder (retry path)
+    ap.add_argument("--forcing", type=str, default="tinypull",
+                    choices=["tinypull", "block", "auto"],
+                    help="benchlib execution-forcing mode. tinypull is the "
+                         "demonstrated-reliable default; block skips the "
+                         "scalar pull entirely for resolutions where the "
+                         "pull HANGS with the GIL held (8192^2, r4) — "
+                         "deferred execution under block is caught by the "
+                         "ladder validity gates, a hung pull is not "
+                         "catchable at all")
     ap.add_argument("--canary-timeout", type=float, default=180.0,
                     help="seconds before a silent canary child is declared "
                          "dead (healthy tunnel startup is 40-120 s)")
@@ -416,7 +428,8 @@ def main():
                                          args.method, pallas_fields=fields,
                                          precision=args.precision,
                                          pack_channels=packed,
-                                         half_spectrum=half)
+                                         half_spectrum=half,
+                                         forcing=args.forcing)
                     r["backend"] = label
                     if args.fast:
                         r["ladder"] = "reduced"    # retry path, gates intact
@@ -430,7 +443,8 @@ def main():
                 pallas_fields=args.pallas_fields,
                 precision=args.precision,
                 pack_channels=args.pack_channels,
-                half_spectrum=args.half_spectrum)))
+                half_spectrum=args.half_spectrum,
+                forcing=args.forcing)))
         return 0
 
     # child budgets: the realsweep child pays one startup + three Mosaic
@@ -449,7 +463,8 @@ def main():
                     r = _measure_backend(b, args.res, args.steps,
                                          args.method, pallas_fields=pf,
                                          precision=args.precision,
-                                         pack_channels=pk, half_spectrum=hf)
+                                         pack_channels=pk, half_spectrum=hf,
+                                         forcing=args.forcing)
                     r["backend"] = label
                 except Exception as e:    # e.g. a variant invalid at this N
                     r = {"backend": label,
@@ -459,7 +474,8 @@ def main():
         return _measure_backend(t, args.res, args.steps, args.method,
                                 pallas_fields=f, precision=args.precision,
                                 pack_channels=args.pack_channels,
-                                half_spectrum=args.half_spectrum)
+                                half_spectrum=args.half_spectrum,
+                                forcing=args.forcing)
 
     # single-backend children scale with the grid: the K-ladder's top rung
     # alone costs ~70 s at 8192² (plus a cold Mosaic compile) — a flat

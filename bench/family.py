@@ -81,6 +81,12 @@ def main() -> int:
             budget = _BUDGETS.get(res, 1200)
             cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
                    "--res", str(res), "--budget-s", str(budget)] + flags
+            if res >= 8192:
+                # the tinypull scalar transfer HANGS (GIL held — no watchdog
+                # can fire) at 8192² on this runtime (r4); block forcing is
+                # safe here because the validity gates reject deferred
+                # execution, and the r3/r4 8192² evidence is block-captured
+                cmd += ["--forcing", "block"]
             print(f"# running: {' '.join(cmd[2:])}", flush=True)
             t0 = time.time()
             try:

@@ -40,7 +40,16 @@ def run_ocean(args) -> int:
     cfg = OCEAN_DEMO
     if args.res:
         cfg = cfg.replace(resolution=args.res, length=float(args.res))
-    solver = OceanSolver(cfg, fft_backend=args.backend)
+    kw = {}
+    if args.production:
+        # the measured-fastest headline switch set (BASELINE.md r4:
+        # 0.397 ms/step at 1024² on a v5e): all-real plane pipeline +
+        # fused stencil kernel + Hermitian packing + half-spectrum C2R
+        args.backend = "pallas"
+        kw = dict(real_state=True, pallas_fields=True, pack_channels=True,
+                  half_spectrum=cfg.resolution % 16 == 0
+                  and cfg.resolution >= 64)
+    solver = OceanSolver(cfg, fft_backend=args.backend, **kw)
     state = solver.init(jax.random.PRNGKey(args.seed))
     metrics = Metrics(grid_points=cfg.resolution ** 2, emit=sys.stderr)
     mgr = None
@@ -188,6 +197,8 @@ def run_serve(args) -> int:
             args.backend = "pallas"      # real_state needs the plane backends
     if args.pack_channels:
         kw["pack_channels"] = True
+    if args.half_spectrum:
+        kw["half_spectrum"] = True
     sim = Simulation(cfg, fft_backend=args.backend, out_dir=args.out,
                      checkpoint_every=args.checkpoint_every,
                      export_every=args.dump_every,
@@ -214,6 +225,10 @@ def main(argv=None) -> int:
     _add_common(p, default_steps=60)
     p.add_argument("--res", type=int, default=0,
                    help="override resolution (default: preset 1024)")
+    p.add_argument("--production", action="store_true",
+                   help="measured-fastest switch set (real_state + fused "
+                        "stencil + packing + half-spectrum — the bench.py "
+                        "headline pipeline)")
 
     p = sub.add_parser("fftmesh", help="CPU oracle scene (FFT Mesh.unity)")
     _add_common(p, default_steps=10)
@@ -250,6 +265,9 @@ def main(argv=None) -> int:
                         "production/serving shape — solver.OceanStateReal)")
     p.add_argument("--pack-channels", action="store_true",
                    help="Hermitian channel packing (docs/parity.md ledger)")
+    p.add_argument("--half-spectrum", action="store_true",
+                   help="C2R route for the last packed channel (needs "
+                        "--pack-channels --real-state; the r4 headline)")
 
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
