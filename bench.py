@@ -512,6 +512,8 @@ def main():
                          # retrying them would only burn budget
         backoff = 30.0
         skip_canary = False
+        stale = 0
+        known_labels = 0
         while remaining() > 60.0:
             if not skip_canary:
                 outage["canary_attempts"] += 1
@@ -557,6 +559,19 @@ def main():
                 break                               # sweep complete
             if have_valid and remaining() < 300.0:
                 break            # bank the headline; tail isn't worth risk
+            # a sweep attempt that banks NOTHING NEW is not progress: two
+            # in a row means the missing variants are unobtainable (a child
+            # that keeps omitting them), not an outage — bank what we have
+            # instead of spinning the loop until the budget (the pre-r4
+            # loop burned 15 REAL minutes when the scripted CLI test's fake
+            # sweep covered 4 of 5 variants)
+            if len(done | failed) == known_labels:
+                stale += 1
+                if stale >= 2:
+                    break
+            else:
+                stale = 0
+            known_labels = len(done | failed)
             # partial progress means the tunnel answered seconds ago —
             # go straight back to the sweep once without re-gating
             skip_canary = bool(got)

@@ -64,11 +64,14 @@ def test_outage_recovery_banks_headline(monkeypatch, capsys, tmp_path):
                 return {"sweep": [_ok_result("pallas+fields", 0.55)]}
             # retry resumes past the banked variant on the reduced ladder
             assert "pallas+fields" in skip and fast
-            r1 = _ok_result("pallas+fields+packed", 0.42)
-            r2 = _ok_result("pallas", 0.65)
-            r3 = _ok_result("pallas+fields+packed+half", 0.40)
-            r1["ladder"] = r2["ladder"] = r3["ladder"] = "reduced"
-            return {"sweep": [r1, r3, r2]}
+            rs = [_ok_result("pallas+fields+packed", 0.42),
+                  _ok_result("pallas+fields+packed+half", 0.40),
+                  _ok_result("pallas_fused+fields+packed", 0.418),
+                  _ok_result("pallas_fused+fields+packed+half", 0.422),
+                  _ok_result("pallas", 0.65)]
+            for r in rs:
+                r["ladder"] = "reduced"
+            return {"sweep": rs}
         if task == "calibrate":
             return {"measurable": True, "achieved_tflops": 172.0,
                     "intercept_ms": 30.0, "forcing": "tinypull"}
@@ -86,7 +89,8 @@ def test_outage_recovery_banks_headline(monkeypatch, capsys, tmp_path):
     assert 0 < out["mfu"] < 1 and 0 < out["hbm_roofline_frac"]
     assert {v["backend"] for v in out["variants"]} == {
         "pallas+fields", "pallas+fields+packed",
-        "pallas+fields+packed+half", "pallas"}
+        "pallas+fields+packed+half", "pallas_fused+fields+packed",
+        "pallas_fused+fields+packed+half", "pallas"}
     assert all("mfu" in v and "hbm_roofline_frac" in v
                for v in out["variants"])
     # the validated headline was archived for future failed runs
@@ -156,3 +160,35 @@ def test_in_process_cpu_end_to_end(monkeypatch, capsys, tmp_path):
     assert rc == 0
     assert out["value"] is not None and out["value"] > 0
     assert "ms_per_step" in out and out["ms_per_step"] > 0
+
+
+def test_no_progress_sweep_attempts_are_bounded(monkeypatch, capsys,
+                                                tmp_path):
+    """A sweep child that persistently omits some variants must not spin
+    the retry loop until the budget: two consecutive no-progress attempts
+    bank what exists (regression: the pre-r4 loop burned 15 REAL minutes
+    when the fake sweep covered 4 of 5 variants)."""
+    mod = _load_bench()
+    monkeypatch.setattr(mod, "_LEDGER", str(tmp_path / "ledger.json"))
+    calls = {"sweep": 0}
+
+    def fake_child(task, args, timeout_s, fields=False, skip=(), fast=False):
+        if task == "canary":
+            return {"ok": True, "devices": 1, "startup_s": 45.0}
+        if task == "realsweep":
+            calls["sweep"] += 1
+            # always the same single variant — everything else is missing
+            return {"sweep": [_ok_result("pallas+fields", 0.55)]}
+        if task == "calibrate":
+            return {"measurable": True, "achieved_tflops": 172.0,
+                    "intercept_ms": 30.0, "forcing": "tinypull"}
+        raise AssertionError(f"unexpected child {task}")
+
+    t0 = __import__("time").perf_counter()
+    rc, out = _run_main(mod, monkeypatch, capsys,
+                        ["--budget-s", "1200"], fake_child)
+    assert rc == 0
+    assert out["value"] is not None
+    assert out["backend"] == "pallas+fields"
+    assert calls["sweep"] <= 4          # 1 productive + <= 2 stale + slack
+    assert __import__("time").perf_counter() - t0 < 60.0
