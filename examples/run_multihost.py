@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--backend", type=str, default="matmul")
     ap.add_argument("--overlap-chunks", type=int, default=1)
+    ap.add_argument("--production", action="store_true",
+                    help="the measured-fastest sharded switch set: pallas "
+                         "plane pipeline + real_state + Hermitian packing + "
+                         "mirror-balanced half-spectrum C2R (the a2a moves "
+                         "1.5 channel-equivalents — bench/scaling_model.md)")
     args = ap.parse_args()
 
     initialize_distributed()
@@ -57,8 +62,16 @@ def main():
         evolution_mode="phase", dispersion_mode="capillary",
         spectrum_layout="fft", normals_mode="stencil", damping=0.01,
         oracle_sign_quirk=False)
+    kw = {}
+    if args.production:
+        args.backend = "pallas"
+        n_shard = mesh.shape["shard"]
+        kw = dict(real_state=True, pack_channels=True, pallas_fields=True,
+                  half_spectrum=(n_shard == 1 or n_shard % 2 == 0)
+                  and (args.res // (2 * max(n_shard, 1))) % 8 == 0
+                  and args.res % 16 == 0)
     solver = DistributedOceanSolver(cfg, mesh, fft_backend=args.backend,
-                                    overlap_chunks=args.overlap_chunks)
+                                    overlap_chunks=args.overlap_chunks, **kw)
     state = solver.init(jax.random.PRNGKey(0))
 
     metrics = Metrics(grid_points=args.res ** 2,
