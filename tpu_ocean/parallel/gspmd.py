@@ -94,8 +94,10 @@ def make_gspmd_step(solver: OceanSolver, mesh: Mesh,
     def const_spec(k, v):
         if k in ("x0", "z0"):
             return z_spec
-        if v.ndim == 3:                 # [C, N, N] channel coefficients
-            return P(None, shard_axis, None)
+        if v.ndim == 3 and v.shape[1] % mesh.shape[shard_axis] == 0:
+            return P(None, shard_axis, None)   # [C, N, N] channel coeffs
+        if v.ndim == 3:
+            return P()       # row slices (pack_nyq [2P, 1, N]): replicate
         return x_spec                   # [N, N] grids (omega, modulation)
     consts_sh = {k: sh(const_spec(k, v)) for k, v in solver._consts.items()}
 
