@@ -146,3 +146,28 @@ def test_half_row_perm_is_bijection():
     for d, b in ((2, 16), (4, 8), (8, 32)):
         inv = _half_row_perm(d, b)
         assert sorted(inv.tolist()) == list(range(d * b // 2))
+
+
+def test_ensemble_distributed_half_composition():
+    """DP × SP × C2R: EnsembleDistributedSolver vmaps the sharded half
+    step over the 'batch' axis — the mirror selection (axis_index) and the
+    Nyquist all_gather must survive the spmd-vmapped composition."""
+    from tpu_ocean.ensemble import EnsembleDistributedSolver
+    cfg = _cfg(n=128)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, axis_names=("batch", "shard"))
+    es = EnsembleDistributedSolver(cfg, mesh, ensemble_size=2,
+                                   fft_backend="pallas", real_state=True,
+                                   pack_channels=True, half_spectrum=True)
+    ref = EnsembleDistributedSolver(cfg, mesh, ensemble_size=2,
+                                    fft_backend="pallas", real_state=True,
+                                    pack_channels=True)
+    key = jax.random.PRNGKey(0)
+    s_a, s_b = es.init(key), ref.init(key)
+    s_a, f_a = es.step(s_a, 1 / 60)
+    s_b, f_b = ref.step(s_b, 1 / 60)
+    h_a, h_b = np.asarray(f_a.height), np.asarray(f_b.height)
+    assert h_a.shape == (2, cfg.resolution, cfg.resolution)
+    np.testing.assert_allclose(h_a, h_b, atol=2e-5 * np.abs(h_b).max())
+    # members differ (fold_in-seeded draws)
+    assert np.abs(h_a[0] - h_a[1]).max() > 1e-3 * np.abs(h_a).max()
