@@ -150,3 +150,97 @@ def test_half_spectrum_simulation_passthrough(tmp_path):
     np.testing.assert_array_equal(np.asarray(f_a.height),
                                   np.asarray(f_b.height))
     sim2.close()
+
+
+@pytest.mark.parametrize("normals", ["stencil", "spectral"])
+def test_half_spectrum_cascade_matches_packed(normals):
+    """CascadeSolver(half_spectrum=True): every band's last packed channel
+    rides ONE batched C2R transform over the band axis (B triples on B×1.5
+    transform-equivalents) — fields match the plain packed cascade on the
+    same seeded draw (bit-identical init, cascade.py real-state contract)."""
+    import dataclasses
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    cfgs = [dataclasses.replace(c, normals_mode=normals)
+            for c in default_cascade(n=64, lengths=(100.0, 13.0))]
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True)
+    ref = CascadeSolver(cfgs, **kw)
+    got = CascadeSolver(cfgs, half_spectrum=True, **kw)
+    key = jax.random.PRNGKey(11)
+    s_ref, s_got = ref.init(key), got.init(key)
+    np.testing.assert_array_equal(np.asarray(s_ref.h0_re),
+                                  np.asarray(s_got.h0_re))
+    for _ in range(3):
+        s_ref, f_ref = ref.step(s_ref, 1 / 60)
+        s_got, f_got = got.step(s_got, 1 / 60)
+    _assert_fields_close(f_got, f_ref, 5e-6)
+
+
+def test_half_spectrum_lod_cascade_and_reconfigure():
+    """LODCascadeSolver threads the switch into its inner cascade (the
+    subset refresh path reuses _real_planes, so LOD frames ride the C2R
+    fold too); structural reconfigure PRESERVES the switch."""
+    import dataclasses
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    from tpu_ocean.lod import LODCascadeSolver
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+              half_spectrum=True)
+    ref = LODCascadeSolver(cfgs, periods=(1, 2), **kw)
+    plain = LODCascadeSolver(cfgs, periods=(1, 2),
+                             fft_backend="pallas", real_state=True,
+                             pack_channels=True)
+    assert ref.inner.half_spectrum
+    s_a, s_b = ref.init(jax.random.PRNGKey(3)), plain.init(
+        jax.random.PRNGKey(3))
+    for _ in range(3):
+        s_a, f_a = ref.step(s_a)
+        s_b, f_b = plain.step(s_b)
+    _assert_fields_close(f_a, f_b, 5e-6)
+    # structural rebuild (choppiness is NOT init-only) keeps half_spectrum
+    flat = CascadeSolver(cfgs, **kw)
+    st = flat.init(jax.random.PRNGKey(3))
+    new_cfgs = [dataclasses.replace(c, choppiness=0.9) for c in cfgs]
+    solver2, _ = flat.reconfigure(st, new_cfgs)
+    assert solver2.half_spectrum
+
+
+def test_half_spectrum_cascade_validation():
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    with pytest.raises(ValueError, match="pack_channels"):
+        CascadeSolver(cfgs, fft_backend="pallas", real_state=True,
+                      half_spectrum=True)
+    with pytest.raises(ValueError, match="real_state"):
+        CascadeSolver(cfgs, fft_backend="pallas", pack_channels=True,
+                      half_spectrum=True)
+    bad = default_cascade(n=24, lengths=(100.0,))
+    with pytest.raises(ValueError, match="resolution|real_state|pallas"):
+        CascadeSolver(bad, fft_backend="pallas", real_state=True,
+                      pack_channels=True, half_spectrum=True)
+
+
+def test_half_spectrum_cascade_simulation_passthrough(tmp_path):
+    """CascadeSimulation carries the switch to both the flat and the LOD
+    solver; checkpoint/resume keeps the trajectory bitwise."""
+    from tpu_ocean.cascade import default_cascade
+    from tpu_ocean.runtime import CascadeSimulation
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+              half_spectrum=True)
+    sim = CascadeSimulation(cfgs, out_dir=str(tmp_path),
+                            checkpoint_every=2, **kw)
+    assert sim.solver.half_spectrum
+    sim.run(2)
+    sim.close()
+    sim2 = CascadeSimulation(cfgs, out_dir=str(tmp_path),
+                             checkpoint_every=2, **kw)
+    f_a = sim.step()
+    f_b = sim2.step()
+    np.testing.assert_array_equal(np.asarray(f_a.height),
+                                  np.asarray(f_b.height))
+    sim2.close()
+    lod = CascadeSimulation(cfgs, camera_distance=300.0, **kw)
+    assert lod.solver.inner.half_spectrum
+    f = lod.step()
+    assert np.isfinite(np.asarray(f.height)).all()
+    lod.close()

@@ -115,7 +115,8 @@ class CascadeSolver:
                  mesh: Optional[Mesh] = None,
                  pack_channels: bool = False,
                  real_state: bool = False,
-                 pallas_fields: bool = False):
+                 pallas_fields: bool = False,
+                 half_spectrum: bool = False):
         if not cfgs:
             raise ValueError("need at least one band config")
         if pallas_fields and (cfgs[0].normals_mode != "stencil"
@@ -164,6 +165,22 @@ class CascadeSolver:
         self.pack_channels = bool(pack_channels)
         self._pch = ((2 if self._nch == 3 else 3) if pack_channels
                      else self._nch)
+        # Half-spectrum (C2R) route for the last packed channel of EVERY
+        # band, batched into one ifft2_planes_half call over the band axis
+        # (bands share N by construction) — B live-field triples on B×1.5
+        # transform-equivalents. Same flag constraints as OceanSolver.
+        if half_spectrum:
+            if not pack_channels:
+                raise ValueError("half_spectrum rides the last PACKED "
+                                 "channel's Hermitian structure — it "
+                                 "requires pack_channels=True")
+            if not real_state:
+                raise ValueError("half_spectrum cascades require "
+                                 "real_state=True (the plane pipeline)")
+            if n % 16 != 0 or n < 64:
+                raise ValueError("half_spectrum needs resolution % 16 == 0 "
+                                 "and >= 64 (the N/2-length column kernels)")
+        self.half_spectrum = bool(half_spectrum)
         if pack_channels:
             from tpu_ocean.evolve import packed_coefficients
             self._coeffs = jax.device_put(
@@ -328,7 +345,8 @@ class CascadeSolver:
                                mesh=self.mesh,
                                pack_channels=self.pack_channels,
                                real_state=self.real_state,
-                               pallas_fields=self.pallas_fields)
+                               pallas_fields=self.pallas_fields,
+                               half_spectrum=self.half_spectrum)
         fresh = solver.init(key)
         if (new_cfgs[0].resolution == self.cfgs[0].resolution
                 and new_cfgs[0].spectrum_layout
@@ -487,6 +505,25 @@ class CascadeSolver:
                               in_axes=((0, 0, 0, 0), 0, 0))(pair, phase,
                                                             coeffs)
         s, ct, n = re.shape[0], re.shape[1], re.shape[-1]
+        if self.pack_channels and self.half_spectrum:
+            # last packed channel of every band is exactly Hermitian after
+            # symmetrize: one batched C2R transform over the band axis
+            from tpu_ocean.fft.pallas_fft import ifft2_planes_half
+            mh = n // 2
+            re_f, im_f = ifft2_planes_auto(
+                re[:, :-1].reshape(s * (ct - 1), n, n),
+                im[:, :-1].reshape(s * (ct - 1), n, n), True,
+                self._mxu_precision)
+            re_f = re_f.reshape(s, ct - 1, n, n)
+            im_f = im_f.reshape(s, ct - 1, n, n)
+            last = ifft2_planes_half(re[:, -1, :mh + 1, :],
+                                     im[:, -1, :mh + 1, :], True,
+                                     self._mxu_precision)      # [S, N, N]
+            rows = [re_f[:, 0], im_f[:, 0],
+                    last if self._nch == 3 else re_f[:, 1]]
+            if self._nch == 5:
+                rows += [im_f[:, 1], last]
+            return jnp.stack(rows, axis=1)
         re, im = ifft2_planes_auto(re.reshape(s * ct, n, n),
                                    im.reshape(s * ct, n, n), True,
                                    self._mxu_precision)

@@ -145,12 +145,14 @@ class LODCascadeSolver:
                  dt: float = 1.0 / 60.0,
                  pack_channels: bool = False,
                  real_state: bool = False,
-                 pallas_fields: bool = False):
+                 pallas_fields: bool = False,
+                 half_spectrum: bool = False):
         self.inner = CascadeSolver(cfgs, fft_backend=fft_backend,
                                    display_length=display_length,
                                    pack_channels=pack_channels,
                                    real_state=real_state,
-                                   pallas_fields=pallas_fields)
+                                   pallas_fields=pallas_fields,
+                                   half_spectrum=half_spectrum)
         b = self.inner.b
         self.dt = float(dt)
         if periods is None:
@@ -227,7 +229,8 @@ class LODCascadeSolver:
                                   dt=self.dt,
                                   pack_channels=inner.pack_channels,
                                   real_state=inner.real_state,
-                                  pallas_fields=inner.pallas_fields)
+                                  pallas_fields=inner.pallas_fields,
+                                  half_spectrum=inner.half_spectrum)
         if (new_cfgs[0].resolution == self.inner.cfgs[0].resolution
                 and new_cfgs[0].spectrum_layout
                 == self.inner.cfgs[0].spectrum_layout):

@@ -192,7 +192,8 @@ class CascadeSimulation(Simulation):
                  periods=None, camera_distance: float = 0.0,
                  checkpoint_every: int = 0, export_every: int = 0,
                  metrics_stream=None, seed_key: Optional[jax.Array] = None,
-                 pack_channels: bool = False, real_state: bool = False):
+                 pack_channels: bool = False, real_state: bool = False,
+                 pallas_fields: bool = False, half_spectrum: bool = False):
         from tpu_ocean.cascade import CascadeSolver
         from tpu_ocean.checkpoint import (save_cascade_checkpoint,
                                           load_cascade_checkpoint)
@@ -209,11 +210,15 @@ class CascadeSimulation(Simulation):
             self.solver = LODCascadeSolver(self.cfgs, periods=periods,
                                            fft_backend=fft_backend, dt=dt,
                                            pack_channels=pack_channels,
-                                           real_state=real_state)
+                                           real_state=real_state,
+                                           pallas_fields=pallas_fields,
+                                           half_spectrum=half_spectrum)
         else:
             self.solver = CascadeSolver(self.cfgs, fft_backend=fft_backend,
                                         pack_channels=pack_channels,
-                                        real_state=real_state)
+                                        real_state=real_state,
+                                        pallas_fields=pallas_fields,
+                                        half_spectrum=half_spectrum)
         self.out_dir = out_dir
         self.metrics = Metrics(grid_points=self.cfg.resolution ** 2,
                                emit=metrics_stream)
