@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--bands", type=int, default=3)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--pack", action="store_true")
+    ap.add_argument("--half", action="store_true",
+                    help="half-spectrum (C2R) route for every band's last "
+                         "packed channel (one batched half transform over "
+                         "the band axis; implies the --pack constraints)")
     ap.add_argument("--fields", action="store_true",
                     help="fused normals+whitecap stencil on the combine")
     ap.add_argument("--lod", action="store_true",
@@ -46,6 +50,9 @@ def main():
         ap.error("--bands must be 1..3 (the production band set)")
     if args.steps < 16:
         ap.error("--steps must be ≥ 16 (a degenerate ladder cannot fit)")
+    if args.half and not args.pack:
+        ap.error("--half requires --pack (the C2R fold rides the last "
+                 "PACKED channel)")
     lengths = (1000.0, 130.0, 17.0)[:args.bands]
     cfgs = default_cascade(n=args.res, lengths=lengths)
 
@@ -53,7 +60,8 @@ def main():
         return run_lod(args, cfgs)
     solver = CascadeSolver(cfgs, fft_backend="pallas", real_state=True,
                            pack_channels=args.pack,
-                           pallas_fields=args.fields)
+                           pallas_fields=args.fields,
+                           half_spectrum=args.half)
     state = solver.init(jax.random.PRNGKey(0))
 
     def step_impl(st, dt, ex):
@@ -68,6 +76,7 @@ def main():
     out = {
         "what": f"cascade {args.bands}x{args.res}^2 real_state"
                 + ("+packed" if args.pack else "")
+                + ("+half" if args.half else "")
                 + ("+fields" if args.fields else ""),
         "ms_per_step": round(lad.per_step_s * 1e3, 4),
         "updates_per_s": round(1.0 / lad.per_step_s, 1),
@@ -93,7 +102,8 @@ def run_lod(args, cfgs):
 
     solver = LODCascadeSolver(cfgs, dt=1.0 / 60.0, fft_backend="pallas",
                               real_state=True, pack_channels=args.pack,
-                              pallas_fields=args.fields)
+                              pallas_fields=args.fields,
+                              half_spectrum=args.half)
     state = solver.init(jax.random.PRNGKey(0))
     extra = (solver.inner._omega, solver.inner._coeffs,
              solver.inner._x0, solver.inner._z0)
@@ -126,6 +136,7 @@ def run_lod(args, cfgs):
     out = {
         "what": f"LOD cascade {args.bands}x{args.res}^2 real_state"
                 + ("+packed" if args.pack else "")
+                + ("+half" if args.half else "")
                 + ("+fields" if args.fields else ""),
         "periods": solver.periods,
         "avg_ms_per_frame": round(avg_ms, 4),

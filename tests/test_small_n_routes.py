@@ -1,0 +1,102 @@
+"""Small-N hardware routes (probed r4 on the real chip).
+
+Mosaic's 128-lane rule bounds the transposed-store kernels from BELOW as
+well as above: at any N not divisible by 128 the lane-merging reshape is
+rejected on hardware ("infer-vector-layout: unsupported shape cast" at
+N = 64; non-divisible block shapes at N = 192) even though interpret mode
+accepts it — so the CPU suite alone cannot catch the hole. The library
+routes around it on hardware:
+
+  * ifft2_planes_auto: N % 128 != 0 → einsum four-step on both axes;
+  * ifft2_planes_half: N < HALF_MIN_PALLAS_N → mirror the conjugate rows,
+    ride the full transform (the C2R fold's length M = N/2 must itself
+    fill the 128 lanes);
+  * OceanSolver: 'pallas_fused' at N % 128 != 0 → 'pallas' (the low-end
+    twin of the PALLAS_PLAIN_ROUTE_N high-end route).
+
+The routes key on ``jax.default_backend() != "cpu"`` — the same predicate
+the kernels use for interpret mode — so these tests force the hardware
+branch by patching that predicate; every branch they take is Pallas-free
+by construction, which is exactly the point of the routes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_half_spectrum import _hermitian_spectrum
+
+
+def _patched_tpu(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+@pytest.mark.parametrize("n", [64, 192])
+def test_auto_small_n_einsum_route_matches_kernel(n, monkeypatch):
+    from tpu_ocean.fft import pallas_fft
+    s = _hermitian_spectrum(n, c=2, seed=7)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    want_r, want_i = pallas_fft.ifft2_planes_auto(re, im, True)
+    _patched_tpu(monkeypatch)
+    got_r, got_i = pallas_fft.ifft2_planes_auto(re, im, True)
+    scale = np.abs(np.asarray(want_r)).max()
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("n", [64])
+def test_half_small_n_mirror_route_matches_kernel(n, monkeypatch):
+    # n = 64 only: under the patched predicate the mirrored full transform
+    # at n = 128 (lane-divisible) correctly takes the REAL kernel branch,
+    # which cannot execute on CPU — that case was verified live on the v5e
+    # (r4 probe: half N=128 OK, rel err ≤ 2e-5).
+    from tpu_ocean.fft import pallas_fft
+    assert n < pallas_fft.HALF_MIN_PALLAS_N
+    s = _hermitian_spectrum(n, c=2, seed=9)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    m = n // 2
+    want = pallas_fft.ifft2_planes_half(re[:, :m + 1], im[:, :m + 1], True)
+    _patched_tpu(monkeypatch)
+    got = pallas_fft.ifft2_planes_half(re[:, :m + 1], im[:, :m + 1], True)
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5 * scale)
+
+
+def test_solver_routes_fused_to_plain_below_lane_width(monkeypatch):
+    """'pallas_fused' at N % 128 != 0 constructs as 'pallas' on hardware
+    (construction reads the predicate once; no trace happens here)."""
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    cfg = OceanConfig(resolution=192, length=192.0, wind=(8.0, 5.0),
+                      amplitude=0.5, spectrum_layout="fft",
+                      normals_mode="stencil")
+    _patched_tpu(monkeypatch)
+    s = OceanSolver(cfg, fft_backend="pallas_fused", real_state=True,
+                    pack_channels=True)
+    assert s.fft_backend == "pallas"
+    # 128-divisible N keeps the requested fused pipeline
+    cfg2 = OceanConfig(resolution=256, length=256.0, wind=(8.0, 5.0),
+                       amplitude=0.5, spectrum_layout="fft",
+                       normals_mode="stencil")
+    s2 = OceanSolver(cfg2, fft_backend="pallas_fused", real_state=True,
+                     pack_channels=True)
+    assert s2.fft_backend == "pallas_fused"
+
+
+def test_cpu_keeps_kernel_paths():
+    """On CPU (interpret mode) nothing is rerouted — the suite's small-N
+    kernel parity tests keep exercising the real kernels."""
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    cfg = OceanConfig(resolution=64, length=64.0, wind=(8.0, 5.0),
+                      amplitude=0.5, spectrum_layout="fft",
+                      normals_mode="stencil")
+    s = OceanSolver(cfg, fft_backend="pallas_fused", real_state=True,
+                    pack_channels=True)
+    assert s.fft_backend == "pallas_fused"

@@ -307,6 +307,15 @@ def _fft_block_kernel_split3(f2r_ref, f2i_ref, f2s_ref, twr_ref, twi_ref,
 # rank-3 stage-2 dot lowering illegal — "unsupported shape cast").
 MAX_PALLAS_N = 2048
 MAX_FUSED_N = 2048
+#: smallest N whose C2R half route compiles on Mosaic: the fold length
+#: M = N/2 must fill the 128-lane vector width once it lands on the lane
+#: axis of the transposed store (probed r4: N ∈ {64, 128} → "infer-vector-
+#: layout: unsupported shape cast"; 256 compiles). Below it
+#: ifft2_planes_half mirrors the conjugate rows and rides the full
+#: transform — same result, dispatch-bound sizes anyway. Hardware-only
+#: (like the n % 128 route in ifft2_planes_auto): interpret mode keeps the
+#: real kernels so the CPU suite's small-N parity tests still exercise them.
+HALF_MIN_PALLAS_N = 256
 
 
 @contextlib.contextmanager
@@ -377,6 +386,19 @@ def ifft2_planes_auto(re, im, inverse: bool = True,
     itself and fuses elementwise producers (spectrum assembly) into the
     first contraction — exactly the structure VMEM forces anyway."""
     n = re.shape[-1]
+    if n % 128 and jax.default_backend() != "cpu":
+        # Mosaic's lane rule cuts BOTH ways: the transposed store needs the
+        # 128-wide n1 factor, and _split_lanes can only supply it when
+        # 128 | N. At N = 64 the kernel's lane-merging reshape
+        # (vector<…x32> → flat) is rejected on hardware ("unsupported
+        # shape cast", probed r4) even though interpret mode accepts it —
+        # so every non-128-multiple rides the einsum four-step on both
+        # axes (tiny grids are dispatch-bound; the kernel's HBM fusion
+        # buys nothing there).
+        from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
+                                          ifft1d_planes_axis2)
+        re, im = ifft1d_planes_lastaxis(re, im, inverse, precision)
+        return ifft1d_planes_axis2(re, im, inverse, precision)
     if n <= MAX_PALLAS_N:
         re, im = _fft1d_transposed(re, im, inverse, precision)
         return _fft1d_transposed(re, im, inverse, precision)
@@ -641,6 +663,19 @@ def ifft2_planes_half(re, im, inverse: bool = True,
     if 2 * m != n:
         raise ValueError(f"half-spectrum input must carry N/2+1 rows; "
                          f"got {mp1} for N={n}")
+    if n < HALF_MIN_PALLAS_N and jax.default_backend() != "cpu":
+        # Mosaic rejects the transposed-store pass when the fold length
+        # M = N/2 lands on the LANE axis below the 128-lane vector width
+        # ("infer-vector-layout: unsupported shape cast", probed r4 at
+        # N ∈ {64, 128}; N ≥ 256 compiles). Below that, reconstruct the
+        # conjugate rows — H[N−k1, (N−k2)%N] = conj H[k1, k2] — and ride
+        # the full transform: ≤ 256² the step is dispatch-bound anyway.
+        mir_r = jnp.roll(jnp.flip(re[:, 1:m], axis=(-2, -1)), 1, axis=-1)
+        mir_i = jnp.roll(jnp.flip(im[:, 1:m], axis=(-2, -1)), 1, axis=-1)
+        fr, _ = ifft2_planes_auto(jnp.concatenate([re, mir_r], axis=1),
+                                  jnp.concatenate([im, -mir_i], axis=1),
+                                  inverse, precision)
+        return fr
     from tpu_ocean.fft.matmul import (ifft1d_planes_lastaxis,
                                       ifft1d_planes_axis2)
     # Nyquist spectral row: one-row transform (2·N² MACs — noise)

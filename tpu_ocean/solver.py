@@ -164,6 +164,19 @@ class OceanSolver:
             # see PALLAS_PLAIN_ROUTE_N: the non-fused pipeline's extra
             # materialized planes crash the worker at this scale
             fft_backend = "pallas_fused"
+        if (fft_backend == "pallas_fused" and n % 128
+                and jax.default_backend() != "cpu"):
+            # the LOW end of the safe envelope (same policy as
+            # PALLAS_PLAIN_ROUTE_N at the high end): Mosaic requires the
+            # 128-wide lane factor, so the fused kernels fail to compile on
+            # hardware at any N not divisible by 128 (probed r4: N=64 →
+            # "unsupported shape cast"; N=192 → non-divisible block shape).
+            # The non-fused pipeline routes such N through the einsum
+            # four-step internally (pallas_fft.ifft2_planes_auto), keeping
+            # every real_state/pack/half switch valid — and at these
+            # dispatch-bound sizes the fused kernel's HBM fusion buys
+            # nothing anyway.
+            fft_backend = "pallas"
         self.fft_backend = fft_backend
 
         # ---- trace-time constants ----
