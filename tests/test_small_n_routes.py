@@ -100,3 +100,19 @@ def test_cpu_keeps_kernel_paths():
     s = OceanSolver(cfg, fft_backend="pallas_fused", real_state=True,
                     pack_channels=True)
     assert s.fft_backend == "pallas_fused"
+
+
+def test_distributed_rejects_non_lane_multiple_on_hardware(monkeypatch):
+    """DistributedOceanSolver fails EARLY with a real message on hardware
+    for N % 128 != 0 (the sharded transforms call the transposed-store
+    kernels directly — no einsum reroute exists there)."""
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.parallel import make_mesh
+    from tpu_ocean.solver_dist import DistributedOceanSolver
+    cfg = OceanConfig(resolution=192, length=192.0, wind=(8.0, 5.0),
+                      amplitude=0.5, spectrum_layout="fft",
+                      normals_mode="stencil")
+    mesh = make_mesh(1)
+    _patched_tpu(monkeypatch)
+    with pytest.raises(ValueError, match="128"):
+        DistributedOceanSolver(cfg, mesh, fft_backend="pallas")

@@ -84,6 +84,16 @@ class DistributedOceanSolver:
         n_dev = mesh.shape["shard"]
         if n % n_dev != 0:
             raise ValueError(f"resolution {n} not divisible by shard={n_dev}")
+        if n % 128 and jax.default_backend() != "cpu":
+            # the sharded transforms ride the transposed-store kernels
+            # directly; Mosaic's 128-lane rule rejects other N on hardware
+            # (probed r4 single-chip — fail early with a real message
+            # instead of the remote compiler's opaque HTTP 500; the
+            # single-patch OceanSolver routes such N through the einsum
+            # four-step instead)
+            raise ValueError(f"distributed transforms need resolution "
+                             f"divisible by 128 on TPU hardware (got {n}); "
+                             f"use OceanSolver for this grid")
         if pallas_fields and n // n_dev < 2:
             raise ValueError("pallas_fields needs ≥2 local columns per shard")
         self.cfg = cfg
