@@ -147,17 +147,23 @@ def run_cascade(args) -> int:
     n = args.res or 256
     cfgs = default_cascade(n=n)
     dt = 1.0 / 60.0
+    kw = dict(pack_channels=args.pack)
+    if args.production:
+        # the banded twin of the ocean demo's headline switch set: all-real
+        # banded step + fused combine + packing + ONE batched C2R transform
+        # for every band's last packed channel
+        args.backend = "pallas"
+        kw = dict(pack_channels=True, real_state=True, pallas_fields=True,
+                  half_spectrum=n % 16 == 0 and n >= 64)
     if args.camera > 0:
         periods = periods_for_distance(cfgs, dt,
                                        camera_distance=args.camera)
         solver = LODCascadeSolver(cfgs, periods=periods,
-                                  fft_backend=args.backend, dt=dt,
-                                  pack_channels=args.pack)
+                                  fft_backend=args.backend, dt=dt, **kw)
         print(f"# LOD periods {periods} (camera {args.camera:.0f} m)",
               file=sys.stderr)
     else:
-        solver = CascadeSolver(cfgs, fft_backend=args.backend,
-                               pack_channels=args.pack)
+        solver = CascadeSolver(cfgs, fft_backend=args.backend, **kw)
     state = solver.init(jax.random.PRNGKey(args.seed))
     metrics = Metrics(grid_points=n ** 2, emit=sys.stderr)
     fields = None
@@ -249,6 +255,9 @@ def main(argv=None) -> int:
                    help="camera distance in m (>0 enables LOD scheduling)")
     p.add_argument("--pack", action="store_true",
                    help="Hermitian channel packing (B×2 transforms)")
+    p.add_argument("--production", action="store_true",
+                   help="measured-fastest banded switch set (real_state + "
+                        "fused combine + packing + half-spectrum)")
 
     p = sub.add_parser("serve",
                        help="stream solver fields to TCP clients "
