@@ -159,7 +159,8 @@ def run_soak(args) -> dict:
     trend_ok = bool(0.5 < trend < 2.0)
     return {
         "steps": n_chunks * args.chunk, "chunk": args.chunk,
-        "res": args.res, "resumed_from_chunk": start_chunk,
+        "res": args.res, "half_spectrum": bool(args.half),
+        "resumed_from_chunk": start_chunk,
         "gates_ok": per_chunk_ok and envelope_ok and trend_ok,
         "per_chunk_ok": per_chunk_ok,
         "envelope_ok": envelope_ok, "trend_ok": trend_ok,

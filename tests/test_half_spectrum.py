@@ -244,3 +244,38 @@ def test_half_spectrum_cascade_simulation_passthrough(tmp_path):
     f = lod.step()
     assert np.isfinite(np.asarray(f.height)).all()
     lod.close()
+
+
+def test_half_spectrum_velocity_matches_packed():
+    """velocity() under half_spectrum rides the C2R transform (v̂ is
+    exactly Hermitian under the packed projection — the same symmetry as
+    the height channel); values match the packed solver's velocity."""
+    cfg = _cfg(n=64)
+    h0, h0c = _pair(64)
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True)
+    ref = OceanSolver(cfg, **kw)
+    got = OceanSolver(cfg, half_spectrum=True, **kw)
+    s_ref = ref.init(h0=h0, h0_conj=h0c)
+    s_got = got.init(h0=h0, h0_conj=h0c)
+    s_ref, _ = ref.step(s_ref, 1 / 60)
+    s_got, _ = got.step(s_got, 1 / 60)
+    v_ref = np.asarray(ref.velocity(s_ref))
+    v_got = np.asarray(got.velocity(s_got))
+    scale = max(np.abs(v_ref).max(), 1e-6)
+    assert np.abs(v_got - v_ref).max() < 5e-6 * scale
+
+
+def test_half_spectrum_cascade_velocity_matches_packed():
+    from tpu_ocean.cascade import CascadeSolver, default_cascade
+    cfgs = default_cascade(n=64, lengths=(100.0, 13.0))
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True)
+    ref = CascadeSolver(cfgs, **kw)
+    got = CascadeSolver(cfgs, half_spectrum=True, **kw)
+    key = jax.random.PRNGKey(4)
+    s_ref, s_got = ref.init(key), got.init(key)
+    s_ref, _ = ref.step(s_ref, 1 / 60)
+    s_got, _ = got.step(s_got, 1 / 60)
+    v_ref = np.asarray(ref.velocity(s_ref))
+    v_got = np.asarray(got.velocity(s_got))
+    scale = max(np.abs(v_ref).max(), 1e-6)
+    assert np.abs(v_got - v_ref).max() < 5e-6 * scale

@@ -484,6 +484,16 @@ class CascadeSolver:
         diff_re = (a - cc) * cph - (b + d) * sph
         diff_im = (b - d) * cph + (a + cc) * sph
         w = rate * omega
+        if self.half_spectrum:
+            # banded twin of OceanSolver's C2R velocity: every band's v̂ is
+            # exactly Hermitian under the packed projection — one batched
+            # half transform over the band axis, Σ over bands
+            from tpu_ocean.fft.pallas_fft import ifft2_planes_half
+            mh = self.n // 2
+            re = ifft2_planes_half(-(w * diff_im)[:, :mh + 1],
+                                   (w * diff_re)[:, :mh + 1], True,
+                                   self._mxu_precision)
+            return jnp.sum(re, axis=0)
         re, _ = ifft2_planes_auto(-(w * diff_im), w * diff_re, True,
                                   self._mxu_precision)
         return jnp.sum(re, axis=0)

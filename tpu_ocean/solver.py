@@ -724,6 +724,18 @@ class OceanSolver:
         diff_re = (a - cc) * cph - (b + d) * sph
         diff_im = (b - d) * cph + (a + cc) * sph
         w = rate * omega
+        if self.half_spectrum:
+            # v̂(k) = iρω(h0·e^{iφ} − h0*·e^{−iφ}) is EXACTLY Hermitian
+            # under the packed state's projection (h0*[k] = conj h0[−k],
+            # ω even in k) — the same symmetry the height channel rides —
+            # so the served velocity plane gets the C2R transform too
+            # (rows 0..N/2 only; XLA narrows the assembly to the slice).
+            from tpu_ocean.fft.pallas_fft import ifft2_planes_half
+            mh = cfg.resolution // 2
+            return ifft2_planes_half(
+                (-(w * diff_im))[None, :mh + 1],
+                (w * diff_re)[None, :mh + 1], True,
+                self._mxu_precision)[0]
         re, im = ifft2_planes_auto((-(w * diff_im))[None],
                                    (w * diff_re)[None], True,
                                    self._mxu_precision)
