@@ -171,3 +171,24 @@ def test_ensemble_distributed_half_composition():
     np.testing.assert_allclose(h_a, h_b, atol=2e-5 * np.abs(h_b).max())
     # members differ (fold_in-seeded draws)
     assert np.abs(h_a[0] - h_a[1]).max() > 1e-3 * np.abs(h_a).max()
+
+
+def test_sharded_half_velocity_matches_nonhalf():
+    """velocity() under the sharded half route (v̂ exactly Hermitian under
+    the packed projection) equals the non-half sharded velocity — same
+    topology both sides, one shared h0."""
+    n = 128
+    cfg = _cfg(n=n)
+    h0, h0c = _pair(n)
+    mesh = _mesh_d(8)
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True)
+    ref = DistributedOceanSolver(cfg, mesh, **kw)
+    got = DistributedOceanSolver(cfg, mesh, half_spectrum=True, **kw)
+    s_ref = ref.init(h0=h0, h0_conj=h0c)
+    s_got = got.init(h0=h0, h0_conj=h0c)
+    s_ref, _ = ref.step(s_ref, 1 / 60)
+    s_got, _ = got.step(s_got, 1 / 60)
+    v_ref = np.asarray(ref.velocity(s_ref))
+    v_got = np.asarray(got.velocity(s_got))
+    scale = max(np.abs(v_ref).max(), 1e-6)
+    assert np.abs(v_got - v_ref).max() < 2e-5 * scale

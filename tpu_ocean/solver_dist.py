@@ -414,6 +414,15 @@ class DistributedOceanSolver:
         w = rate * omega
         vr, vi = -(w * diff_im), w * diff_re
         if self.fft_backend in ("pallas", "pallas_fused"):
+            if self.half_spectrum:
+                # v̂ is exactly Hermitian under the packed projection (the
+                # same symmetry the step's half channel rides), so the
+                # serving velocity plane gets the mirror-balanced sharded
+                # C2R — half the transform rows AND half the a2a volume
+                from tpu_ocean.fft.distributed import ifft2_x_sharded_half
+                return ifft2_x_sharded_half(
+                    vr[None], vi[None], "shard",
+                    precision=self._mxu_precision)[0]
             re, _ = ifft2_x_sharded_planes(vr[None], vi[None], "shard",
                                            precision=self._mxu_precision)
             return re[0]
