@@ -79,32 +79,41 @@ def main() -> int:
                 print(f"# skip {res}^2 {label}: already banked", flush=True)
                 continue
             budget = _BUDGETS.get(res, 1200)
-            cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
-                   "--res", str(res), "--budget-s", str(budget)] + flags
-            if res >= 8192:
-                # the tinypull scalar transfer HANGS (GIL held — no watchdog
-                # can fire) at 8192² on this runtime (r4); block forcing is
-                # safe here because the validity gates reject deferred
-                # execution, and the r3/r4 8192² evidence is block-captured
-                cmd += ["--forcing", "block"]
-            print(f"# running: {' '.join(cmd[2:])}", flush=True)
+            base = [sys.executable, os.path.join(ROOT, "bench.py"),
+                    "--res", str(res), "--budget-s", str(budget)] + flags
+            # 8192² forcing (two probed failure modes on this tunnel, r4):
+            # tinypull can HANG with the GIL held (uncatchable in-process —
+            # but the subprocess timeout below bounds it), and block can be
+            # silently DEFERRED (flat walls → the gates null the run). Try
+            # block first (never hangs); if the window deferred it, spend
+            # one bounded tinypull attempt — the r4 traces proved small
+            # queued work + tinypull executes in the same windows block
+            # defers.
+            attempts = ([base + ["--forcing", "block"],
+                         base + ["--forcing", "tinypull"]]
+                        if res >= 8192 else [base])
             t0 = time.time()
-            try:
-                p = subprocess.run(cmd, capture_output=True, text=True,
-                                   timeout=budget + 300, cwd=ROOT)
-                lines = [l for l in p.stdout.splitlines()
-                         if l.startswith("{")]
-                rec = json.loads(lines[-1]) if lines else {
-                    "value": None, "error": f"no output (rc={p.returncode})"}
-                if rec.get("value") is None:
-                    # keep the per-backend failure lines for the post-mortem
-                    # (they go to the child's stderr and were lost in r4's
-                    # first 8192² family failure)
-                    rec["stderr_tail"] = [
-                        l for l in p.stderr.splitlines()[-12:]
-                        if not l.startswith("WARNING")]
-            except subprocess.TimeoutExpired:
-                rec = {"value": None, "error": "family child timeout"}
+            rec = {"value": None, "error": "no attempt ran"}
+            for cmd in attempts:
+                print(f"# running: {' '.join(cmd[2:])}", flush=True)
+                try:
+                    p = subprocess.run(cmd, capture_output=True, text=True,
+                                       timeout=budget + 300, cwd=ROOT)
+                    lines = [l for l in p.stdout.splitlines()
+                             if l.startswith("{")]
+                    rec = json.loads(lines[-1]) if lines else {
+                        "value": None,
+                        "error": f"no output (rc={p.returncode})"}
+                    if rec.get("value") is None:
+                        # keep the per-backend failure lines for the
+                        # post-mortem (lost in r4's first 8192² failure)
+                        rec["stderr_tail"] = [
+                            l for l in p.stderr.splitlines()[-12:]
+                            if not l.startswith("WARNING")]
+                except subprocess.TimeoutExpired:
+                    rec = {"value": None, "error": "family child timeout"}
+                if rec.get("value") is not None:
+                    break
             rec["res"] = res
             rec["requested"] = label
             rec["wall_s"] = round(time.time() - t0, 1)
