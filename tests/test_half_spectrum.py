@@ -279,3 +279,24 @@ def test_half_spectrum_cascade_velocity_matches_packed():
     v_got = np.asarray(got.velocity(s_got))
     scale = max(np.abs(v_ref).max(), 1e-6)
     assert np.abs(v_got - v_ref).max() < 5e-6 * scale
+
+
+def test_half_natural_regime_kernel_column():
+    """Natural-store half route with the COLUMN pass on the transposed-
+    store kernel (HALF_NAT_COLUMN_KERNEL): the C2R fold halves the column
+    length, so at 4096² it fits the fused kernel's envelope while the full
+    path's column cannot. Forced at a small N: cap 64 routes N=128 through
+    the natural regime AND keeps M=64 ≤ cap for the kernel column."""
+    from tpu_ocean.fft import pallas_fft
+    n = 128
+    s = _hermitian_spectrum(n, c=2, seed=11)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    fr, _ = pallas_fft.ifft2_planes_auto(re, im, True)
+    assert pallas_fft.HALF_NAT_COLUMN_KERNEL
+    with pallas_fft.transposed_store_cap(64):
+        half = pallas_fft.ifft2_planes_half(re[:, :n // 2 + 1],
+                                            im[:, :n // 2 + 1], True)
+    scale = np.abs(np.asarray(fr)).max()
+    np.testing.assert_allclose(np.asarray(half), np.asarray(fr),
+                               atol=2e-5 * scale)

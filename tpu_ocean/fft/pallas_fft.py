@@ -316,6 +316,11 @@ MAX_FUSED_N = 2048
 #: (like the n % 128 route in ifft2_planes_auto): interpret mode keeps the
 #: real kernels so the CPU suite's small-N parity tests still exercise them.
 HALF_MIN_PALLAS_N = 256
+#: natural-regime half route: run the column pass (length M = N/2, which
+#: the C2R fold keeps ≤ MAX_PALLAS_N up to N = 4096) on the fused
+#: transposed-store kernel instead of the einsum chain — see the branch in
+#: ifft2_planes_half. Toggle for the hardware A/B probe.
+HALF_NAT_COLUMN_KERNEL = True
 
 
 @contextlib.contextmanager
@@ -690,11 +695,24 @@ def ifft2_planes_half(re, im, inverse: bool = True,
                               jnp.swapaxes(nyi, -1, -2), inverse, axis=-1)
         xr, xi = _fft1d_transposed(vr, vi, inverse, precision)  # [C, M, N]
     else:
-        # natural regime: k1 stays on axis -2; einsum column pass at length M
+        # natural regime: k1 stays on axis -2; column pass at length M
         yr, yi = fft1d_natural_large(re[:, :m], im[:, :m], inverse,
                                      precision)                 # [C, M, N]
         vr, vi = _c2r_combine(yr, yi, nyr, nyi, inverse, axis=-2)
-        xr, xi = ifft1d_planes_axis2(vr, vi, inverse, precision)
+        if HALF_NAT_COLUMN_KERNEL and m <= MAX_PALLAS_N:
+            # the C2R fold HALVES the column length: at N = 4096 the full
+            # path's column (4096) is out of the fused kernel's VMEM
+            # envelope, but the half channel's column (M = 2048) fits — so
+            # swap the axes and run the transposed-store kernel (one HBM
+            # round trip; its transposed output lands exactly in the
+            # [C, M, N] orientation the einsum pass produces). The swap is
+            # an XLA copy the combine can fuse into; probed vs the einsum
+            # column on hardware (bench/PROBE_r4_half_nat_column.json).
+            xr, xi = _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
+                                       jnp.swapaxes(vi, -1, -2),
+                                       inverse, precision)      # [C, M, N]
+        else:
+            xr, xi = ifft1d_planes_axis2(vr, vi, inverse, precision)
     # x[2m] = Re v[m], x[2m+1] = Im v[m]: interleave as even/odd rows
     return jnp.stack([xr, xi], axis=2).reshape(c, n, n)
 
