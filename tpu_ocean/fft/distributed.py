@@ -237,7 +237,18 @@ def ifft2_x_sharded_half(re, im, axis_name: str,
         yr = jnp.take(yr, inv, axis=-2)
         yi = jnp.take(yi, inv, axis=-2)
         vr, vi = _c2r_combine(yr, yi, nyr, nyi, True, axis=-2)
-        xr, xi = ifft1d_planes_axis2(vr, vi, True, precision)  # [1, M, N/D]
+        from tpu_ocean.fft.pallas_fft import HALF_NAT_COLUMN_KERNEL
+        if HALF_NAT_COLUMN_KERNEL and mh <= MAX_PALLAS_N:
+            # same engine swap as the single-chip half route: the fold
+            # halves the column length to M = N/2, which fits the fused
+            # kernel's envelope at 4096² where the full column does not
+            # (probed +2.6% on the whole step, PROBE_r4_half_nat_column)
+            xr, xi = _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
+                                       jnp.swapaxes(vi, -1, -2),
+                                       True, precision)        # [1, M, N/D]
+        else:
+            xr, xi = ifft1d_planes_axis2(vr, vi, True,
+                                         precision)            # [1, M, N/D]
     else:
         yr, yi = _fft1d_transposed(sel_re, sel_im, inverse=True,
                                    precision=precision)   # [1, N, B/2]
