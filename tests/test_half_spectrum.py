@@ -300,3 +300,34 @@ def test_half_natural_regime_kernel_column():
     scale = np.abs(np.asarray(fr)).max()
     np.testing.assert_allclose(np.asarray(half), np.asarray(fr),
                                atol=2e-5 * scale)
+
+
+def test_full_column_radix2_kernel_matches_einsum():
+    """Large-N FULL transform with the radix-2 DIT column engine
+    (COLUMN_RADIX2_KERNEL): two half-length transposed-store kernel calls
+    + one twiddle butterfly replace the einsum column pass. Forced small:
+    cap 64 routes N=128 through the natural regime with M/2 = 64 ≤ cap."""
+    from tpu_ocean.fft import pallas_fft
+    n = 128
+    s = _hermitian_spectrum(n, c=2, seed=13)
+    # a GENERAL complex spectrum (not Hermitian): perturb asymmetry
+    s = s + 0.3j * np.random.default_rng(5).normal(size=s.shape)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    want_r, want_i = pallas_fft.ifft2_planes_auto(re, im, True)
+    assert pallas_fft.COLUMN_RADIX2_KERNEL
+    with pallas_fft.transposed_store_cap(64):
+        got_r, got_i = pallas_fft.ifft2_planes_auto(re, im, True)
+    scale = np.abs(np.asarray(want_r)).max()
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               atol=2e-5 * scale)
+    # forward direction too (the butterfly's sign path)
+    fw_r, fw_i = pallas_fft.ifft2_planes_auto(re, im, False)
+    with pallas_fft.transposed_store_cap(64):
+        fg_r, fg_i = pallas_fft.ifft2_planes_auto(re, im, False)
+    np.testing.assert_allclose(np.asarray(fg_r), np.asarray(fw_r),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(fg_i), np.asarray(fw_i),
+                               atol=2e-5 * scale)

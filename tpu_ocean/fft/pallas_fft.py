@@ -322,6 +322,42 @@ HALF_MIN_PALLAS_N = 256
 #: ifft2_planes_half. Toggle for the hardware A/B probe.
 HALF_NAT_COLUMN_KERNEL = True
 
+#: large-N FULL column pass: radix-2 decimation-in-time splits the length-N
+#: column DFT into two length-N/2 transforms — which fit the fused
+#: transposed-store kernel at N = 4096 where the full column does not —
+#: plus one fused elementwise twiddle/butterfly. The same idea that won
+#: +2.6% on the half channel (PROBE_r4_half_nat_column), applied to the
+#: packed channels. Toggle for the hardware A/B probe.
+COLUMN_RADIX2_KERNEL = True
+
+
+def _ifft1d_axis2_radix2(re, im, inverse: bool, precision):
+    """Length-M DFT along axis -2 of [C, M, N] as a radix-2 DIT over two
+    transposed-store kernel calls at length M/2 (caller guarantees
+    M/2 ≤ MAX_PALLAS_N and 128 | M/2):
+
+        X[k]       = E[k] + ω^k·O[k]        ω = e^{±2πi/M}
+        X[k + M/2] = E[k] − ω^k·O[k]
+
+    E/O are the even/odd input rows' DFT_{M/2}; the twiddle butterfly is
+    one fused elementwise pass XLA folds into the concat stores."""
+    c, m, n = re.shape
+    h = m // 2
+    er, ei = _fft1d_transposed(jnp.swapaxes(re[:, 0::2], -1, -2),
+                               jnp.swapaxes(im[:, 0::2], -1, -2),
+                               inverse, precision)              # [C, M/2, N]
+    orr, oi = _fft1d_transposed(jnp.swapaxes(re[:, 1::2], -1, -2),
+                                jnp.swapaxes(im[:, 1::2], -1, -2),
+                                inverse, precision)
+    sign = +1.0 if inverse else -1.0
+    w = np.exp(sign * 2j * np.pi * np.arange(h) / m)   # host numpy constant
+    wr = np.asarray(w.real, np.float32)[None, :, None]
+    wi = np.asarray(w.imag, np.float32)[None, :, None]
+    tr = wr * orr - wi * oi
+    ti = wr * oi + wi * orr
+    return (jnp.concatenate([er + tr, er - tr], axis=-2),
+            jnp.concatenate([ei + ti, ei - ti], axis=-2))
+
 
 @contextlib.contextmanager
 def transposed_store_cap(n: int):
@@ -409,8 +445,14 @@ def ifft2_planes_auto(re, im, inverse: bool = True,
         return _fft1d_transposed(re, im, inverse, precision)
     from tpu_ocean.fft.matmul import ifft1d_planes_axis2
     # row pass: the natural-store fused kernel (one HBM round trip);
-    # column pass: einsum (a full column bundle exceeds VMEM)
+    # column pass: einsum (a full column bundle exceeds VMEM), or — when
+    # N/2 still fits the kernel envelope — the radix-2 DIT split over two
+    # transposed-store kernel calls (COLUMN_RADIX2_KERNEL, probed r4)
     re, im = fft1d_natural_large(re, im, inverse, precision)
+    m = re.shape[-2]
+    if (COLUMN_RADIX2_KERNEL and m % 256 == 0
+            and m // 2 <= MAX_PALLAS_N):
+        return _ifft1d_axis2_radix2(re, im, inverse, precision)
     return ifft1d_planes_axis2(re, im, inverse, precision)
 
 
