@@ -302,11 +302,13 @@ def test_half_natural_regime_kernel_column():
                                atol=2e-5 * scale)
 
 
-def test_full_column_radix2_kernel_matches_einsum():
+def test_full_column_radix2_kernel_matches_einsum(monkeypatch):
     """Large-N FULL transform with the radix-2 DIT column engine
-    (COLUMN_RADIX2_KERNEL): two half-length transposed-store kernel calls
-    + one twiddle butterfly replace the einsum column pass. Forced small:
-    cap 64 routes N=128 through the natural regime with M/2 = 64 ≤ cap."""
+    (COLUMN_RADIX2_KERNEL — kept implemented but DISABLED by default, a
+    measured hardware loss: bench/PROBE_r4_column_radix2.json): two
+    half-length transposed-store kernel calls + one twiddle butterfly
+    replace the einsum column pass. Forced small: cap 64 routes N=128
+    through the natural regime with M/2 = 64 ≤ cap."""
     from tpu_ocean.fft import pallas_fft
     n = 128
     s = _hermitian_spectrum(n, c=2, seed=13)
@@ -315,7 +317,7 @@ def test_full_column_radix2_kernel_matches_einsum():
     re = jnp.asarray(s.real, jnp.float32)
     im = jnp.asarray(s.imag, jnp.float32)
     want_r, want_i = pallas_fft.ifft2_planes_auto(re, im, True)
-    assert pallas_fft.COLUMN_RADIX2_KERNEL
+    monkeypatch.setattr(pallas_fft, "COLUMN_RADIX2_KERNEL", True)
     with pallas_fft.transposed_store_cap(64):
         got_r, got_i = pallas_fft.ifft2_planes_auto(re, im, True)
     scale = np.abs(np.asarray(want_r)).max()
@@ -324,7 +326,9 @@ def test_full_column_radix2_kernel_matches_einsum():
     np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
                                atol=2e-5 * scale)
     # forward direction too (the butterfly's sign path)
+    monkeypatch.setattr(pallas_fft, "COLUMN_RADIX2_KERNEL", False)
     fw_r, fw_i = pallas_fft.ifft2_planes_auto(re, im, False)
+    monkeypatch.setattr(pallas_fft, "COLUMN_RADIX2_KERNEL", True)
     with pallas_fft.transposed_store_cap(64):
         fg_r, fg_i = pallas_fft.ifft2_planes_auto(re, im, False)
     np.testing.assert_allclose(np.asarray(fg_r), np.asarray(fw_r),

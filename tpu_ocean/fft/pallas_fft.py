@@ -327,8 +327,17 @@ HALF_NAT_COLUMN_KERNEL = True
 #: transposed-store kernel at N = 4096 where the full column does not —
 #: plus one fused elementwise twiddle/butterfly. The same idea that won
 #: +2.6% on the half channel (PROBE_r4_half_nat_column), applied to the
-#: packed channels. Toggle for the hardware A/B probe.
-COLUMN_RADIX2_KERNEL = True
+#: packed channels. DISABLED by default — measured NEGATIVE on v5e at
+#: 4096² (bench/PROBE_r4_column_radix2.json: packed 17.07 vs 16.40,
+#: shipping half config 13.75 vs 13.44): the DIT's strided even/odd
+#: split, the pre-kernel transposes, and the butterfly add ~3 full-plane
+#: HBM passes, while the einsum column already fuses its transpose INTO
+#: the MXU contraction (matmul.ifft1d_planes_axis2) — the half channel's
+#: engine swap wins only because the C2R fold hands the kernel a
+#: half-length column with ONE swap and no split/butterfly. Kept
+#: implemented + tested (the r3 convention): on parts with cheaper HBM
+#: gathers it is one constant away.
+COLUMN_RADIX2_KERNEL = False
 
 
 def _ifft1d_axis2_radix2(re, im, inverse: bool, precision):
