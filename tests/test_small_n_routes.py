@@ -116,3 +116,13 @@ def test_distributed_rejects_non_lane_multiple_on_hardware(monkeypatch):
     _patched_tpu(monkeypatch)
     with pytest.raises(ValueError, match="128"):
         DistributedOceanSolver(cfg, mesh, fft_backend="pallas")
+
+
+def test_column_engine_defaults_pinned():
+    """The shipped column-engine configuration is measurement-backed
+    (PROBE_r4_half_nat_column POSITIVE, PROBE_r4_column_radix2 NEGATIVE) —
+    pin the defaults so an accidental flip is caught."""
+    from tpu_ocean.fft import pallas_fft
+    assert pallas_fft.HALF_NAT_COLUMN_KERNEL is True
+    assert pallas_fft.COLUMN_RADIX2_KERNEL is False
+    assert pallas_fft.HALF_MIN_PALLAS_N == 256
