@@ -190,7 +190,8 @@ def _measure_backend(backend: str, res: int, steps: int,
                      precision: str = "float32",
                      pack_channels: bool = False,
                      half_spectrum: bool = False,
-                     forcing: str = "tinypull") -> dict:
+                     forcing: str = "tinypull",
+                     smallk: bool = False) -> dict:
     import jax
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.solver import OceanSolver
@@ -216,9 +217,17 @@ def _measure_backend(backend: str, res: int, steps: int,
         return {"backend": backend, "per_step_s": m.per_step_s,
                 "suspect": bool(m.suspect), "forcing": m.forcing, **routed}
     k = max(8, steps // 4)
+    # --smallk: ks=(2,8,32), escalation off — every queued burst stays
+    # ≤ ~2.4 s at 8192², the regime that EXECUTES under tinypull even in
+    # windows where block defers and large-K pulls hang (r4 session 3:
+    # landed the first sustained 8192² half number, 70.00 ms, residual
+    # 2e-4, matching the trace pair + overlap gap to 0.6% —
+    # bench/PROBE_r4_8192_smallk_half.json). Gates are unchanged:
+    # intercept ≈ 30 ms ≪ 2·step there, top/bottom wall ratio ≈ 13.
+    ks = (2, 8, 32) if smallk else (k, 8 * k, 64 * k)
     lad = time_steps_ladder(solver._step_impl, state, dt,
-                            ks=(k, 8 * k, 64 * k), extra=solver._consts,
-                            escalate=True, forcing=forcing)
+                            ks=ks, extra=solver._consts,
+                            escalate=not smallk, forcing=forcing)
     return {"backend": backend, "per_step_s": lad.per_step_s,
             "suspect": bool(lad.suspect), "forcing": lad.forcing,
             "ladder_ks": lad.ks,
@@ -244,6 +253,8 @@ def _run_child(task: str, args, timeout_s: float, fields: bool = False,
         cmd.append("--half-spectrum")
     if getattr(args, "forcing", "tinypull") != "tinypull":
         cmd += ["--forcing", args.forcing]
+    if getattr(args, "smallk", False):
+        cmd.append("--smallk")
     for label in skip:
         cmd += ["--skip", label]
     if fast:
@@ -390,6 +401,10 @@ def main():
                          "deferred execution under block is caught by the "
                          "ladder validity gates, a hung pull is not "
                          "catchable at all")
+    ap.add_argument("--smallk", action="store_true",
+                    help="tiny K-ladder (2,8,32), no escalation: the "
+                         "deferral-window mode for 8192^2 — see the note "
+                         "in _measure_backend")
     ap.add_argument("--canary-timeout", type=float, default=180.0,
                     help="seconds before a silent canary child is declared "
                          "dead (healthy tunnel startup is 40-120 s)")
@@ -429,7 +444,8 @@ def main():
                                          precision=args.precision,
                                          pack_channels=packed,
                                          half_spectrum=half,
-                                         forcing=args.forcing)
+                                         forcing=args.forcing,
+                                         smallk=args.smallk)
                     r["backend"] = label
                     if args.fast:
                         r["ladder"] = "reduced"    # retry path, gates intact
@@ -444,7 +460,7 @@ def main():
                 precision=args.precision,
                 pack_channels=args.pack_channels,
                 half_spectrum=args.half_spectrum,
-                forcing=args.forcing)))
+                forcing=args.forcing, smallk=args.smallk)))
         return 0
 
     # child budgets: the realsweep child pays one startup + three Mosaic
@@ -464,7 +480,8 @@ def main():
                                          args.method, pallas_fields=pf,
                                          precision=args.precision,
                                          pack_channels=pk, half_spectrum=hf,
-                                         forcing=args.forcing)
+                                         forcing=args.forcing,
+                                         smallk=args.smallk)
                     r["backend"] = label
                 except Exception as e:    # e.g. a variant invalid at this N
                     r = {"backend": label,
@@ -475,7 +492,7 @@ def main():
                                 pallas_fields=f, precision=args.precision,
                                 pack_channels=args.pack_channels,
                                 half_spectrum=args.half_spectrum,
-                                forcing=args.forcing)
+                                forcing=args.forcing, smallk=args.smallk)
 
     # single-backend children scale with the grid: the K-ladder's top rung
     # alone costs ~70 s at 8192² (plus a cold Mosaic compile) — a flat

@@ -88,9 +88,12 @@ def main() -> int:
             # block first (never hangs); if the window deferred it, spend
             # one bounded tinypull attempt — the r4 traces proved small
             # queued work + tinypull executes in the same windows block
-            # defers.
+            # defers — and the tinypull attempt rides the tiny-K ladder
+            # (bench.py --smallk: ks=(2,8,32), every queued burst ≤ ~2.4 s,
+            # the regime that executes where large-K pulls hang; landed the
+            # first sustained 8192² half number, 70.00 ms).
             attempts = ([base + ["--forcing", "block"],
-                         base + ["--forcing", "tinypull"]]
+                         base + ["--forcing", "tinypull", "--smallk"]]
                         if res >= 8192 else [base])
             t0 = time.time()
             rec = {"value": None, "error": "no attempt ran"}
