@@ -26,4 +26,12 @@ run_job soakhalf 1800 python bench/soak.py --steps 100000 --half \
   --out-dir /tmp/tpu_ocean_soak_half --orchestrate
 run_job fieldsprobe 1800 python bench/probe_fields_large.py --res 8192 --k 8
 run_job family8192retry 3600 python bench/family.py --res 8192
+# session-3 additions: the tiny-K ladder cracked the deferral window —
+# sustained 8192² pair landed (70.00 half / 73.64 packed) and the family
+# now banks both lines via its --smallk third attempt (see above retry)
+run_job smallk8192half 1800 python bench/probe_8192_smallk.py --half
+run_job smallk8192pack 1800 python bench/probe_8192_smallk.py
+run_job natcolprobe 2400 python bench/probe_half_nat_column.py --res 4096
+run_job radix2probe 3600 python bench/probe_column_radix2.py --res 4096
+run_job trace4096half 1800 python bench/trace_capture.py --res 4096 --half --steps 8
 echo "# $(date +%T) queue4 complete" >&2
