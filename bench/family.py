@@ -82,18 +82,18 @@ def main() -> int:
             base = [sys.executable, os.path.join(ROOT, "bench.py"),
                     "--res", str(res), "--budget-s", str(budget)] + flags
             # 8192² forcing (two probed failure modes on this tunnel, r4):
-            # tinypull can HANG with the GIL held (uncatchable in-process —
-            # but the subprocess timeout below bounds it), and block can be
-            # silently DEFERRED (flat walls → the gates null the run). Try
-            # block first (never hangs); if the window deferred it, spend
-            # one bounded tinypull attempt — the r4 traces proved small
-            # queued work + tinypull executes in the same windows block
-            # defers — and the tinypull attempt rides the tiny-K ladder
-            # (bench.py --smallk: ks=(2,8,32), every queued burst ≤ ~2.4 s,
-            # the regime that executes where large-K pulls hang; landed the
-            # first sustained 8192² half number, 70.00 ms).
-            attempts = ([base + ["--forcing", "block"],
-                         base + ["--forcing", "tinypull", "--smallk"]]
+            # large-K tinypull can HANG with the GIL held (uncatchable
+            # in-process — but the subprocess timeout below bounds it), and
+            # block can be silently DEFERRED (flat walls → the gates null
+            # the run). The tiny-K ladder under tinypull (bench.py
+            # --smallk: ks=(2,8,32), every queued burst ≤ ~2.4 s) is the
+            # one regime measured to execute in BOTH window types — it
+            # landed every sustained 8192² number of record (70.00 half /
+            # 73.64 packed) while block-first burned two nulled attempts
+            # per variant in r4. smallk+tinypull is therefore the FIRST
+            # attempt (VERDICT r4 #8); block is the fallback.
+            attempts = ([base + ["--forcing", "tinypull", "--smallk"],
+                         base + ["--forcing", "block"]]
                         if res >= 8192 else [base])
             t0 = time.time()
             rec = {"value": None, "error": "no attempt ran"}

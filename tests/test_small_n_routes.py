@@ -68,6 +68,60 @@ def test_half_small_n_mirror_route_matches_kernel(n, monkeypatch):
                                atol=2e-5 * scale)
 
 
+@pytest.mark.parametrize("n", [320])
+def test_half_non_lane_multiple_routes_to_mirror(n, monkeypatch):
+    """N ≥ HALF_MIN_PALLAS_N with N % 128 != 0 (valid for the solver's
+    N % 16 check, e.g. 320): the half route must mirror + ride the full
+    auto transform on hardware — the transposed regime's non-128 lane
+    split is Mosaic-rejected (ADVICE r4 medium). The mirror branch is
+    Pallas-free under the patched predicate (auto sends N % 128 to the
+    einsum four-step), so it executes here."""
+    from tpu_ocean.fft import pallas_fft
+    assert n >= pallas_fft.HALF_MIN_PALLAS_N and n % 128
+    s = _hermitian_spectrum(n, c=2, seed=11)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    m = n // 2
+    want = pallas_fft.ifft2_planes_half(re[:, :m + 1], im[:, :m + 1], True)
+    _patched_tpu(monkeypatch)
+    got = pallas_fft.ifft2_planes_half(re[:, :m + 1], im[:, :m + 1], True)
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5 * scale)
+
+
+def test_fused_half_small_n_falls_back_to_full_pipeline(monkeypatch):
+    """ifft2_fused_planes_half at N < HALF_MIN_PALLAS_N on hardware must
+    ride the full fused pipeline on every channel (ADVICE r4: at N = 128
+    the solver's N % 128 reroute does NOT fire, and the half channel's
+    M = 64 column pass is Mosaic-rejected). The full pipeline's kernels
+    can't execute on CPU under the patched predicate, so the gate is
+    checked with a recording stub; the fallback identity itself (Hermitian
+    last channel → full transform's Re is the field) is covered
+    numerically by test_half_spectrum_step_matches_packed."""
+    from tpu_ocean.ops import fused_spectrum_fft as fsf
+    n, ch = 128, 2
+    called = {}
+
+    def stub(h0_pair, phase, length, dz_sign, **kw):
+        called.update(kw)
+        re = jnp.arange(ch * n * n, dtype=jnp.float32).reshape(ch, n, n)
+        return re, re + 1.0
+    monkeypatch.setattr(fsf, "ifft2_fused_planes", stub)
+    _patched_tpu(monkeypatch)
+    pair = tuple(jnp.zeros((n, n), jnp.float32) for _ in range(4))
+    phase = jnp.zeros((n, n), jnp.float32)
+    re_f, im_f, last = fsf.ifft2_fused_planes_half(
+        pair, phase, float(n), 1.0, np.zeros((2 * ch, 1, n), np.float32),
+        ch_count=ch)
+    assert called["ch_count"] == ch and called["packed"] is True
+    assert re_f.shape == (ch - 1, n, n) and last.shape == (n, n)
+    # last = Re of the final full channel; re_f/im_f = the leading ones
+    np.testing.assert_array_equal(np.asarray(last),
+                                  np.arange(ch * n * n, dtype=np.float32)
+                                  .reshape(ch, n, n)[-1])
+
+
 def test_solver_routes_fused_to_plain_below_lane_width(monkeypatch):
     """'pallas_fused' at N % 128 != 0 constructs as 'pallas' on hardware
     (construction reads the predicate once; no trace happens here)."""
@@ -116,6 +170,11 @@ def test_distributed_rejects_non_lane_multiple_on_hardware(monkeypatch):
     _patched_tpu(monkeypatch)
     with pytest.raises(ValueError, match="128"):
         DistributedOceanSolver(cfg, mesh, fft_backend="pallas")
+    # the check is scoped to the Pallas backends (ADVICE r4): the
+    # jnp.fft/einsum sharded locals have no lane constraint and must stay
+    # constructible on hardware at any N % n_dev == 0
+    DistributedOceanSolver(cfg, mesh, fft_backend="matmul")
+    DistributedOceanSolver(cfg, mesh, fft_backend="reference")
 
 
 def test_column_engine_defaults_pinned():

@@ -71,6 +71,11 @@ def run_ocean(args) -> int:
     if fields is not None:
         viz.save_fields(args.out, fields, prefix="ocean", step=args.steps)
         viz.save_render_png(os.path.join(args.out, "ocean_render.png"), fields)
+        if args.save_mesh:
+            p = viz.save_mesh_obj(os.path.join(args.out, "ocean_mesh.obj"),
+                                  fields, cfg,
+                                  decimate=max(1, cfg.resolution // 256))
+            print(f"# mesh written: {p}", file=sys.stderr)
     print(f"# {args.steps} steps at {cfg.resolution}^2: "
           f"{metrics.summary()}", file=sys.stderr)
     return 0
@@ -235,6 +240,10 @@ def main(argv=None) -> int:
                    help="measured-fastest switch set (real_state + fused "
                         "stencil + packing + half-spectrum — the bench.py "
                         "headline pipeline)")
+    p.add_argument("--save-mesh", action="store_true",
+                   help="write the final displaced frame as OBJ geometry "
+                        "(two-triangles-per-quad, OceanRenderer.cs:172-207; "
+                        "auto-decimated to ≤ 256 vertices per side)")
 
     p = sub.add_parser("fftmesh", help="CPU oracle scene (FFT Mesh.unity)")
     _add_common(p, default_steps=10)

@@ -719,13 +719,17 @@ def ifft2_planes_half(re, im, inverse: bool = True,
     if 2 * m != n:
         raise ValueError(f"half-spectrum input must carry N/2+1 rows; "
                          f"got {mp1} for N={n}")
-    if n < HALF_MIN_PALLAS_N and jax.default_backend() != "cpu":
+    if (n < HALF_MIN_PALLAS_N or n % 128) and jax.default_backend() != "cpu":
         # Mosaic rejects the transposed-store pass when the fold length
         # M = N/2 lands on the LANE axis below the 128-lane vector width
         # ("infer-vector-layout: unsupported shape cast", probed r4 at
-        # N ∈ {64, 128}; N ≥ 256 compiles). Below that, reconstruct the
-        # conjugate rows — H[N−k1, (N−k2)%N] = conj H[k1, k2] — and ride
-        # the full transform: ≤ 256² the step is dispatch-bound anyway.
+        # N ∈ {64, 128}; N ≥ 256 compiles) — and at ANY N % 128 != 0 (the
+        # non-128 lane split, probed r4; the solver accepts N % 16 == 0,
+        # e.g. 320/448, so the half route must mirror there too — ADVICE
+        # r4). Reconstruct the conjugate rows —
+        # H[N−k1, (N−k2)%N] = conj H[k1, k2] — and ride the full
+        # transform, whose auto route already sends N % 128 to the einsum
+        # four-step: ≤ 256² the step is dispatch-bound anyway.
         mir_r = jnp.roll(jnp.flip(re[:, 1:m], axis=(-2, -1)), 1, axis=-1)
         mir_i = jnp.roll(jnp.flip(im[:, 1:m], axis=(-2, -1)), 1, axis=-1)
         fr, _ = ifft2_planes_auto(jnp.concatenate([re, mir_r], axis=1),

@@ -456,11 +456,26 @@ def ifft2_fused_planes_half(h0_pair, phase, length: float, dz_sign: float,
     + einsum column beyond (where the half route also halves the column
     pass length — the measured 4096² HBM bottleneck)."""
     from tpu_ocean.fft.matmul import ifft1d_planes_lastaxis
-    from tpu_ocean.fft.pallas_fft import _c2r_combine
+    from tpu_ocean.fft.pallas_fft import _c2r_combine, HALF_MIN_PALLAS_N
     from tpu_ocean.evolve import assemble_spectra_packed_real
     if precision is None:
         precision = lax.Precision.HIGHEST
     m, n = phase.shape
+    if n < HALF_MIN_PALLAS_N and jax.default_backend() != "cpu":
+        # Mosaic rejects the half channel's column pass when the fold
+        # length M = N/2 lands on the lane axis below the 128-lane vector
+        # width (same envelope as pallas_fft.ifft2_planes_half — probed r4
+        # at N ∈ {64, 128}; ADVICE r4: at N = 128 the solver's
+        # N % 128 → 'pallas' reroute does NOT fire, so the guard must live
+        # here). Ride the full fused pipeline on all channels; the last
+        # packed channel's spectrum is exactly Hermitian, so its full
+        # transform's Im is identically zero and Re IS the field.
+        re_all, im_all = ifft2_fused_planes(h0_pair, phase, length, dz_sign,
+                                            precision=precision,
+                                            epsilon=epsilon,
+                                            ch_count=ch_count, packed=True,
+                                            nch_live=nch_live)
+        return re_all[:-1], im_all[:-1], re_all[-1]
     mh = n // 2
     kw = dict(precision=precision, epsilon=epsilon, packed=True,
               nch_live=nch_live)

@@ -84,16 +84,21 @@ class DistributedOceanSolver:
         n_dev = mesh.shape["shard"]
         if n % n_dev != 0:
             raise ValueError(f"resolution {n} not divisible by shard={n_dev}")
-        if n % 128 and jax.default_backend() != "cpu":
-            # the sharded transforms ride the transposed-store kernels
-            # directly; Mosaic's 128-lane rule rejects other N on hardware
-            # (probed r4 single-chip — fail early with a real message
-            # instead of the remote compiler's opaque HTTP 500; the
+        if (n % 128 and fft_backend in ("pallas", "pallas_fused")
+                and jax.default_backend() != "cpu"):
+            # ONLY the Pallas sharded paths ride the transposed-store
+            # kernels directly; Mosaic's 128-lane rule rejects other N on
+            # hardware (probed r4 single-chip — fail early with a real
+            # message instead of the remote compiler's opaque HTTP 500).
+            # The 'reference'/'stockham'/'matmul' sharded locals are
+            # jnp.fft/einsum programs with no lane constraint and stay
+            # constructible at any N % n_dev == 0 (ADVICE r4); the
             # single-patch OceanSolver routes such N through the einsum
-            # four-step instead)
-            raise ValueError(f"distributed transforms need resolution "
+            # four-step instead.
+            raise ValueError(f"sharded Pallas transforms need resolution "
                              f"divisible by 128 on TPU hardware (got {n}); "
-                             f"use OceanSolver for this grid")
+                             f"use a non-Pallas fft_backend or OceanSolver "
+                             f"for this grid")
         if pallas_fields and n // n_dev < 2:
             raise ValueError("pallas_fields needs ≥2 local columns per shard")
         self.cfg = cfg
