@@ -6,6 +6,7 @@ sea state to observations), which the shader pipeline structurally cannot do.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -116,3 +117,134 @@ def test_grad_through_cascade_wrt_band_h0():
     e = jnp.zeros_like(base.h0).at[idx].set(eps)
     fd = (loss(base.h0 + e) - loss(base.h0 - e)) / (2 * eps)
     np.testing.assert_allclose(float(fd), float(jnp.real(g[idx])), rtol=2e-2)
+
+
+# ---- round 5: the SHIPPING switch set is differentiable (VERDICT r4 #4) ----
+# The hand Pallas kernels now carry custom VJPs: the FFT passes use the
+# linear-adjoint rule (symmetric DFT matrix → VJP = opposite-direction
+# transform), the fused fields stencil reverses through its output-identical
+# jnp twins. Adjoint work runs on the headline pipeline itself.
+
+def _mirror(p):
+    """Conjugate-partner plane layout for fft ordering: p[(N−i)%N, (N−j)%N]."""
+    return jnp.roll(jnp.flip(p, (0, 1)), (1, 1), (0, 1))
+
+
+def _shipping_solver(n=64, **overrides):
+    cfg = OceanConfig(resolution=n, length=float(n), wind=(6.0, 4.0),
+                      amplitude=0.05, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    kw = dict(fft_backend="pallas", real_state=True, pack_channels=True,
+              half_spectrum=True, pallas_fields=True)
+    kw.update(overrides)
+    return OceanSolver(cfg, **kw)
+
+
+def test_grad_through_shipping_config_finite_difference():
+    """d(loss)/d(h0_re) through pallas + real_state + packed + half +
+    fused-fields — the exact bench.py headline pipeline — against a
+    central finite difference on the dominant element."""
+    solver = _shipping_solver()
+    st = solver.init(jax.random.PRNGKey(0))
+
+    def loss(h0_re):
+        s = st._replace(h0_re=h0_re)
+        _, f = solver._step_impl(s, jnp.float32(1 / 60), solver._consts)
+        return jnp.sum(f.height ** 2) + jnp.sum(f.foam)
+
+    g = jax.grad(loss)(st.h0_re)
+    ga = np.asarray(jnp.abs(g))
+    assert np.all(np.isfinite(ga)) and ga.max() > 0
+    idx = np.unravel_index(np.argmax(ga), ga.shape)
+    eps = 1e-3
+    e = jnp.zeros_like(st.h0_re).at[idx].set(eps)
+    fd = (loss(st.h0_re + e) - loss(st.h0_re - e)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), float(g[idx]), rtol=1e-2)
+
+
+def test_grad_parity_packed_half_vs_unpacked():
+    """Under the Hermitian-preserving parameterization (perturb h0, derive
+    the conjugate partner — the inversion use case), the packed+half
+    route's gradients must equal the unpacked backend's to fp tolerance:
+    both compute the identical loss surface. (Grads wrt h0 ALONE may
+    legitimately differ — the two routes extend non-Hermitian
+    perturbations differently.)"""
+    def make_loss(solver, st):
+        def loss(planes):
+            h0_re, h0_im = planes
+            s = st._replace(h0_re=h0_re, h0_im=h0_im,
+                            h0c_re=_mirror(h0_re), h0c_im=-_mirror(h0_im))
+            _, f = solver._step_impl(s, jnp.float32(1 / 60), solver._consts)
+            return (jnp.sum(f.height ** 2) + jnp.sum(f.foam)
+                    + jnp.sum(f.normal[..., 0] ** 2))
+        return loss
+
+    ref = _shipping_solver(pack_channels=False, half_spectrum=False)
+    got = _shipping_solver()
+    st_r = ref.init(jax.random.PRNGKey(0))
+    st_g = got.init(jax.random.PRNGKey(0))
+    planes = (st_r.h0_re, st_r.h0_im)
+    g_ref = jax.grad(make_loss(ref, st_r))(planes)
+    g_got = jax.grad(make_loss(got, st_g))(planes)
+    for a, b in zip(g_got, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=np.abs(b).max() * 1e-5)
+
+
+@pytest.mark.parametrize("kernel", ["transposed", "natural"])
+def test_fft_kernel_vjp_is_adjoint(kernel):
+    """Dot-product identity ⟨F(x), y⟩ = ⟨x, Fᵀ(y)⟩ for the custom VJPs of
+    the hand FFT kernels — the rule that makes the shipping pipeline
+    differentiable must be the TRUE adjoint of what the kernel computes."""
+    from tpu_ocean.fft import pallas_fft
+    fn = {"transposed": pallas_fft._fft1d_transposed,
+          "natural": pallas_fft.fft1d_natural_large}[kernel]
+    c, m, n = 2, 16, 128
+    rng = np.random.default_rng(5)
+    xr = jnp.asarray(rng.standard_normal((c, m, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((c, m, n)), jnp.float32)
+
+    def f(r, i):
+        return fn(r, i, True)
+
+    (yr, yi), pull = jax.vjp(f, xr, xi)
+    ctr = jnp.asarray(rng.standard_normal(yr.shape), jnp.float32)
+    cti = jnp.asarray(rng.standard_normal(yi.shape), jnp.float32)
+    gr, gi = pull((ctr, cti))
+
+    # the two inner products cancel to ~1e-4 of their term magnitudes:
+    # accumulate in f64 on host so fp32 summation noise doesn't mask the
+    # identity under test
+    def dot64(a, b):
+        return float(np.asarray(a, np.float64).ravel()
+                     @ np.asarray(b, np.float64).ravel())
+
+    lhs = dot64(yr, ctr) + dot64(yi, cti)
+    rhs = dot64(xr, gr) + dot64(xi, gi)
+    scale = max(abs(dot64(yr, yr)), abs(dot64(xr, gr)), 1.0) ** 0.5
+    np.testing.assert_allclose(lhs, rhs, atol=2e-5 * scale, rtol=2e-5)
+
+
+def test_fields_kernel_vjp_matches_jnp_twin():
+    """The fused fields stencil's backward pass rides the jnp twins; its
+    gradients must match differentiating the twins directly."""
+    from tpu_ocean.ops.fields_pallas import fields_pallas, _fields_twin
+    n = 32
+    rng = np.random.default_rng(7)
+    dx, h, dz = (jnp.asarray(rng.standard_normal((n, n)) * 0.1, jnp.float32)
+                 for _ in range(3))
+
+    def loss_k(a, b, c):
+        nrm, foam, jac = fields_pallas(a, b, c, 0.5)
+        return jnp.sum(nrm[..., 0] ** 2) + jnp.sum(foam) + jnp.sum(jac ** 2)
+
+    def loss_t(a, b, c):
+        nrm, foam, jac = _fields_twin(a, b, c, 0.5)
+        return jnp.sum(nrm[..., 0] ** 2) + jnp.sum(foam) + jnp.sum(jac ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(dx, h, dz)
+    gt = jax.grad(loss_t, argnums=(0, 1, 2))(dx, h, dz)
+    for a, b in zip(gk, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=np.abs(np.asarray(b)).max() * 1e-6)

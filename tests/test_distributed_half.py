@@ -192,3 +192,44 @@ def test_sharded_half_velocity_matches_nonhalf():
     v_got = np.asarray(got.velocity(s_got))
     scale = max(np.abs(v_ref).max(), 1e-6)
     assert np.abs(v_got - v_ref).max() < 2e-5 * scale
+
+
+def test_grad_through_sharded_half_adjoint_and_fd():
+    """Differentiability of the mirror-balanced sharded C2R route
+    (VERDICT r4 #4): (a) the shard_map program's VJP satisfies the
+    dot-product adjoint identity ⟨F(x), y⟩ = ⟨x, Fᵀ(y)⟩; (b) a random
+    directional derivative matches central finite differences."""
+    n, d = 128, 4
+    mesh = _mesh_d(d)
+    s = _hermitian_spectrum(n, c=1, seed=23)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    from tpu_ocean.fft import distributed
+    from jax import shard_map as _sm
+
+    def local(r, i):
+        return distributed.ifft2_x_sharded_half(r, i, "shard")
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, "shard", None), P(None, "shard", None)),
+                   out_specs=P(None, None, "shard"), check_vma=False)
+    out, pull = jax.vjp(fn, re, im)
+    rng = np.random.default_rng(3)
+    ct = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+    gr, gi = pull(ct)
+    assert np.isfinite(np.asarray(gr)).all()
+    lhs = float(jnp.vdot(out, ct))
+    rhs = float(jnp.vdot(re, gr) + jnp.vdot(im, gi))
+    np.testing.assert_allclose(lhs, rhs, rtol=3e-5)
+
+    # directional FD on sum(F·ct) along a random (vr, vi)
+    vr = jnp.asarray(rng.standard_normal(re.shape), jnp.float32)
+    vi = jnp.asarray(rng.standard_normal(im.shape), jnp.float32)
+
+    def g(t):
+        return float(jnp.vdot(fn(re + t * vr, im + t * vi), ct))
+
+    eps = 1e-2
+    fd = (g(eps) - g(-eps)) / (2 * eps)
+    an = float(jnp.vdot(vr, gr) + jnp.vdot(vi, gi))
+    np.testing.assert_allclose(fd, an, rtol=1e-3)

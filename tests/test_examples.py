@@ -25,6 +25,18 @@ def test_invert_sea_state_converges():
     assert "loss reduced" in r.stdout
 
 
+def test_invert_sea_state_packed_pipeline_converges():
+    """Adjoint inversion THROUGH the shipping packed real-state +
+    half-spectrum pipeline (VERDICT r4 #4) — the custom kernel VJPs make
+    the production step itself differentiable. Exit code 0 asserts the
+    example's own ≥100× loss-reduction bar."""
+    r = _run(["examples/invert_sea_state.py", "--packed", "--n", "64",
+              "--steps", "60", "--snapshots", "4", "--lr", "0.08"],
+             timeout=900)
+    assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
+    assert "loss reduced" in r.stdout
+
+
 def test_animate_writes_gif(tmp_path):
     out = str(tmp_path / "o.gif")
     r = _run(["examples/animate.py", "--res", "32", "--frames", "4",

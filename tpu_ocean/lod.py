@@ -146,9 +146,11 @@ class LODCascadeSolver:
                  pack_channels: bool = False,
                  real_state: bool = False,
                  pallas_fields: bool = False,
-                 half_spectrum: bool = False):
+                 half_spectrum: bool = False,
+                 mesh=None):
         self.inner = CascadeSolver(cfgs, fft_backend=fft_backend,
                                    display_length=display_length,
+                                   mesh=mesh,
                                    pack_channels=pack_channels,
                                    real_state=real_state,
                                    pallas_fields=pallas_fields,
@@ -230,7 +232,8 @@ class LODCascadeSolver:
                                   pack_channels=inner.pack_channels,
                                   real_state=inner.real_state,
                                   pallas_fields=inner.pallas_fields,
-                                  half_spectrum=inner.half_spectrum)
+                                  half_spectrum=inner.half_spectrum,
+                                  mesh=inner.mesh)
         if (new_cfgs[0].resolution == self.inner.cfgs[0].resolution
                 and new_cfgs[0].spectrum_layout
                 == self.inner.cfgs[0].spectrum_layout):
