@@ -39,6 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     import numpy as np
     import jax
+    # honor an explicit CPU request (smoke tests) the way bench.py does:
+    # the axon sitecustomize re-points JAX_PLATFORMS during interpreter
+    # start, and only a post-import config update wins over it (CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.runtime import Simulation
     from tpu_ocean.serve import FrameServer, stream_frames
@@ -77,50 +82,69 @@ def main() -> int:
     unserved_sps = args.steps / unserved_s
     note(f"unserved: {unserved_sps:.2f} steps/s")
 
-    # ---- served: N mixed clients (full, lod=2, lod=4+stride=2) + a staller
-    sim2 = Simulation(cfg, **kw)
-    sim2.step()
-    counts = {}
-    errs = []
+    # ---- served scenarios -------------------------------------------------
+    def run_served(client_specs, with_staller, steps):
+        """(steps/s, client frame counts, dropped, errors) with the given
+        client set. client_specs: {tag: stream_frames kwargs}."""
+        sim2 = Simulation(cfg, **kw)
+        sim2.step()
+        counts = {}
+        errs = []
 
-    def client(tag, **ckw):
-        try:
-            n = 0
-            for _meta, _planes in stream_frames(*server.address,
-                                                max_frames=None, **ckw):
-                n += 1
-                counts[tag] = n
-        except Exception as e:               # server close ends the stream
-            if not isinstance(e, (ConnectionError, OSError)):
-                errs.append((tag, repr(e)))
+        def client(tag, **ckw):
+            try:
+                n = 0
+                for _meta, _planes in stream_frames(*server.address,
+                                                    max_frames=None, **ckw):
+                    n += 1
+                    counts[tag] = n
+            except Exception as e:           # server close ends the stream
+                if not isinstance(e, (ConnectionError, OSError)):
+                    errs.append((tag, repr(e)))
 
-    with FrameServer(sim2, fields=fields, queue_frames=4) as server:
-        threads = [
-            threading.Thread(target=client, args=("full",), daemon=True),
-            threading.Thread(target=client, args=("lod2",),
-                             kwargs=dict(lod=2), daemon=True),
-            threading.Thread(target=client, args=("lod4_stride2",),
-                             kwargs=dict(lod=4, frame_stride=2),
-                             daemon=True),
-        ]
-        for t in threads:
-            t.start()
-        # the stalled client: subscribes, never reads, tiny receive window
-        staller = socket.socket()
-        staller.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
-        staller.connect(server.address)
-        staller.sendall(b"{}\n")
-        while server.client_count < 4:
-            time.sleep(0.01)
-        note("serving loop...")
-        t0 = time.perf_counter()
-        server.run(steps=args.steps)
-        served_s = time.perf_counter() - t0
-        note(f"served: {args.steps / served_s:.2f} steps/s")
-        dropped = server.dropped_frames
-        staller.close()
-    served_sps = args.steps / served_s
-    time.sleep(0.5)                          # let client threads observe EOF
+        with FrameServer(sim2, fields=fields, queue_frames=4) as server:
+            threads = [threading.Thread(target=client, args=(tag,),
+                                        kwargs=ckw, daemon=True)
+                       for tag, ckw in client_specs.items()]
+            for t in threads:
+                t.start()
+            staller = None
+            want = len(threads)
+            if with_staller:
+                # subscribes, never reads, tiny receive window
+                staller = socket.socket()
+                staller.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+                staller.connect(server.address)
+                staller.sendall(b"{}\n")
+                want += 1
+            while server.client_count < want:
+                time.sleep(0.01)
+            t0 = time.perf_counter()
+            server.run(steps=steps)
+            served_s = time.perf_counter() - t0
+            dropped = server.dropped_frames
+            if staller is not None:
+                staller.close()
+        time.sleep(0.5)                      # let client threads observe EOF
+        return steps / served_s, counts, dropped, errs
+
+    # scenario A (the VERDICT r4 done-criterion): ONE lod=4 client — with
+    # device-side pooling its pull volume is 1/16 of the planes
+    note("serving loop: single lod=4 client...")
+    lod4_sps, lod4_counts, _, lod4_errs = run_served(
+        {"lod4": dict(lod=4)}, with_staller=False, steps=args.steps)
+    note(f"served lod4-only: {lod4_sps:.2f} steps/s")
+
+    # scenario B: the full mixed set (full-res, lod2+f16 wire,
+    # lod4+stride2) + a stalled client that must trigger drop-oldest
+    note("serving loop: mixed client set + staller...")
+    served_sps, counts, dropped, errs = run_served(
+        {"full": {}, "lod2_f16": dict(lod=2, dtype="float16"),
+         "lod4_stride2": dict(lod=4, frame_stride=2)},
+        with_staller=True, steps=args.steps)
+    errs += lod4_errs
+    served_s = args.steps / served_sps
+    note(f"served mixed: {served_sps:.2f} steps/s")
 
     out = {
         "what": "serving hot path on hardware: real_state flagship stepping "
@@ -128,9 +152,13 @@ def main() -> int:
                 "client (drop-oldest, never backpressure)",
         "res": args.res, "steps": args.steps, "fields": list(fields),
         "unserved_steps_per_s": round(unserved_sps, 2),
+        "served_lod4_only_steps_per_s": round(lod4_sps, 2),
+        "interference_lod4_only_pct": round(
+            100.0 * (unserved_sps / lod4_sps - 1.0), 2),
         "served_steps_per_s": round(served_sps, 2),
         "interference_pct": round(100.0 * (unserved_sps / served_sps - 1.0),
                                   2),
+        "client_frames_lod4_only": lod4_counts,
         "client_frames": counts,
         "client_frames_per_s": {k: round(v / served_s, 2)
                                 for k, v in counts.items()},

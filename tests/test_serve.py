@@ -312,10 +312,12 @@ def test_mixed_lod_clients_each_get_their_resolution():
     full_by_step = {m["step"]: p["height"] for m, p in got["full"]}
     for meta, planes in got["far"]:
         if meta["step"] in full_by_step:
-            np.testing.assert_allclose(
-                planes["height"],
-                decimate_plane(full_by_step[meta["step"]], 4, "height"),
-                atol=1e-6)
+            want = decimate_plane(full_by_step[meta["step"]], 4, "height")
+            # device-side pooling (serve._pool_on_device) fuses the mean
+            # differently than the host twin: equal to reduction-order fp
+            np.testing.assert_allclose(planes["height"], want,
+                                       atol=1e-6 * max(np.abs(want).max(),
+                                                       1.0))
 
 
 def test_legacy_silent_client_gets_full_resolution():
@@ -516,22 +518,31 @@ def test_serves_pond_family_with_velocity():
             atol=1e-6)
 
 
-def test_one_device_pull_per_frame_with_mixed_lod_clients():
-    """Interference bound (ADVICE r3 / VERDICT r3 #5): the solver loop's
-    serving overhead must not scale with client count — _host_planes (the
-    only device→host transfer) runs at most ONCE per frame no matter how
-    many LOD divisors are subscribed."""
+def test_one_field_compute_and_pooled_pulls_with_mixed_lod_clients():
+    """Interference bound (VERDICT r4 weak #3): the solver-side field
+    compute (_device_planes, incl. the velocity derivation) runs at most
+    ONCE per frame no matter how many LOD tiers are subscribed, and each
+    tier's device→host transfer carries only its POOLED (N/d)² planes —
+    decimation happens on device, before the pull."""
     sim = Simulation(CFG, fft_backend="matmul")
     with FrameServer(sim, fields=("height",)) as server:
         host, port = server.address
         calls = {"n": 0}
-        orig = server._host_planes
+        pulled_shapes = []
+        orig_dev = server._device_planes
+        orig_pull = server._pulled_planes
 
         def counting(fields):
             calls["n"] += 1
-            return orig(fields)
+            return orig_dev(fields)
 
-        server._host_planes = counting
+        def recording(dev, divisor, dtype):
+            out = orig_pull(dev, divisor, dtype)
+            pulled_shapes.append((divisor, out["height"].shape))
+            return out
+
+        server._device_planes = counting
+        server._pulled_planes = recording
         got = {}
         errs = []
 
@@ -553,8 +564,57 @@ def test_one_device_pull_per_frame_with_mixed_lod_clients():
         for t in threads:
             t.join(timeout=30)
         assert not errs, errs
-    assert calls["n"] <= steps           # once per frame, NOT per divisor
+    assert calls["n"] <= steps           # once per frame, NOT per tier
+    n = CFG.resolution
+    for divisor, shape in pulled_shapes:
+        assert shape == (n // divisor, n // divisor)   # pooled BEFORE pull
     assert all(len(v) == 2 for v in got.values())
+
+
+def test_f16_wire_halves_bytes_and_roundtrips():
+    """A {"dtype": "float16"} client gets half-size planes (value-identical
+    to the f32 stream within f16 precision); an f32 client on the same
+    server is untouched."""
+    sim = Simulation(CFG, fft_backend="matmul")
+    with FrameServer(sim, fields=("height", "normal")) as server:
+        host, port = server.address
+        got = {}
+        errs = []
+
+        def client(tag, **kw):
+            try:
+                got[tag] = list(stream_frames(host, port, max_frames=2, **kw))
+            except Exception as e:
+                errs.append((tag, e))
+
+        threads = [
+            threading.Thread(target=client, args=("f16",),
+                             kwargs=dict(dtype="float16")),
+            threading.Thread(target=client, args=("f32",)),
+        ]
+        for t in threads:
+            t.start()
+        while server.client_count < 2 and any(t.is_alive() for t in threads):
+            pass
+        server.run(steps=4)
+        server.stop()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs, errs
+    assert len(got["f16"]) == 2 and len(got["f32"]) == 2
+    by_step = {m["step"]: p for m, p in got["f32"]}
+    for meta, planes in got["f16"]:
+        want = by_step.get(meta["step"])
+        if want is None:
+            continue
+        scale = max(np.abs(want["height"]).max(), 1e-6)
+        # f16 has a 10-bit mantissa: ~1e-3 relative
+        np.testing.assert_allclose(planes["height"], want["height"],
+                                   atol=2e-3 * scale)
+        assert planes["height"].dtype == np.float32   # client upcasts
+    # wire accounting: the f16 header bytes-per-frame is half
+    assert server._frame_bytes_for(1, "float16") * 2 == \
+        server._frame_bytes_for(1, "float32")
 
 
 def test_solo_strided_client_still_advances():
