@@ -257,3 +257,33 @@ def test_three_factor_stage2_matches_plain():
     got = np.asarray(ar) + 1j * np.asarray(ai)
     want = np.fft.ifft2(x) * (n * n)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_fields_pallas_v2_matches_twins_and_v1():
+    """r5 halo-free fields kernel (cross-product identity + boundary-row
+    blocking — ops/fields_pallas.py v2 section): output-equal to the v1
+    kernel and the jnp twins up to fp reassociation, at several block
+    sizes including non-divisible-by-16 grids."""
+    from tpu_ocean.ops.fields_pallas import fields_pallas, fields_pallas_v2
+    from tpu_ocean import fields as field_ops
+    rng = np.random.default_rng(3)
+    n = 64
+    dx = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    dz = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    ref_n = field_ops.normals_stencil(dx, h, dz, 0.5)
+    ref_f, ref_j = field_ops.whitecap_gpu(dx, dz, ref_n)
+    for r in (0, 8, 32):
+        normal, foam, jac = fields_pallas_v2(dx, h, dz, 0.5, block_rows=r)
+        np.testing.assert_allclose(np.asarray(normal), np.asarray(ref_n),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(foam), np.asarray(ref_f),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(ref_j),
+                                   atol=2e-5)
+    v1 = fields_pallas(dx, h, dz, 0.5)
+    v2 = fields_pallas_v2(dx, h, dz, 0.5)
+    for a, b in zip(v1, v2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    with pytest.raises(ValueError, match="divide"):
+        fields_pallas_v2(dx, h, dz, 0.5, block_rows=48)

@@ -140,6 +140,15 @@ def _fields_kernel(dx_hbm, h_hbm, dz_hbm,
     jac_ref[:] = jac
 
 
+#: ship the r5 halo-free kernel (see the v2 section below). Measured on the
+#: v5e (bench/PROBE_r5_fields_v2_*.json, device-profiler per-call):
+#:   1024²: 0.073 vs v1 0.114 ms   2048²: 0.207 vs 0.484
+#:   4096²: 0.884 vs 2.111         8192²: see probe file
+#: False restores the r4 halo-DMA kernel (kept for A/B and regression
+#: hunts; identical outputs up to fp reassociation).
+FIELDS_KERNEL_V2 = True
+
+
 def fields_pallas(disp_x, height, disp_z, texel_size: float):
     """(normal [N,N,3], foam, jacobian) from chop-scaled displacements —
     fused twin of fields.normals_stencil + fields.whitecap_gpu.
@@ -182,6 +191,8 @@ _fields_pallas_diff.defvjp(_fields_pallas_fwd, _fields_pallas_bwd)
 
 
 def _fields_pallas_impl(disp_x, height, disp_z, texel_size: float):
+    if FIELDS_KERNEL_V2:
+        return fields_pallas_v2(disp_x, height, disp_z, texel_size)
     m, n = height.shape
     if m % 8 != 0:
         # the halo DMA starts must be 8-sublane aligned; a non-multiple grid
@@ -215,5 +226,139 @@ def _fields_pallas_impl(disp_x, height, disp_z, texel_size: float):
         interpret=jax.default_backend() == "cpu",
     )(disp_x.astype(jnp.float32), height.astype(jnp.float32),
       disp_z.astype(jnp.float32))
+    nx, ny, nz, foam, jac = outs
+    return jnp.stack([nx, ny, nz], axis=-1), foam, jac
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel (r5, roadmap #17): halo-free blocking + the cross-product
+# identity. The r4 kernel's 4096²/8192² cost sat ~3× above its HBM floor:
+# r = 16 row blocks paid a 16-row halo DMA band per side (2× input traffic)
+# plus ~15 live edge-vector temps that pinned r below 32 (probed:
+# PROBE_r4_fields_vmem_4096). Two structural fixes:
+#
+#   1. cross(right,top) + cross(top,left) + cross(left,bottom) +
+#      cross(bottom,right)  ==  cross(right−left, top−bottom)  (bilinearity;
+#      EXACT up to fp reassociation). The displaced-position mids cancel in
+#      the differences, so the whole stencil — normals AND the whitecap
+#      central differences, which are the SAME differences ÷16 — derives
+#      from 6 difference planes instead of 12 edge components + 3 mids.
+#   2. the ±1-row x-neighbors come from TWO boundary rows per block,
+#      gathered OUTSIDE the kernel by XLA ([m/r, 6, n] — 2/r extra input
+#      traffic, vs the halo band's 2×) and a regular BlockSpec pipeline —
+#      no manual DMA, no 8-row-aligned scratch copies.
+#
+# Spec: OceanNormal.shader:39-56 + WhiteCap.shader:33-45 (same jnp twins).
+# ---------------------------------------------------------------------------
+
+
+def _fields_kernel_v2(bnd_ref, dx_ref, h_ref, dz_ref,
+                      nx_ref, ny_ref, nz_ref, foam_ref, jac_ref,
+                      *, r, n, texel):
+    b = bnd_ref[0]                       # (6, n): up rows 0-2, down rows 3-5
+
+    def xdiff(a_ref, iu, idn):
+        """a[i+1] − a[i−1] for the block's rows (boundary rows patch the
+        block edges): the x-axis central difference of one plane."""
+        a = a_ref[:]
+        ext = jnp.concatenate([b[iu:iu + 1, :], a, b[idn:idn + 1, :]],
+                              axis=0)    # (r+2, n) value concat (sublanes)
+        return ext[2:, :] - ext[:-2, :]
+
+    def zdiff(a_ref):
+        """zm − zp: the z-axis (lane) central difference, periodic within
+        the resident row."""
+        a = a_ref[:]
+        return pltpu.roll(a, 1, 1) - pltpu.roll(a, n - 1, 1)
+
+    ddx = xdiff(dx_ref, 0, 3)            # (xp − xm) of disp_x
+    ddh = xdiff(h_ref, 1, 4)
+    ddz = xdiff(dz_ref, 2, 5)
+    dzx = zdiff(dx_ref)                  # (zm − zp) of disp_x
+    dzh = zdiff(h_ref)
+    dzz = zdiff(dz_ref)
+
+    # u = right − left, v = top − bottom; normal ∝ cross(u, v)
+    ux = ddx + 2.0 * texel
+    uy = ddh
+    uz = ddz
+    vx = dzx
+    vy = dzh
+    vz = dzz - 2.0 * texel
+    nx = uy * vz - uz * vy
+    ny = uz * vx - ux * vz
+    nz = ux * vy - uy * vx
+    inv = lax.rsqrt(nx * nx + ny * ny + nz * nz)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+
+    # whitecap central differences are the same diffs ÷16
+    # (WhiteCap.shader:36-37: −0.5·(bwd − fwd)/8)
+    ddx_x = ddx * (1.0 / 16.0)
+    ddx_z = ddz * (1.0 / 16.0)
+    ddy_x = dzx * (-1.0 / 16.0)
+    ddy_z = dzz * (-1.0 / 16.0)
+    jac = (1.0 + ddx_x) * (1.0 + ddy_z) - ddx_z * ddy_x
+    noise = 0.3 * jnp.sqrt(nx * nx + nz * nz)
+    turb = jnp.maximum(1.0 - jac + noise, 0.0)
+
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
+    foam_ref[:] = _smoothstep01(turb)
+    jac_ref[:] = jac
+
+
+def fields_pallas_v2(disp_x, height, disp_z, texel_size: float,
+                     block_rows: int = 0):
+    """Halo-free fused fields stencil (see section comment). Same contract
+    and outputs as fields_pallas; ``block_rows`` overrides the VMEM
+    heuristic for hardware probes (0 = auto)."""
+    m, n = height.shape
+    if m % 8 != 0:
+        raise ValueError(f"fields_pallas_v2 needs the grid side to be a "
+                         f"multiple of 8 (got {m})")
+    disp_x = disp_x.astype(jnp.float32)
+    height = height.astype(jnp.float32)
+    disp_z = disp_z.astype(jnp.float32)
+    if block_rows:
+        r = int(block_rows)
+        if m % r:
+            raise ValueError(f"block_rows {r} must divide {m}")
+    else:
+        # measured-fastest rows (bench/PROBE_r5_fields_v2_*.json, v5e
+        # device traces): r = 16 at n ≤ 1024 (0.073 vs r32's 0.084 ms);
+        # r = 32 from 2048 up while the ~22-live-plane VMEM estimate
+        # (6 in-flight input + 10 output blocks + 6 diff temps) stays
+        # under ~12 MB — r = 32 at 8192 (23 MB) is Mosaic-rejected,
+        # r = 16 (4.21 ms vs r8's 5.94) is the 8192 pick
+        r = 16 if n <= 1024 else 32
+        while r > 8 and (22 * r * n * 4 > 12 * 1024 * 1024 or m % r != 0):
+            r //= 2
+    nb = m // r
+    up = (np.arange(nb) * r - 1) % m
+    dn = (np.arange(nb) * r + r) % m
+    bnd = jnp.stack([disp_x[up], height[up], disp_z[up],
+                     disp_x[dn], height[dn], disp_z[dn]],
+                    axis=1)                              # [nb, 6, n]
+
+    kernel = functools.partial(_fields_kernel_v2, r=r, n=n,
+                               texel=np.float32(texel_size))
+    bnd_block = pl.BlockSpec((1, 6, n), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_block = pl.BlockSpec((r, n), lambda bi: (bi, 0),
+                            memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((r, n), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[bnd_block, in_block, in_block, in_block],
+        out_specs=[out_block] * 5,
+        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.float32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=int(40 * m * n), bytes_accessed=int(8 * m * n * 4),
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )(bnd, disp_x, height, disp_z)
     nx, ny, nz, foam, jac = outs
     return jnp.stack([nx, ny, nz], axis=-1), foam, jac
