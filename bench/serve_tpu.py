@@ -135,14 +135,26 @@ def main() -> int:
         {"lod4": dict(lod=4)}, with_staller=False, steps=args.steps)
     note(f"served lod4-only: {lod4_sps:.2f} steps/s")
 
-    # scenario B: the full mixed set (full-res, lod2+f16 wire,
-    # lod4+stride2) + a stalled client that must trigger drop-oldest
+    # scenario A2: ONE full-res zlib client — isolates the compressed
+    # wire vs the raw full-res pull cost (scenario B's raw client)
+    note("serving loop: single full-res zlib client...")
+    zl_sps, zl_counts, _, zl_errs = run_served(
+        {"full_zlib": dict(codec="zlib")}, with_staller=False,
+        steps=args.steps)
+    note(f"served full-zlib-only: {zl_sps:.2f} steps/s")
+
+    # scenario B: the full mixed set (full-res raw, full-res zlib wire,
+    # lod2+f16 wire, lod4+stride2) + a stalled client that must trigger
+    # drop-oldest. full vs full_zlib isolates the compressed wire's value
+    # on this link (the raw full-res client is the transfer-bound worst
+    # case; smooth ocean planes compress ~2-3× at zlib-1)
     note("serving loop: mixed client set + staller...")
     served_sps, counts, dropped, errs = run_served(
-        {"full": {}, "lod2_f16": dict(lod=2, dtype="float16"),
+        {"full": {}, "full_zlib": dict(codec="zlib"),
+         "lod2_f16": dict(lod=2, dtype="float16"),
          "lod4_stride2": dict(lod=4, frame_stride=2)},
         with_staller=True, steps=args.steps)
-    errs += lod4_errs
+    errs += lod4_errs + zl_errs
     served_s = args.steps / served_sps
     note(f"served mixed: {served_sps:.2f} steps/s")
 
@@ -155,6 +167,10 @@ def main() -> int:
         "served_lod4_only_steps_per_s": round(lod4_sps, 2),
         "interference_lod4_only_pct": round(
             100.0 * (unserved_sps / lod4_sps - 1.0), 2),
+        "served_full_zlib_only_steps_per_s": round(zl_sps, 2),
+        "interference_full_zlib_only_pct": round(
+            100.0 * (unserved_sps / zl_sps - 1.0), 2),
+        "client_frames_full_zlib_only": zl_counts,
         "served_steps_per_s": round(served_sps, 2),
         "interference_pct": round(100.0 * (unserved_sps / served_sps - 1.0),
                                   2),

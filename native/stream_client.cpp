@@ -7,7 +7,11 @@
 // per-frame statistics. Exit code 0 iff the requested number of frames
 // arrived intact and every plane was finite.
 //
-//   ./tpu_ocean_stream_client <host> <port> <frames> [lod]
+//   ./tpu_ocean_stream_client <host> <port> <frames> [lod] [dtype]
+//
+// [dtype] = "float16" requests the half-width wire (serve.py r5): planes
+// arrive as little-endian f16 and are widened host-side — half the socket
+// volume for ~3 decimal digits, plenty for display consumers.
 //
 // Wire format (serve.py): the client first sends ONE JSON request line —
 // "{}" for the full grid, {"lod": d} for spatially decimated planes (the
@@ -76,6 +80,46 @@ bool read_line(int fd, std::string* line) {
   }
 }
 
+std::string find_string(const std::string& s, const std::string& key) {
+  auto p = s.find("\"" + key + "\"");
+  if (p == std::string::npos) return "";
+  p = s.find(':', p);
+  if (p == std::string::npos) return "";
+  auto q1 = s.find('"', p + 1);
+  if (q1 == std::string::npos) return "";
+  auto q2 = s.find('"', q1 + 1);
+  if (q2 == std::string::npos) return "";
+  return s.substr(q1 + 1, q2 - q1 - 1);
+}
+
+// IEEE binary16 -> binary32 (the f16 wire of serve.py r5)
+float half_to_float(uint16_t h) {
+  const uint32_t sign = static_cast<uint32_t>(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1Fu;
+  uint32_t man = h & 0x3FFu;
+  uint32_t f;
+  if (exp == 0) {
+    if (man == 0) {
+      f = sign;                                    // +-0
+    } else {                                       // subnormal
+      exp = 127 - 15 + 1;
+      while (!(man & 0x400u)) {
+        man <<= 1;
+        --exp;
+      }
+      man &= 0x3FFu;
+      f = sign | (exp << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    f = sign | 0x7F800000u | (man << 13);          // inf / nan
+  } else {
+    f = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float out;
+  std::memcpy(&out, &f, sizeof out);
+  return out;
+}
+
 bool read_exact(int fd, void* buf, size_t count) {
   auto* p = static_cast<char*>(buf);
   while (count > 0) {
@@ -90,14 +134,16 @@ bool read_exact(int fd, void* buf, size_t count) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 4 && argc != 5) {
-    std::fprintf(stderr, "usage: %s <host> <port> <frames> [lod]\n", argv[0]);
+  if (argc < 4 || argc > 6) {
+    std::fprintf(stderr,
+                 "usage: %s <host> <port> <frames> [lod] [dtype]\n", argv[0]);
     return 2;
   }
   const char* host = argv[1];
   const char* port = argv[2];
   const long want = std::strtol(argv[3], nullptr, 10);
-  const long lod = argc == 5 ? std::strtol(argv[4], nullptr, 10) : 0;
+  const long lod = argc >= 5 ? std::strtol(argv[4], nullptr, 10) : 0;
+  const bool want_f16 = argc == 6 && std::strcmp(argv[5], "float16") == 0;
 
   addrinfo hints{}, *res = nullptr;
   hints.ai_family = AF_UNSPEC;
@@ -114,11 +160,19 @@ int main(int argc, char** argv) {
   }
   freeaddrinfo(res);
 
-  // spatial-LOD request (or "{}"): ends the negotiation window immediately
-  char req[64];
-  const int req_len =
-      lod > 1 ? std::snprintf(req, sizeof req, "{\"lod\": %ld}\n", lod)
-              : std::snprintf(req, sizeof req, "{}\n");
+  // LOD/dtype request (or "{}"): ends the negotiation window immediately
+  char req[96];
+  int req_len;
+  if (lod > 1 && want_f16) {
+    req_len = std::snprintf(req, sizeof req,
+                            "{\"lod\": %ld, \"dtype\": \"float16\"}\n", lod);
+  } else if (lod > 1) {
+    req_len = std::snprintf(req, sizeof req, "{\"lod\": %ld}\n", lod);
+  } else if (want_f16) {
+    req_len = std::snprintf(req, sizeof req, "{\"dtype\": \"float16\"}\n");
+  } else {
+    req_len = std::snprintf(req, sizeof req, "{}\n");
+  }
   for (int sent = 0; sent < req_len;) {
     ssize_t w = ::write(fd, req + sent, static_cast<size_t>(req_len - sent));
     if (w <= 0) {
@@ -149,9 +203,12 @@ int main(int argc, char** argv) {
     return 2;
   }
   const auto fields = find_string_list(header, "fields");
-  std::printf("# connected: %zux%zu, %zu field(s)\n", n, n, fields.size());
+  const bool f16_wire = find_string(header, "dtype") == "float16";
+  std::printf("# connected: %zux%zu, %zu field(s), %s wire\n", n, n,
+              fields.size(), f16_wire ? "f16" : "f32");
 
   std::vector<float> plane;
+  std::vector<uint16_t> half;
   long got = 0;
   while (got < want) {
     std::string meta;
@@ -162,7 +219,15 @@ int main(int argc, char** argv) {
     for (const auto& name : fields) {
       const size_t count = n * n * (name == "normal" ? 3 : 1);
       plane.resize(count);
-      if (!read_exact(fd, plane.data(), count * sizeof(float))) {
+      if (f16_wire) {
+        half.resize(count);
+        if (!read_exact(fd, half.data(), count * sizeof(uint16_t))) {
+          std::fprintf(stderr, "stream ended mid-frame\n");
+          ::close(fd);
+          return 1;
+        }
+        for (size_t i = 0; i < count; ++i) plane[i] = half_to_float(half[i]);
+      } else if (!read_exact(fd, plane.data(), count * sizeof(float))) {
         std::fprintf(stderr, "stream ended mid-frame\n");
         ::close(fd);
         return 1;

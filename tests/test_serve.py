@@ -644,3 +644,81 @@ def test_solo_strided_client_still_advances():
         assert not errs, errs
     assert [m["step"] for m, _ in got] == [1, 3]
     assert got[0][1]["height"].shape == (32, 32)   # lod composes with stride
+
+
+def test_zlib_wire_compresses_and_roundtrips():
+    """A {"codec": "zlib"} client receives compressed frames (framed by
+    the meta line's nbytes) that decode to the same planes the raw client
+    sees; smooth ocean planes compress measurably."""
+    sim = Simulation(CFG, fft_backend="matmul")
+    with FrameServer(sim, fields=("height", "foam")) as server:
+        host, port = server.address
+        got = {}
+        errs = []
+
+        def client(tag, **kw):
+            try:
+                got[tag] = list(stream_frames(host, port, max_frames=2, **kw))
+            except Exception as e:
+                errs.append((tag, e))
+
+        threads = [
+            threading.Thread(target=client, args=("zip",),
+                             kwargs=dict(codec="zlib")),
+            threading.Thread(target=client, args=("raw",)),
+        ]
+        for t in threads:
+            t.start()
+        while server.client_count < 2 and any(t.is_alive() for t in threads):
+            pass
+        server.run(steps=4)
+        server.stop()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs, errs
+        # the payload builder really compresses: frame_payload under zlib
+        # is smaller than raw for a real field frame
+        f = sim.step()
+        raw = server.frame_payload(f, 1, "float32", "none")
+        zipped = server.frame_payload(f, 1, "float32", "zlib")
+        assert len(zipped) < len(raw)
+    by_step = {m["step"]: p for m, p in got["raw"]}
+    matched = 0
+    for meta, planes in got["zip"]:
+        want = by_step.get(meta["step"])
+        if want is None:
+            continue
+        np.testing.assert_array_equal(planes["height"], want["height"])
+        np.testing.assert_array_equal(planes["foam"], want["foam"])
+        matched += 1
+    assert matched >= 1
+
+
+def test_native_cpp_client_f16_lod_wire():
+    """The C++ client negotiates the r5 wire: lod=2 + float16 planes,
+    widened host-side — the production engine-side consumer of the
+    device-pooled stream."""
+    import shutil
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    binary = os.path.join(root, "native", "tpu_ocean_stream_client")
+    if not os.path.exists(binary):
+        make = shutil.which("make")
+        if make is None:
+            pytest.skip("no make; native client not built")
+        subprocess.run([make, "-C", os.path.join(root, "native")],
+                       check=True, capture_output=True)
+    with FrameServer(Simulation(CFG, fft_backend="matmul"),
+                     fields=("height", "foam")) as server:
+        host, port = server.address
+        proc = subprocess.Popen([binary, host, str(port), "2", "2",
+                                 "float16"],
+                                stdout=subprocess.PIPE, text=True)
+        while server.client_count == 0 and proc.poll() is None:
+            pass
+        server.run(steps=4)
+        out, _ = proc.communicate(timeout=60)
+    assert proc.returncode == 0, out[-800:]
+    assert "received 2/2 frames" in out
+    assert "f16 wire" in out
+    assert "32x32" in out              # lod=2 on the 64 grid

@@ -25,8 +25,12 @@ Wire protocol (version tag "tpu-ocean/1", little-endian f32 planes):
         the spatial twin of lod.periods_for_distance's temporal stretch),
         and/or {"frame_stride": k} (receive every k-th frame — the TEMPORAL
         half of per-client LOD; composes with the solver-side band schedule,
-        which is shared across clients). Legacy clients that send nothing
-        get the full grid at full rate after a short negotiation window.
+        which is shared across clients), {"dtype": "float16"} (half-width
+        planes — cast on DEVICE before the host pull), and
+        {"codec": "zlib"} (per-frame zlib-1 of the plane blob; the frame
+        meta line then carries "nbytes" for framing). Legacy clients that
+        send nothing get the raw-f32 full grid after a short negotiation
+        window.
         This is the serving-side analogue of the reference's distance-based
         tessellation falloff (MistralWaterCommon.cginc:215-296,
         UnityEdgeLengthBasedTess at edge length 31): a distant consumer
@@ -35,7 +39,8 @@ Wire protocol (version tag "tpu-ocean/1", little-endian f32 planes):
     server → client on connect:  one JSON line
         {"proto": "tpu-ocean/1", "resolution": N/d, "length": L,
          "lod": d, "frame_stride": k, "full_resolution": N,
-         "fields": [...], "dtype": "float32"}
+         "fields": [...], "dtype": "float32"|"float16",
+         "codec": "none"|"zlib"}
     per frame:                   one JSON line
         {"step": k, "t": seconds}
       followed by the raw (N/d)×(N/d) f32 plane bytes of each declared
@@ -53,6 +58,7 @@ import json
 import queue
 import socket
 import threading
+import zlib
 from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
@@ -194,7 +200,8 @@ class FrameServer:
                    for name in self.fields)
 
     def _header_for(self, divisor: int, stride: int = 1,
-                    dtype: str = "float32") -> bytes:
+                    dtype: str = "float32",
+                    codec: str = "none") -> bytes:
         n = self.sim.cfg.resolution
         return (json.dumps({
             "proto": PROTO,
@@ -205,15 +212,17 @@ class FrameServer:
             "full_resolution": n,
             "fields": list(self.fields),
             "dtype": dtype,
+            "codec": codec,
         }) + "\n").encode()
 
     def _negotiate_lod(self, conn: socket.socket):
         """Read the OPTIONAL one-line LOD request ({"lod": d},
         {"camera_distance": x}, {"frame_stride": k},
-        {"dtype": "float16"|"float32"}); returns (divisor, stride, dtype).
-        Legacy clients (including pre-LOD native consumers) send nothing
-        and get the full grid at full rate in f32 after the short
-        negotiation window; malformed requests clamp rather than kill the
+        {"dtype": "float16"|"float32"}, {"codec": "zlib"|"none"});
+        returns (divisor, stride, dtype, codec). Legacy clients
+        (including pre-LOD native consumers) send nothing and get the
+        full grid at full rate in raw f32 after the short negotiation
+        window; malformed requests clamp rather than kill the
         connection — a client bug must not take the server down."""
         n = self.sim.cfg.resolution
         conn.settimeout(0.25)
@@ -229,13 +238,13 @@ class FrameServer:
         finally:
             conn.settimeout(None)
         if not buf.strip():
-            return 1, 1, "float32"
+            return 1, 1, "float32", "none"
         try:
             req = json.loads(buf)
         except ValueError:
-            return 1, 1, "float32"
+            return 1, 1, "float32", "none"
         if not isinstance(req, dict):    # e.g. a bare '5\n' — clamp, don't die
-            return 1, 1, "float32"
+            return 1, 1, "float32", "none"
         stride = 1
         try:
             stride = max(1, min(64, int(req.get("frame_stride", 1))))
@@ -245,19 +254,24 @@ class FrameServer:
         # digits — plenty for display consumers; anything unrecognized
         # clamps to f32
         dtype = ("float16" if req.get("dtype") == "float16" else "float32")
+        # zlib wire (roadmap #20): smooth ocean planes compress well; the
+        # full-res multi-plane client is transfer-bound on slow links and
+        # can opt into per-frame zlib-1 at the cost of host CPU
+        codec = "zlib" if req.get("codec") == "zlib" else "none"
         # the docstring's guarantee is load-bearing: EVERY malformed value
         # clamps to defaults — an exception here would kill this client's
         # handler (and before r4, the whole accept loop)
         try:
             if "lod" in req:
-                return _clamp_divisor(int(req["lod"]), n), stride, dtype
+                return (_clamp_divisor(int(req["lod"]), n), stride, dtype,
+                        codec)
             if "camera_distance" in req:
                 return (lod_divisor_for_distance(
                     float(req["camera_distance"]),
-                    self._world_length, n), stride, dtype)
+                    self._world_length, n), stride, dtype, codec)
         except (TypeError, ValueError):
             pass
-        return 1, stride, dtype
+        return 1, stride, dtype, codec
 
     def _accept_loop(self):
         """Accept only — negotiation (with its 0.25 s legacy-client window)
@@ -279,7 +293,7 @@ class FrameServer:
         its sender thread. Any exception closes only this connection — a
         client bug must never take the accept loop (or the server) down."""
         try:
-            divisor, stride, dtype = self._negotiate_lod(conn)
+            divisor, stride, dtype, codec = self._negotiate_lod(conn)
             # bound the kernel send buffer to ~2 frames: an autotuned
             # multi-MB buffer would hide seconds of latency from the
             # drop-oldest policy (bytes already in the kernel cannot be
@@ -288,7 +302,8 @@ class FrameServer:
             conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
                             max(65536,
                                 2 * self._frame_bytes_for(divisor, dtype)))
-            conn.sendall(self._header_for(divisor, stride, dtype))
+            conn.sendall(self._header_for(divisor, stride, dtype,
+                                          codec))
         except OSError:
             conn.close()
             return
@@ -296,7 +311,7 @@ class FrameServer:
         with self._lock:
             self._clients.append({"q": q, "conn": conn, "lod": divisor,
                                   "stride": stride, "seen": 0,
-                                  "dtype": dtype})
+                                  "dtype": dtype, "codec": codec})
         self._send_loop(q, conn)
 
     def _send_loop(self, q: queue.Queue, conn: socket.socket):
@@ -336,7 +351,8 @@ class FrameServer:
             cl["seen"] += 1
             if (cl["seen"] - 1) % cl["stride"] != 0:
                 continue
-            payload = payloads.get((cl["lod"], cl["dtype"]))
+            payload = payloads.get((cl["lod"], cl["dtype"],
+                                    cl["codec"]))
             if payload is None:
                 continue
             while True:
@@ -396,21 +412,27 @@ class FrameServer:
         return jax.device_get(pooled)
 
     def frame_payload(self, fields, divisor: int = 1,
-                      dtype: str = "float32") -> bytes:
+                      dtype: str = "float32",
+                      codec: str = "none") -> bytes:
         """meta line + raw planes for one OceanFields, mean-pooled by the
         client's spatial-LOD divisor — exposed for tests."""
         return self._payload_from_pulled(
             self._pulled_planes(self._device_planes(fields), divisor, dtype),
-            dtype)
+            dtype, codec)
 
-    def _payload_from_pulled(self, pulled: dict, dtype: str) -> bytes:
-        meta = (json.dumps({"step": self.sim.step_count,
-                            "t": self.sim.step_count * self.sim.dt})
-                + "\n").encode()
+    def _payload_from_pulled(self, pulled: dict, dtype: str,
+                             codec: str = "none") -> bytes:
         wire = "<f2" if dtype == "float16" else "<f4"
-        return meta + b"".join(
+        body = b"".join(
             np.ascontiguousarray(pulled[name], dtype=wire).tobytes()
             for name in self.fields)
+        meta = {"step": self.sim.step_count,
+                "t": self.sim.step_count * self.sim.dt}
+        if codec == "zlib":
+            # variable-size body needs framing: the meta line carries it
+            body = zlib.compress(body, 1)
+            meta["nbytes"] = len(body)
+        return (json.dumps(meta) + "\n").encode() + body
 
     def run(self, steps: Optional[int] = None):
         """Step the simulation, broadcasting every frame; None = until
@@ -423,20 +445,26 @@ class FrameServer:
                 any_clients = bool(self._clients)
                 # payloads only for tiers DUE this frame (stride phase);
                 # device compute + pulls only when someone actually reads
-                due = sorted({(cl["lod"], cl["dtype"])
+                due = sorted({(cl["lod"], cl["dtype"], cl["codec"])
                               for cl in self._clients
                               if cl["seen"] % cl["stride"] == 0})
             if any_clients:
                 # one field compute per frame, shared across all due tiers;
-                # each tier pulls its own device-pooled (1/d²-sized) planes
+                # each (lod, dtype) tier pulls its own device-pooled
+                # (1/d²-sized) planes ONCE, shared across codecs
                 dev = self._device_planes(fields) if due else {}
+                pulls = {}
+                payloads = {}
+                for key in due:
+                    tier = key[:2]
+                    if tier not in pulls:
+                        pulls[tier] = self._pulled_planes(dev, *tier)
+                    payloads[key] = self._payload_from_pulled(
+                        pulls[tier], key[1], key[2])
                 # broadcast even with no due tier: it advances every
                 # client's stride counter — skipping it would freeze
                 # off-phase strided clients forever
-                self._broadcast({
-                    key: self._payload_from_pulled(
-                        self._pulled_planes(dev, key[0], key[1]), key[1])
-                    for key in due})
+                self._broadcast(payloads)
             done += 1
 
     def stop(self):
@@ -486,7 +514,8 @@ def stream_frames(host: str, port: int,
                   lod: Optional[int] = None,
                   camera_distance: Optional[float] = None,
                   frame_stride: Optional[int] = None,
-                  dtype: Optional[str] = None
+                  dtype: Optional[str] = None,
+                  codec: Optional[str] = None
                   ) -> Iterator[Tuple[dict, dict]]:
     """Connect to a FrameServer and yield (meta, {field: ndarray}) frames.
 
@@ -508,6 +537,8 @@ def stream_frames(host: str, port: int,
         req["frame_stride"] = int(frame_stride)
     if dtype is not None:
         req["dtype"] = str(dtype)
+    if codec is not None:
+        req["codec"] = str(codec)
     with socket.create_connection((host, port)) as sock:
         # always send the request line (even empty): it ends the server's
         # negotiation window immediately instead of after its timeout
@@ -519,6 +550,7 @@ def stream_frames(host: str, port: int,
         n = header["resolution"]
         wire = ("<f2" if header.get("dtype") == "float16" else "<f4")
         item = 2 if wire == "<f2" else 4
+        zipped = header.get("codec") == "zlib"
         shapes = {name: _plane_shape(name, n) for name in header["fields"]}
         served = 0
         while max_frames is None or served < max_frames:
@@ -527,9 +559,19 @@ def stream_frames(host: str, port: int,
                 return                   # server closed between frames
             meta = json.loads(line)
             planes = {}
-            for name, shape in shapes.items():
-                raw = _read_exact(f, item * int(np.prod(shape)))
-                planes[name] = np.frombuffer(raw, wire).reshape(
-                    shape).astype(np.float32)
+            if zipped:
+                blob = zlib.decompress(_read_exact(f, int(meta["nbytes"])))
+                off = 0
+                for name, shape in shapes.items():
+                    count = item * int(np.prod(shape))
+                    planes[name] = np.frombuffer(
+                        blob[off:off + count], wire).reshape(
+                        shape).astype(np.float32)
+                    off += count
+            else:
+                for name, shape in shapes.items():
+                    raw = _read_exact(f, item * int(np.prod(shape)))
+                    planes[name] = np.frombuffer(raw, wire).reshape(
+                        shape).astype(np.float32)
             yield meta, planes
             served += 1
