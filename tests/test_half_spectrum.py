@@ -335,3 +335,29 @@ def test_full_column_radix2_kernel_matches_einsum(monkeypatch):
                                atol=2e-5 * scale)
     np.testing.assert_allclose(np.asarray(fg_i), np.asarray(fw_i),
                                atol=2e-5 * scale)
+
+
+def test_half_column_radix2_matches_einsum_route():
+    """The 8192²-regime half-column radix-2 DIT (two M/2 kernel columns +
+    butterfly — pallas_fft.HALF_COLUMN_RADIX2) is numerically exact
+    against the default route; forced at a small size via the cap
+    override. Default ON in its regime per the hardware A/B — 58.97 vs
+    64.21 ms at 8192² (bench/PROBE_r5_half_radix2_8192.json)."""
+    from tpu_ocean.fft import pallas_fft as pf
+    n = 512
+    s = _hermitian_spectrum(n, c=1, seed=3)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    m = n // 2
+    want = pf.ifft2_planes_half(re[:, :m + 1], im[:, :m + 1], True)
+    old = pf.HALF_COLUMN_RADIX2, pf.HALF_NAT_COLUMN_KERNEL
+    try:
+        pf.HALF_COLUMN_RADIX2 = True
+        pf.HALF_NAT_COLUMN_KERNEL = False     # close the direct kernel door
+        with pf.transposed_store_cap(128):    # m=256 > cap → natural regime
+            got = pf.ifft2_planes_half(re[:, :m + 1], im[:, :m + 1], True)
+    finally:
+        pf.HALF_COLUMN_RADIX2, pf.HALF_NAT_COLUMN_KERNEL = old
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5 * scale)

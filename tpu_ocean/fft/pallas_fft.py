@@ -322,6 +322,16 @@ HALF_MIN_PALLAS_N = 256
 #: ifft2_planes_half. Toggle for the hardware A/B probe.
 HALF_NAT_COLUMN_KERNEL = True
 
+#: 8192² HALF-channel column: M = N/2 = 4096 exceeds the kernel envelope,
+#: but a radix-2 DIT over two M/2 = 2048 kernel columns fits — a DIFFERENT
+#: comparison than COLUMN_RADIX2_KERNEL below (there the alternative was a
+#: DIRECT kernel column and DIT lost +4.1%; here it replaces the einsum
+#: chain's HBM intermediates and WINS on hardware: 58.97 vs 64.21 ms
+#: full-step at 8192², −8.2%, same-process A/B tiny-K ladders, residual
+#: 2.6e-4 (bench/PROBE_r5_half_radix2_8192.json) — the first f32 8192²
+#: step under 60 ms.
+HALF_COLUMN_RADIX2 = True
+
 #: large-N FULL column pass: radix-2 decimation-in-time splits the length-N
 #: column DFT into two length-N/2 transforms — which fit the fused
 #: transposed-store kernel at N = 4096 where the full column does not —
@@ -342,8 +352,10 @@ COLUMN_RADIX2_KERNEL = False
 
 def _ifft1d_axis2_radix2(re, im, inverse: bool, precision):
     """Length-M DFT along axis -2 of [C, M, N] as a radix-2 DIT over two
-    transposed-store kernel calls at length M/2 (caller guarantees
-    M/2 ≤ MAX_PALLAS_N and 128 | M/2):
+    length-M/2 sub-transforms (caller guarantees 256 | M and
+    M/2 ≤ 2^k·MAX_PALLAS_N for a small k — each level halves until the
+    transposed-store kernel fits, so M = 8192 runs 4 kernel columns at
+    2048 under two butterfly levels):
 
         X[k]       = E[k] + ω^k·O[k]        ω = e^{±2πi/M}
         X[k + M/2] = E[k] − ω^k·O[k]
@@ -352,12 +364,18 @@ def _ifft1d_axis2_radix2(re, im, inverse: bool, precision):
     one fused elementwise pass XLA folds into the concat stores."""
     c, m, n = re.shape
     h = m // 2
-    er, ei = _fft1d_transposed(jnp.swapaxes(re[:, 0::2], -1, -2),
-                               jnp.swapaxes(im[:, 0::2], -1, -2),
-                               inverse, precision)              # [C, M/2, N]
-    orr, oi = _fft1d_transposed(jnp.swapaxes(re[:, 1::2], -1, -2),
-                                jnp.swapaxes(im[:, 1::2], -1, -2),
-                                inverse, precision)
+    if h > MAX_PALLAS_N:
+        er, ei = _ifft1d_axis2_radix2(re[:, 0::2], im[:, 0::2],
+                                      inverse, precision)       # [C, M/2, N]
+        orr, oi = _ifft1d_axis2_radix2(re[:, 1::2], im[:, 1::2],
+                                       inverse, precision)
+    else:
+        er, ei = _fft1d_transposed(jnp.swapaxes(re[:, 0::2], -1, -2),
+                                   jnp.swapaxes(im[:, 0::2], -1, -2),
+                                   inverse, precision)          # [C, M/2, N]
+        orr, oi = _fft1d_transposed(jnp.swapaxes(re[:, 1::2], -1, -2),
+                                    jnp.swapaxes(im[:, 1::2], -1, -2),
+                                    inverse, precision)
     sign = +1.0 if inverse else -1.0
     w = np.exp(sign * 2j * np.pi * np.arange(h) / m)   # host numpy constant
     wr = np.asarray(w.real, np.float32)[None, :, None]
@@ -460,7 +478,16 @@ def ifft2_planes_auto(re, im, inverse: bool = True,
     re, im = fft1d_natural_large(re, im, inverse, precision)
     m = re.shape[-2]
     if (COLUMN_RADIX2_KERNEL and m % 256 == 0
-            and m // 2 <= MAX_PALLAS_N):
+            and m // 2 <= 4 * MAX_PALLAS_N):
+        # recursion in _ifft1d_axis2_radix2 halves until the kernel fits
+        # (≤ 3 butterfly levels at the 4× bound). Default OFF for the FULL
+        # channels: measured LOSS both at 4096² (+4.1% vs the direct
+        # kernel column, PROBE_r4_column_radix2) and at 8192² (+9.5% vs
+        # the einsum chain, 64.48 vs 58.90 ms —
+        # bench/PROBE_r5_full_radix2_8192.json: two strided split levels
+        # on the [2, 8192, 8192] packed planes out-cost the einsum
+        # intermediates, unlike the HALF channel's single level on half
+        # the rows, which WINS — HALF_COLUMN_RADIX2 above).
         return _ifft1d_axis2_radix2(re, im, inverse, precision)
     return ifft1d_planes_axis2(re, im, inverse, precision)
 
@@ -828,6 +855,14 @@ def ifft2_planes_half(re, im, inverse: bool = True,
             xr, xi = _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
                                        jnp.swapaxes(vi, -1, -2),
                                        inverse, precision)      # [C, M, N]
+        elif (HALF_COLUMN_RADIX2 and m % 256 == 0
+                and m // 2 <= MAX_PALLAS_N):
+            # 8192² half channel: M = 4096 exceeds the kernel envelope but
+            # M/2 = 2048 fits — radix-2 DIT over two kernel columns. NOTE
+            # this is a DIFFERENT trade than PROBE_r4_column_radix2 (which
+            # compared DIT against an available direct kernel column and
+            # lost): here the alternative is the einsum column chain.
+            xr, xi = _ifft1d_axis2_radix2(vr, vi, inverse, precision)
         else:
             xr, xi = ifft1d_planes_axis2(vr, vi, inverse, precision)
     # x[2m] = Re v[m], x[2m+1] = Im v[m]: interleave as even/odd rows
