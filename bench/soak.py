@@ -228,7 +228,7 @@ def orchestrate(args) -> int:
         **{k: v for k, v in results.items()},
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SOAK_r4_half.json" if args.half else "SOAK_r4.json")
+                        "SOAK_r5_half.json" if args.half else "SOAK_r5.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"kill_resume_bitwise_ok": bitwise,
