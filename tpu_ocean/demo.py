@@ -76,6 +76,12 @@ def run_ocean(args) -> int:
                                   fields, cfg,
                                   decimate=max(1, cfg.resolution // 256))
             print(f"# mesh written: {p}", file=sys.stderr)
+        if args.save_clipmap:
+            p = viz.save_clipmap_obj(
+                os.path.join(args.out, "ocean_clipmap.obj"), fields, cfg,
+                camera=(0.0, 0.0), levels=3,
+                fine_cells=max(4, min(64, cfg.resolution // 8)))
+            print(f"# clipmap written: {p}", file=sys.stderr)
     print(f"# {args.steps} steps at {cfg.resolution}^2: "
           f"{metrics.summary()}", file=sys.stderr)
     return 0
@@ -244,6 +250,11 @@ def main(argv=None) -> int:
                    help="write the final displaced frame as OBJ geometry "
                         "(two-triangles-per-quad, OceanRenderer.cs:172-207; "
                         "auto-decimated to ≤ 256 vertices per side)")
+    p.add_argument("--save-clipmap", action="store_true",
+                   help="write a camera-adaptive multi-resolution OBJ "
+                        "(crack-free concentric rings — the tessellation "
+                        "falloff of MistralWaterCommon.cginc:215-296 as "
+                        "actual geometry)")
 
     p = sub.add_parser("fftmesh", help="CPU oracle scene (FFT Mesh.unity)")
     _add_common(p, default_steps=10)
