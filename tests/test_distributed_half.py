@@ -233,3 +233,27 @@ def test_grad_through_sharded_half_adjoint_and_fd():
     fd = (g(eps) - g(-eps)) / (2 * eps)
     an = float(jnp.vdot(vr, gr) + jnp.vdot(vi, gi))
     np.testing.assert_allclose(fd, an, rtol=1e-3)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_sharded_half_radix2_column_regime(d):
+    """The 8192²-regime sharded half route: column length M = N/2 above
+    the (overridden) kernel cap with M % 256 == 0 routes through the
+    radix-2 DIT mirror (fft/distributed.py) — shard-exact against the
+    full single-device transform."""
+    from tpu_ocean.fft import pallas_fft
+    from tpu_ocean.fft.pallas_fft import ifft2_planes_auto
+    n = 512                      # mh = 256 > cap 128; 256 % 256 == 0
+    s = _hermitian_spectrum(n, c=1, seed=31)
+    re = jnp.asarray(s.real, jnp.float32)
+    im = jnp.asarray(s.imag, jnp.float32)
+    fr, _ = ifft2_planes_auto(re, im, True)
+    old_nat = pallas_fft.HALF_NAT_COLUMN_KERNEL
+    try:
+        pallas_fft.HALF_NAT_COLUMN_KERNEL = False   # close the direct door
+        assert pallas_fft.HALF_COLUMN_RADIX2        # shipping default
+        got = _sharded_half(re, im, _mesh_d(d), cap=128)
+    finally:
+        pallas_fft.HALF_NAT_COLUMN_KERNEL = old_nat
+    scale = np.abs(np.asarray(fr)).max()
+    np.testing.assert_allclose(got, np.asarray(fr), atol=3e-5 * scale)
