@@ -282,6 +282,9 @@ def _run_child(task: str, args, timeout_s: float, fields: bool = False,
         cmd += ["--forcing", args.forcing]
     if getattr(args, "smallk", False):
         cmd.append("--smallk")
+    if getattr(args, "no_smallk", False):
+        cmd.append("--no-smallk")   # the child re-runs the res>=8192
+                                    # auto-enable; the opt-out must ride
     for label in skip:
         cmd += ["--skip", label]
     if fast:
@@ -638,7 +641,14 @@ def main():
         if not collected and remaining() > 170.0:
             r = _run_child("matmul", args, min(150.0, remaining() - 10.0))
             if "error" not in r:
-                r.setdefault("backend", "matmul")
+                # the fallback label must carry EVERY variant switch too —
+                # a bf16/packed/half matmul child published as bare
+                # 'matmul' would masquerade as parity-grade and write the
+                # wrong ledger tier (the same hole the sweep labels close)
+                r["backend"] = _variant_label("matmul", False,
+                                              args.pack_channels,
+                                              args.half_spectrum,
+                                              args.precision)
                 collected.append(r)
             else:
                 print(f"# backend matmul: FAILED ({r['error']})",

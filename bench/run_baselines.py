@@ -113,17 +113,18 @@ def config3():
     lad = time_steps_ladder(step_impl, jnp.zeros((), jnp.float32), 1.0 / 60.0,
                             ks=(16, 128, 1024), forcing="tinypull")
     dt = lad.per_step_s
-    _emit({"config": 3, "desc": f"512^2 Gerstner {w} waves ({kernel})",
-           "ms_per_eval": round(dt * 1e3, 4),
-           "updates_per_s": round(1 / dt, 1),
-           "grid_points_per_s": round(n * n / dt, 1),
-           "forcing": lad.forcing,
-           "timing_suspect": lad.suspect,
-           "fit_max_rel_resid": round(lad.max_rel_resid, 4),
-           # the >60 updates/s target is a TPU target; CPU is
-           # informational only
-           "pass": (1 / dt > 60 and not lad.suspect)
-                   if on_tpu else None})
+    gerstner = _emit({"config": 3,
+                      "desc": f"512^2 Gerstner {w} waves ({kernel})",
+                      "ms_per_eval": round(dt * 1e3, 4),
+                      "updates_per_s": round(1 / dt, 1),
+                      "grid_points_per_s": round(n * n / dt, 1),
+                      "forcing": lad.forcing,
+                      "timing_suspect": lad.suspect,
+                      "fit_max_rel_resid": round(lad.max_rel_resid, 4),
+                      # the >60 updates/s target is a TPU target; CPU is
+                      # informational only
+                      "pass": (1 / dt > 60 and not lad.suspect)
+                              if on_tpu else None})
 
     # the sinusoid pond mode (C14, MistralWaterLib.cginc:127-152 — the
     # `_DISPLACEMENTMODE_WAVE` degenerate bank; jnp sheet, XLA-fused):
@@ -137,15 +138,18 @@ def config3():
                              1.0 / 60.0, ks=(16, 128, 1024),
                              forcing="tinypull")
     sdt = slad.per_step_s
-    return _emit({"config": 3, "desc": "512^2 sinusoid pond (jnp sheet)",
-                  "ms_per_eval": round(sdt * 1e3, 4),
-                  "updates_per_s": round(1 / sdt, 1),
-                  "grid_points_per_s": round(n * n / sdt, 1),
-                  "forcing": slad.forcing,
-                  "timing_suspect": slad.suspect,
-                  "fit_max_rel_resid": round(slad.max_rel_resid, 4),
-                  "pass": (1 / sdt > 60 and not slad.suspect)
-                          if on_tpu else None})
+    sinusoid = _emit({"config": 3,
+                      "desc": "512^2 sinusoid pond (jnp sheet)",
+                      "ms_per_eval": round(sdt * 1e3, 4),
+                      "updates_per_s": round(1 / sdt, 1),
+                      "grid_points_per_s": round(n * n / sdt, 1),
+                      "forcing": slad.forcing,
+                      "timing_suspect": slad.suspect,
+                      "fit_max_rel_resid": round(slad.max_rel_resid, 4),
+                      "pass": (1 / sdt > 60 and not slad.suspect)
+                              if on_tpu else None})
+    # BOTH results flow to the exit-code aggregation and --append-md
+    return [gerstner, sinusoid]
 
 
 def _ocean_throughput(n, backend, steps=64):
@@ -217,7 +221,8 @@ def main():
     results = []
     for c in (int(x) for x in args.configs.split(",")):
         try:
-            results.append(fns[c]())
+            r = fns[c]()
+            results.extend(r if isinstance(r, list) else [r])
         except Exception as e:
             results.append(_emit({"config": c, "error": repr(e)[:200],
                                   "pass": False}))

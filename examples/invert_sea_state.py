@@ -108,9 +108,10 @@ def run_packed(args) -> int:
             print(f"iter {i:4d}  loss {float(val):.3e}  "
                   f"rel |h0 - h0*| {float(tr / tn):.3f}", flush=True)
 
-    final = float(grad(planes)[0])
-    init = float(loss((jnp.zeros_like(truth.h0_re),
-                       jnp.zeros_like(truth.h0_im))))
+    loss_jit = jax.jit(loss)
+    final = float(loss_jit(planes))
+    init = float(loss_jit((jnp.zeros_like(truth.h0_re),
+                           jnp.zeros_like(truth.h0_im))))
     print(f"loss reduced {init:.3e} → {final:.3e} "
           f"({init / max(final, 1e-30):.1f}×)")
     return 0 if final < init * 1e-2 else 1

@@ -269,3 +269,41 @@ def test_no_progress_sweep_attempts_are_bounded(monkeypatch, capsys,
     assert out["backend"] == "pallas+fields"
     assert calls["sweep"] <= 4          # 1 productive + <= 2 stale + slack
     assert __import__("time").perf_counter() - t0 < 60.0
+
+
+def test_matmul_fallback_label_carries_variant_switches(monkeypatch, capsys,
+                                                        tmp_path):
+    """When the complex-free sweep banks nothing and the matmul fallback
+    child answers, its label must carry every variant switch (notably
+    +bf16) — a bare 'matmul' label would masquerade as parity-grade and
+    write the wrong ledger tier (review finding, r5)."""
+    mod = _load_bench()
+    monkeypatch.setattr(mod, "_LEDGER", str(tmp_path / "ledger.json"))
+
+    def fake_child(task, args, timeout_s, fields=False, skip=(), fast=False):
+        if task == "canary":
+            return {"ok": True, "devices": 1, "startup_s": 45.0}
+        if task == "realsweep":
+            # deterministic refusals for every sweep variant → fallback
+            return {"sweep": [
+                {"backend": lbl, "error": "ValueError: nope"}
+                for lbl in [mod._variant_label(b, f, p, h, "bfloat16")
+                            for b, f, p, h in mod._REAL_SWEEP]]}
+        if task == "matmul":
+            return {"backend": "matmul", "per_step_s": 5e-4,
+                    "suspect": False, "forcing": "tinypull"}
+        if task == "calibrate":
+            return {"measurable": True, "achieved_tflops": 172.0,
+                    "intercept_ms": 30.0, "forcing": "tinypull"}
+        raise AssertionError(f"unexpected child {task}")
+
+    rc, out = _run_main(mod, monkeypatch, capsys,
+                        ["--budget-s", "1200", "--precision", "bfloat16"],
+                        fake_child)
+    assert rc == 0
+    assert out["backend"] == "matmul+bf16"
+    assert "parity_grade_backend" not in out      # bf16 is never parity
+    with open(str(tmp_path / "ledger.json")) as f:
+        doc = json.load(f)
+    assert "result" not in doc                    # f32 slot untouched
+    assert doc["result_bf16"]["backend"] == "matmul+bf16"

@@ -80,7 +80,7 @@ def run_ocean(args) -> int:
             p = viz.save_clipmap_obj(
                 os.path.join(args.out, "ocean_clipmap.obj"), fields, cfg,
                 camera=(0.0, 0.0), levels=3,
-                fine_cells=max(4, min(64, cfg.resolution // 8)))
+                fine_cells=max(4, min(64, cfg.resolution // 8) // 4 * 4))
             print(f"# clipmap written: {p}", file=sys.stderr)
     print(f"# {args.steps} steps at {cfg.resolution}^2: "
           f"{metrics.summary()}", file=sys.stderr)

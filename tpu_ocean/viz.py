@@ -364,8 +364,8 @@ def _clipmap_index_mesh(n: int, center, h0: int, levels: int):
     """Index-space geometry of a camera-centered clipmap: concentric square
     rings, level k at pitch 2^k, stitched crack-free.
 
-    Returns (ij [V, 2] int, faces [F, 3] int, lo, hi) — the covered square
-    is [lo, hi]². Stitch cells (coarse cells whose edge touches the finer
+    Returns (ij [V, 2] int, faces [F, 3] int, (i0, j0, i1, j1)) — the
+    covered square is [i0, i1] × [j0, j1]. Stitch cells (coarse cells whose edge touches the finer
     ring) are triangulated as a FAN around their center — a lattice point
     of the finer level — with the finer lattice's midpoints inserted on the
     shared edges, so every boundary edge of the fine side matches a fan
