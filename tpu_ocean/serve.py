@@ -124,6 +124,33 @@ def _pool_on_device(divisor: int, is_normal: bool, dtype: str):
     return pool
 
 
+class _LazyZlibPayload:
+    """Frame payload whose zlib compression runs in the FIRST sender
+    thread that needs it (memoized under a lock), not in the solver loop:
+    zlib-1 on a multi-MB full-res frame costs ~10⁻¹ s of CPU, and paying
+    it in run() would stall the simulation for every subscriber — the
+    drop-oldest real-time policy exists precisely so consumers never slow
+    the producer. Python's zlib releases the GIL for large buffers, so
+    the compression overlaps the next solver step."""
+
+    __slots__ = ("_meta", "_body", "_lock", "_bytes")
+
+    def __init__(self, meta: dict, body: bytes):
+        self._meta = meta
+        self._body = body
+        self._lock = threading.Lock()
+        self._bytes = None
+
+    def get(self) -> bytes:
+        with self._lock:
+            if self._bytes is None:
+                comp = zlib.compress(self._body, 1)
+                meta = dict(self._meta, nbytes=len(comp))
+                self._bytes = (json.dumps(meta) + "\n").encode() + comp
+                self._meta = self._body = None     # free the raw frame
+            return self._bytes
+
+
 def decimate_plane(x: np.ndarray, divisor: int, name: str) -> np.ndarray:
     """Mean-pool a served plane by ``divisor`` (normals are pooled then
     renormalized so they stay unit) — the decimation the per-client LOD
@@ -327,6 +354,8 @@ class FrameServer:
                     continue
                 if payload is None:      # stop() sentinel
                     return
+                if isinstance(payload, _LazyZlibPayload):
+                    payload = payload.get()
                 conn.sendall(payload)
         except OSError:
             pass                         # client went away
@@ -416,12 +445,13 @@ class FrameServer:
                       codec: str = "none") -> bytes:
         """meta line + raw planes for one OceanFields, mean-pooled by the
         client's spatial-LOD divisor — exposed for tests."""
-        return self._payload_from_pulled(
+        p = self._payload_from_pulled(
             self._pulled_planes(self._device_planes(fields), divisor, dtype),
             dtype, codec)
+        return p.get() if isinstance(p, _LazyZlibPayload) else p
 
     def _payload_from_pulled(self, pulled: dict, dtype: str,
-                             codec: str = "none") -> bytes:
+                             codec: str = "none"):
         wire = "<f2" if dtype == "float16" else "<f4"
         body = b"".join(
             np.ascontiguousarray(pulled[name], dtype=wire).tobytes()
@@ -429,9 +459,9 @@ class FrameServer:
         meta = {"step": self.sim.step_count,
                 "t": self.sim.step_count * self.sim.dt}
         if codec == "zlib":
-            # variable-size body needs framing: the meta line carries it
-            body = zlib.compress(body, 1)
-            meta["nbytes"] = len(body)
+            # deferred: the sender thread compresses (and the meta line
+            # then carries nbytes for framing) — see _LazyZlibPayload
+            return _LazyZlibPayload(meta, body)
         return (json.dumps(meta) + "\n").encode() + body
 
     def run(self, steps: Optional[int] = None):
