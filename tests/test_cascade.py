@@ -369,3 +369,13 @@ def test_cascade_simulation_reconfigure_live():
     f = sim.step()
     assert np.isfinite(np.asarray(f.height)).all()
     assert sim.cfgs == new_cfgs
+
+
+def test_cascade_rejects_foam_decay():
+    """CascadeState carries no foam accumulator: a config promising
+    persistent foam must fail fast, not silently recompute instantaneous
+    foam (review finding, r5)."""
+    cfgs = default_cascade(n=32)
+    bad = [cfgs[0].replace(foam_decay=0.5)] + cfgs[1:]
+    with pytest.raises(ValueError, match="foam_decay"):
+        CascadeSolver(bad)

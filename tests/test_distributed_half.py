@@ -257,3 +257,32 @@ def test_sharded_half_radix2_column_regime(d):
         pallas_fft.HALF_NAT_COLUMN_KERNEL = old_nat
     scale = np.abs(np.asarray(fr)).max()
     np.testing.assert_allclose(got, np.asarray(fr), atol=3e-5 * scale)
+
+
+def test_dist_reconfigure_preserves_half_and_reuses_step():
+    """Review findings (r5): DistributedOceanSolver.reconfigure previously
+    DROPPED half_spectrum on rebuild and recompiled the sharded step for
+    init-only tweaks. Both fixed: flag preserved, compiled step shared."""
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver_dist import DistributedOceanSolver
+    cfg = OceanConfig(resolution=64, length=64.0, wind=(6.0, 4.0),
+                      amplitude=0.1, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    solver = DistributedOceanSolver(cfg, _mesh_d(2), fft_backend="pallas",
+                                    real_state=True, pack_channels=True,
+                                    half_spectrum=True, pallas_fields=True)
+    st = solver.init(jax.random.PRNGKey(0))
+    st, _ = solver.step(st, 1 / 60)
+    # init-only change: same compiled step object, all switches kept
+    s2, st2 = solver.reconfigure(st, cfg.replace(wind=(2.0, 1.0)))
+    assert s2.half_spectrum and s2.pack_channels and s2.pallas_fields
+    assert s2._step_jit is solver._step_jit        # no recompile
+    np.testing.assert_array_equal(np.asarray(st2.phase),
+                                  np.asarray(st.phase))
+    st3, f = s2.step(st2, 1 / 60)
+    assert np.isfinite(np.asarray(f.height)).all()
+    # structural change: rebuild still carries half_spectrum
+    s3, _ = solver.reconfigure(st, cfg.replace(length=128.0,
+                                               choppiness=0.5))
+    assert s3.half_spectrum and s3._step_jit is not solver._step_jit

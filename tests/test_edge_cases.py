@@ -160,3 +160,27 @@ def test_pallas_plain_routes_to_fused_at_scale(monkeypatch):
     _, f2 = explicit.step(s2, 1 / 60)
     np.testing.assert_array_equal(np.asarray(f1.height),
                                   np.asarray(f2.height))
+
+
+def test_fields_at_refuses_phase_mode():
+    """fields_at evaluates the stateless ω·t form; in phase mode that
+    silently disagrees with the accumulated per-mode phase — it must
+    refuse like velocity() does (review finding, r5)."""
+    import jax
+    import pytest
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver
+    cfg = OceanConfig(resolution=16, length=16.0, wind=(5.0, 3.0),
+                      amplitude=0.1, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    s = OceanSolver(cfg)
+    st = s.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="absolute"):
+        s.fields_at(st, 1.0)
+    # absolute mode keeps working
+    s2 = OceanSolver(cfg.replace(evolution_mode="absolute",
+                                 dispersion_mode="quantized"))
+    st2 = s2.init(jax.random.PRNGKey(0))
+    f = s2.fields_at(st2, 1.0)
+    assert f.height.shape == (16, 16)

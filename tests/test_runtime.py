@@ -163,3 +163,21 @@ def test_distributed_simulation_resume_is_sharded_and_bitwise(tmp_path):
             f = sim2.step()
             np.testing.assert_array_equal(np.asarray(f.height),
                                           np.asarray(f3.height))
+
+
+def test_reconfigure_updates_metrics_grid_points():
+    """Throughput lines divide by grid_points; a resolution change must
+    not keep reporting against the old grid (review finding, r5)."""
+    import jax
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.runtime import Simulation
+    cfg = OceanConfig(resolution=16, length=16.0, wind=(5.0, 3.0),
+                      amplitude=0.1, evolution_mode="phase",
+                      dispersion_mode="capillary", spectrum_layout="fft",
+                      normals_mode="stencil")
+    sim = Simulation(cfg)
+    sim.step()
+    assert sim.metrics.grid_points == 16 * 16
+    sim.reconfigure(cfg.replace(resolution=32, length=32.0))
+    assert sim.metrics.grid_points == 32 * 32
+    sim.step()

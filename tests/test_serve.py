@@ -411,26 +411,35 @@ def test_streams_distributed_velocity():
                                                         1e-9))
 
 
-@pytest.mark.parametrize("evil", [
-    b"5\n",                                        # non-dict JSON
-    b'{"lod": "huge"}\n',                          # non-numeric lod
-    b'{"camera_distance": "far"}\n',               # non-numeric distance
-    b'{"lod": null}\n',
-    b'[1, 2]\n',
+@pytest.mark.parametrize("evil,want_lod", [
+    (b"5\n", 1),                                   # non-dict JSON
+    (b'{"lod": "huge"}\n', 1),                     # non-numeric lod
+    (b'{"camera_distance": "far"}\n', 1),          # non-numeric distance
+    (b'{"lod": null}\n', 1),
+    (b'[1, 2]\n', 1),
+    # json parses 1e999 as float inf; int(inf)/log2(inf) raised
+    # OverflowError PAST the clamps and killed the handler thread (review
+    # finding, r5). +inf now clamps to the COARSEST divisor (an infinitely
+    # far camera gets far LOD); -inf / inf stride clamp to defaults
+    (b'{"camera_distance": 1e999}\n', 8),
+    (b'{"lod": 1e999}\n', 8),
+    (b'{"frame_stride": 1e999}\n', 1),
+    (b'{"camera_distance": -1e999}\n', 1),
 ])
-def test_malformed_lod_request_clamps_and_server_survives(evil):
-    """Regression (ADVICE r3, high): a malformed LOD request must clamp to
-    defaults for THAT client and must not kill the accept path — a second,
+def test_malformed_lod_request_clamps_and_server_survives(evil, want_lod):
+    """Regression (ADVICE r3, high): a malformed LOD request must clamp
+    for THAT client and must not kill the accept path — a second,
     well-formed client connects and streams afterwards."""
     with FrameServer(Simulation(CFG, fft_backend="matmul"),
                      fields=("height",)) as server:
         host, port = server.address
-        # evil client: sends garbage, still gets a clamped full-res header
+        # evil client: sends garbage, still gets a clamped header
         with socket.create_connection((host, port)) as bad:
             bad.sendall(evil)
             header = json.loads(bad.makefile("rb").readline())
             assert header["proto"] == PROTO
-            assert header["lod"] == 1 and header["frame_stride"] == 1
+            assert header["lod"] == want_lod
+            assert header["frame_stride"] == 1
         # the server must still admit and serve a new client
         frames = []
         errs = []

@@ -119,6 +119,15 @@ class CascadeSolver:
                  half_spectrum: bool = False):
         if not cfgs:
             raise ValueError("need at least one band config")
+        if any(c.foam_decay for c in cfgs):
+            # CascadeState carries no per-band foam accumulator; silently
+            # recomputing instantaneous foam while the config promises
+            # persistence would be the worst outcome — fail fast with the
+            # working alternative named (review finding, r5)
+            raise ValueError("foam_decay (persistent foam) is not "
+                             "implemented for cascades; use foam_decay=0 "
+                             "here, or a single-patch OceanSolver/"
+                             "DistributedOceanSolver which support it")
         if pallas_fields and (cfgs[0].normals_mode != "stencil"
                               or cfgs[0].resolution % 8 != 0):
             raise ValueError("pallas_fields requires normals_mode='stencil' "

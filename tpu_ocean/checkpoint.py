@@ -266,7 +266,19 @@ def load_checkpoint_orbax(directory: str, like=None):
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
                                            sharding=x.sharding),
             _orbax_tree(like))
-        d = ckptr.restore(path, target)
+        try:
+            d = ckptr.restore(path, target)
+        except Exception:
+            # pre-foam_accum checkpoint: the stored tree lacks the leaf,
+            # so a target that demands it fails — retry without it and
+            # zero-fill under `like`'s sharding (the legacy loader below
+            # and the npz path already do this; the SHARDED path must not
+            # be the one place old checkpoints break — review finding, r5)
+            slim = {k: v for k, v in target.items() if k != "foam_accum"}
+            d = ckptr.restore(path, slim)
+            d["foam_accum"] = jax.jit(
+                lambda: jnp.zeros(like.foam_accum.shape, jnp.float32),
+                out_shardings=like.foam_accum.sharding)()
         common = dict(phase=d["phase"], t=d["t"], step=d["step"],
                       foam_accum=d["foam_accum"])
         if isinstance(like, OceanStateReal):

@@ -165,6 +165,10 @@ class Simulation:
                    or new_cfg.spectrum_layout != self.cfg.spectrum_layout)
         self.solver, self.state = self.solver.reconfigure(self.state, new_cfg)
         self.cfg = new_cfg
+        if self.metrics is not None:
+            # throughput lines divide by grid_points — keep them honest
+            # across a resolution change
+            self.metrics.grid_points = new_cfg.resolution ** 2
         if rebuilt:
             self._steps_done = 0   # full re-init: progress restarted
 
@@ -324,13 +328,17 @@ class CascadeSimulation(Simulation):
         (and, under LOD, the refresh schedule and frame slot) is preserved,
         so waves keep their motion while the sea state morphs."""
         new_cfgs = list(new_cfgs)
+        # band-count changes are REFUSED by CascadeSolver.reconfigure
+        # (cascade.py raises before any state is touched), so they never
+        # reach the rebuilt bookkeeping here
         rebuilt = (new_cfgs[0].resolution != self.cfg.resolution
-                   or new_cfgs[0].spectrum_layout != self.cfg.spectrum_layout
-                   or len(new_cfgs) != len(self.cfgs))
+                   or new_cfgs[0].spectrum_layout != self.cfg.spectrum_layout)
         self.solver, self.state = self.solver.reconfigure(self.state,
                                                           new_cfgs)
         self.cfgs = new_cfgs
         self.cfg = new_cfgs[0]
+        if self.metrics is not None:
+            self.metrics.grid_points = new_cfgs[0].resolution ** 2
         if rebuilt:
             self._steps_done = 0   # full re-init: progress restarted
 

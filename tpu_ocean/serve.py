@@ -82,14 +82,22 @@ def lod_divisor_for_distance(camera_distance: float, length: float,
     at least an 8×8 plane."""
     import math
     d = 1
-    if camera_distance > reference_distance:
+    if not math.isfinite(camera_distance):
+        # json accepts 1e999 → inf; int(log2(inf)) raises OverflowError —
+        # clamp to the far limit instead of killing the client handler
+        d = max_divisor if camera_distance > 0 else 1
+    elif camera_distance > reference_distance:
         d = 2 ** int(math.log2(camera_distance / reference_distance))
     return _clamp_divisor(d, resolution, max_divisor)
 
 
 def _clamp_divisor(d: int, resolution: int, max_divisor: int = 8) -> int:
     """Largest power of two ≤ d that divides ``resolution`` into ≥8 texels."""
-    d = max(1, min(int(d), max_divisor))
+    try:
+        d = int(d)                   # int(inf) raises OverflowError
+    except OverflowError:
+        d = max_divisor if d > 0 else 1
+    d = max(1, min(d, max_divisor))
     d = 2 ** int(np.log2(d))
     while d > 1 and (resolution % d != 0 or resolution // d < 8):
         d //= 2
@@ -203,13 +211,6 @@ class FrameServer:
         self._stop = threading.Event()
 
         n = sim.cfg.resolution
-        # the PLANES' physical extent (cascades: display_length, not
-        # band 0's length) — Simulation.world_length owns that rule.
-        # (Lazy fallback: PondConfig has no .length, but PondSimulation
-        # provides world_length — don't evaluate the default eagerly.)
-        self._world_length = (sim.world_length
-                              if hasattr(sim, "world_length")
-                              else sim.cfg.length)
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._listener = socket.create_server((host, port))
@@ -275,7 +276,7 @@ class FrameServer:
         stride = 1
         try:
             stride = max(1, min(64, int(req.get("frame_stride", 1))))
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, OverflowError):
             pass
         # f16 wire: half the device→host and socket volume for ~3 decimal
         # digits — plenty for display consumers; anything unrecognized
@@ -290,13 +291,15 @@ class FrameServer:
         # handler (and before r4, the whole accept loop)
         try:
             if "lod" in req:
-                return (_clamp_divisor(int(req["lod"]), n), stride, dtype,
+                # _clamp_divisor owns the conversion (incl. the inf →
+                # coarsest-divisor clamp); int() here would overflow first
+                return (_clamp_divisor(req["lod"], n), stride, dtype,
                         codec)
             if "camera_distance" in req:
                 return (lod_divisor_for_distance(
                     float(req["camera_distance"]),
                     self._world_length, n), stride, dtype, codec)
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, OverflowError):
             pass
         return 1, stride, dtype, codec
 
@@ -411,6 +414,17 @@ class FrameServer:
     @property
     def stopped(self) -> bool:
         return self._stop.is_set()
+
+    @property
+    def _world_length(self) -> float:
+        """The PLANES' live physical extent (cascades: display_length, not
+        band 0's length — Simulation.world_length owns that rule; PondConfig
+        has no .length but PondSimulation provides world_length). A property
+        so headers sent AFTER a live sim.reconfigure report the NEW length,
+        not the construction-time one."""
+        sim = self.sim
+        return (sim.world_length if hasattr(sim, "world_length")
+                else sim.cfg.length)
 
     def _device_planes(self, fields) -> dict:
         """Device arrays of every served field — ONE solver-side compute per

@@ -469,7 +469,10 @@ class OceanSolver:
                                             if new_cfg.spectrum_layout
                                             == self.cfg.spectrum_layout
                                             else None),
-                             half_spectrum=self.half_spectrum)
+                             half_spectrum=(self.half_spectrum
+                                            if new_cfg.spectrum_layout
+                                            == self.cfg.spectrum_layout
+                                            else False))
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution
@@ -636,6 +639,14 @@ class OceanSolver:
     def fields_at(self, state, t: float) -> OceanFields:
         """Evaluate fields at an absolute time without advancing state
         (absolute mode only) — mirrors the oracle's stateless EvaluateWaves."""
+        if self.cfg.evolution_mode != "absolute":
+            # phase mode's per-mode accumulated phase (mod 2π, dt_multiplier
+            # applied) is NOT ω·t — returning ω·t fields here would be
+            # silently wrong, the same misuse velocity() already refuses
+            raise ValueError("fields_at evaluates the stateless absolute-"
+                             "time form (ω·t); this solver runs "
+                             "evolution_mode='phase' — use step() and read "
+                             "the returned fields")
         c = self._consts
         phase = c["omega"] * jnp.asarray(t, dtype=jnp.float32)
         if isinstance(state, OceanStateReal):

@@ -334,7 +334,24 @@ class DistributedOceanSolver:
     def reconfigure(self, state: OceanState, new_cfg: OceanConfig,
                     key=None):
         """Live parameter change (mirrors OceanSolver.reconfigure): new
-        spectrum, phase preserved when the grid/layout is unchanged."""
+        spectrum, phase preserved when the grid/layout is unchanged.
+        Init-only changes (wind/amplitude/spectrum shape/seed) REUSE the
+        compiled shard_map step — no retrace, no multi-chip recompile
+        (minutes over a tunneled runtime) — exactly the single-device
+        fast path; everything else rebuilds."""
+        from tpu_ocean.solver import OceanSolver
+        import dataclasses
+        changed = {f.name for f in dataclasses.fields(new_cfg)
+                   if getattr(new_cfg, f.name) != getattr(self.cfg, f.name)}
+        if changed <= OceanSolver._INIT_ONLY_FIELDS:
+            import copy
+            solver = copy.copy(self)   # shares _step_jit + trace constants
+            solver.cfg = new_cfg
+            fresh = solver.init(key if key is not None
+                                else jax.random.PRNGKey(new_cfg.seed))
+            return solver, fresh._replace(phase=state.phase, t=state.t,
+                                          step=state.step,
+                                          foam_accum=state.foam_accum)
         solver = DistributedOceanSolver(new_cfg, self.mesh,
                                         fft_backend=self.fft_backend,
                                         overlap_chunks=self.overlap_chunks,
@@ -343,7 +360,12 @@ class DistributedOceanSolver:
                                         pack_channels=(self.pack_channels
                                                        if new_cfg.spectrum_layout
                                                        == self.cfg.spectrum_layout
-                                                       else None))
+                                                       else None),
+                                        half_spectrum=(
+                                            self.half_spectrum
+                                            if new_cfg.spectrum_layout
+                                            == self.cfg.spectrum_layout
+                                            else False))
         fresh = solver.init(key if key is not None
                             else jax.random.PRNGKey(new_cfg.seed))
         if (new_cfg.resolution == self.cfg.resolution
