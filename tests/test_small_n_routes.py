@@ -90,17 +90,19 @@ def test_half_non_lane_multiple_routes_to_mirror(n, monkeypatch):
                                atol=2e-5 * scale)
 
 
-def test_fused_half_small_n_falls_back_to_full_pipeline(monkeypatch):
-    """ifft2_fused_planes_half at N < HALF_MIN_PALLAS_N on hardware must
-    ride the full fused pipeline on every channel (ADVICE r4: at N = 128
-    the solver's N % 128 reroute does NOT fire, and the half channel's
-    M = 64 column pass is Mosaic-rejected). The full pipeline's kernels
-    can't execute on CPU under the patched predicate, so the gate is
-    checked with a recording stub; the fallback identity itself (Hermitian
-    last channel → full transform's Re is the field) is covered
-    numerically by test_half_spectrum_step_matches_packed."""
+@pytest.mark.parametrize("n", [128, 384])
+def test_fused_half_small_n_falls_back_to_full_pipeline(monkeypatch, n):
+    """ifft2_fused_planes_half must ride the full fused pipeline whenever
+    the FOLD length M = N/2 is not kernel-legal: N < HALF_MIN_PALLAS_N
+    (ADVICE r4 — at N = 128 the solver's N % 128 reroute does NOT fire)
+    and N ≡ 128 (mod 256), e.g. 384, where M = 192 breaks the 128-lane
+    rule (review finding, r5). The full pipeline's kernels can't execute
+    on CPU under the patched predicate, so the gate is checked with a
+    recording stub; the fallback identity itself (Hermitian last channel
+    → full transform's Re is the field) is covered numerically by
+    test_half_spectrum_step_matches_packed."""
     from tpu_ocean.ops import fused_spectrum_fft as fsf
-    n, ch = 128, 2
+    ch = 2
     called = {}
 
     def stub(h0_pair, phase, length, dz_sign, **kw):
@@ -185,3 +187,50 @@ def test_column_engine_defaults_pinned():
     assert pallas_fft.HALF_NAT_COLUMN_KERNEL is True
     assert pallas_fft.COLUMN_RADIX2_KERNEL is False
     assert pallas_fft.HALF_MIN_PALLAS_N == 256
+
+
+def test_half_fold_length_gate_routes_384_to_mirror(monkeypatch):
+    """N = 384: N % 128 == 0 (so no solver reroute, and the r4 gate passed
+    it) but the C2R fold length M = 192 breaks the 128-lane rule — the
+    half route must mirror to the FULL transform on hardware (review
+    finding, r5). Checked with a recording stub on ifft2_planes_auto:
+    under the patched predicate the full transform would run real kernels
+    (legal on hardware at N % 128 == 0, not executable on CPU)."""
+    from tpu_ocean.fft import pallas_fft
+    n = 384
+    called = {}
+
+    def stub(r, i, inverse, precision=None):
+        called["shape"] = tuple(r.shape)
+        return jnp.zeros_like(r), jnp.zeros_like(i)
+
+    monkeypatch.setattr(pallas_fft, "ifft2_planes_auto", stub)
+    _patched_tpu(monkeypatch)
+    re = jnp.zeros((1, n // 2 + 1, n), jnp.float32)
+    out = pallas_fft.ifft2_planes_half(re, re, True)
+    assert called["shape"] == (1, n, n)       # mirrored to the FULL rows
+    assert out.shape == (1, n, n)
+
+
+def test_distributed_half_rejects_fold_illegal_n(monkeypatch):
+    """Sharded half_spectrum at N ≡ 128 (mod 256) fails fast on hardware
+    (no mirror fallback exists in the sharded kernels)."""
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.parallel import make_mesh
+    from tpu_ocean.solver_dist import DistributedOceanSolver
+    cfg = OceanConfig(resolution=384, length=384.0, wind=(8.0, 5.0),
+                      amplitude=0.5, spectrum_layout="fft",
+                      normals_mode="stencil")
+    mesh = make_mesh(1)
+    _patched_tpu(monkeypatch)
+    with pytest.raises(ValueError, match="256"):
+        DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
+                               real_state=True, pack_channels=True,
+                               half_spectrum=True)
+    # N % 256 == 0 still constructs
+    cfg2 = OceanConfig(resolution=256, length=256.0, wind=(8.0, 5.0),
+                       amplitude=0.5, spectrum_layout="fft",
+                       normals_mode="stencil")
+    DistributedOceanSolver(cfg2, mesh, fft_backend="pallas",
+                           real_state=True, pack_channels=True,
+                           half_spectrum=True)

@@ -240,7 +240,8 @@ def ifft2_x_sharded_half(re, im, axis_name: str,
         from tpu_ocean.fft.pallas_fft import (HALF_NAT_COLUMN_KERNEL,
                                               HALF_COLUMN_RADIX2,
                                               _ifft1d_axis2_radix2)
-        if HALF_NAT_COLUMN_KERNEL and mh <= MAX_PALLAS_N:
+        if (HALF_NAT_COLUMN_KERNEL and mh <= MAX_PALLAS_N
+                and mh % 128 == 0):
             # same engine swap as the single-chip half route: the fold
             # halves the column length to M = N/2, which fits the fused
             # kernel's envelope at 4096² where the full column does not

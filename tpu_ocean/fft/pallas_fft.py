@@ -808,17 +808,23 @@ def ifft2_planes_half(re, im, inverse: bool = True,
     if 2 * m != n:
         raise ValueError(f"half-spectrum input must carry N/2+1 rows; "
                          f"got {mp1} for N={n}")
-    if (n < HALF_MIN_PALLAS_N or n % 128) and jax.default_backend() != "cpu":
+    if (n < HALF_MIN_PALLAS_N or n % 256) and jax.default_backend() != "cpu":
         # Mosaic rejects the transposed-store pass when the fold length
         # M = N/2 lands on the LANE axis below the 128-lane vector width
         # ("infer-vector-layout: unsupported shape cast", probed r4 at
-        # N ∈ {64, 128}; N ≥ 256 compiles) — and at ANY N % 128 != 0 (the
-        # non-128 lane split, probed r4; the solver accepts N % 16 == 0,
-        # e.g. 320/448, so the half route must mirror there too — ADVICE
-        # r4). Reconstruct the conjugate rows —
-        # H[N−k1, (N−k2)%N] = conj H[k1, k2] — and ride the full
-        # transform, whose auto route already sends N % 128 to the einsum
-        # four-step: ≤ 256² the step is dispatch-bound anyway.
+        # N ∈ {64, 128}; N ≥ 256 compiles) — and at ANY transform length
+        # not divisible by 128 (the non-128 lane split, probed r4). The
+        # C2R fold runs kernels at BOTH lengths N (row pass) and M = N/2
+        # (column pass), so the gate must demand 128 | N/2, i.e.
+        # N % 256 == 0: at N ≡ 128 (mod 256) — e.g. 384, the solver's
+        # N % 16 check accepts it and no reroute fires — the M-length
+        # kernels are illegal on hardware (review finding, r5; the r4
+        # ADVICE fix only checked N itself). Reconstruct the conjugate
+        # rows — H[N−k1, (N−k2)%N] = conj H[k1, k2] — and ride the full
+        # transform, whose auto route handles every N (kernels at
+        # N % 128 == 0, einsum four-step otherwise): ≤ 256² the step is
+        # dispatch-bound anyway, and N ≡ 128 (mod 256) grids keep the
+        # full-length kernels.
         mir_r = jnp.roll(jnp.flip(re[:, 1:m], axis=(-2, -1)), 1, axis=-1)
         mir_i = jnp.roll(jnp.flip(im[:, 1:m], axis=(-2, -1)), 1, axis=-1)
         fr, _ = ifft2_planes_auto(jnp.concatenate([re, mir_r], axis=1),
@@ -843,7 +849,8 @@ def ifft2_planes_half(re, im, inverse: bool = True,
         yr, yi = fft1d_natural_large(re[:, :m], im[:, :m], inverse,
                                      precision)                 # [C, M, N]
         vr, vi = _c2r_combine(yr, yi, nyr, nyi, inverse, axis=-2)
-        if HALF_NAT_COLUMN_KERNEL and m <= MAX_PALLAS_N:
+        if (HALF_NAT_COLUMN_KERNEL and m <= MAX_PALLAS_N
+                and m % 128 == 0):
             # the C2R fold HALVES the column length: at N = 4096 the full
             # path's column (4096) is out of the fused kernel's VMEM
             # envelope, but the half channel's column (M = 2048) fits — so

@@ -461,14 +461,15 @@ def ifft2_fused_planes_half(h0_pair, phase, length: float, dz_sign: float,
     if precision is None:
         precision = lax.Precision.HIGHEST
     m, n = phase.shape
-    if n < HALF_MIN_PALLAS_N and jax.default_backend() != "cpu":
-        # Mosaic rejects the half channel's column pass when the fold
-        # length M = N/2 lands on the lane axis below the 128-lane vector
-        # width (same envelope as pallas_fft.ifft2_planes_half — probed r4
-        # at N ∈ {64, 128}; ADVICE r4: at N = 128 the solver's
-        # N % 128 → 'pallas' reroute does NOT fire, so the guard must live
-        # here). Ride the full fused pipeline on all channels; the last
-        # packed channel's spectrum is exactly Hermitian, so its full
+    if (n < HALF_MIN_PALLAS_N or n % 256) and jax.default_backend() != "cpu":
+        # Mosaic rejects the half channel's kernels when the fold length
+        # M = N/2 is not lane-legal: M < 128 (probed r4 at N ∈ {64, 128};
+        # ADVICE r4 — at N = 128 the solver's N % 128 → 'pallas' reroute
+        # does NOT fire, so the guard must live here) or M % 128 != 0
+        # (N ≡ 128 mod 256, e.g. 384 — review finding, r5: the fused half
+        # row pass also picks sub-128 transposed-store blocks there).
+        # Ride the full fused pipeline on all channels; the last packed
+        # channel's spectrum is exactly Hermitian, so its full
         # transform's Im is identically zero and Re IS the field.
         re_all, im_all = ifft2_fused_planes(h0_pair, phase, length, dz_sign,
                                             precision=precision,
@@ -505,7 +506,26 @@ def ifft2_fused_planes_half(h0_pair, phase, length: float, dz_sign: float,
                                          dz_sign, ch_start=ch_count - 1,
                                          ch_count=1, **kw)   # [1, M, N]
         vr, vi = _c2r_combine(yr, yi, nyr, nyi, True, axis=-2)
-        xr, xi = ifft1d_planes_axis2(vr, vi, True, precision)  # [1, M, N]
+        # same column-engine dispatch as the non-fused twin
+        # (pallas_fft.ifft2_planes_half): kernel column when the fold
+        # length fits the envelope, radix-2 DIT in the 8192² regime,
+        # einsum otherwise — the fused route previously hard-coded the
+        # einsum chain and forwent both banked wins (review finding, r5)
+        from tpu_ocean.fft.pallas_fft import (HALF_NAT_COLUMN_KERNEL,
+                                              HALF_COLUMN_RADIX2,
+                                              MAX_PALLAS_N,
+                                              _ifft1d_axis2_radix2)
+        if (HALF_NAT_COLUMN_KERNEL and mh <= MAX_PALLAS_N
+                and mh % 128 == 0):
+            xr, xi = _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
+                                       jnp.swapaxes(vi, -1, -2),
+                                       True, precision)        # [1, M, N]
+        elif (HALF_COLUMN_RADIX2 and mh % 256 == 0
+                and mh // 2 <= MAX_PALLAS_N):
+            xr, xi = _ifft1d_axis2_radix2(vr, vi, True, precision)
+        else:
+            xr, xi = ifft1d_planes_axis2(vr, vi, True,
+                                         precision)            # [1, M, N]
     else:
         re_f, im_f = _fft1d_transposed(re_t, im_t, inverse=True,
                                        precision=precision)

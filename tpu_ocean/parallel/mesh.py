@@ -51,6 +51,14 @@ def make_mesh(shard: Optional[int] = None, batch: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if shard is None:
         shard = len(devices) // batch
+        if shard < 1:
+            raise ValueError(f"batch={batch} exceeds the {len(devices)} "
+                             f"available device(s)")
+    if batch * shard > len(devices):
+        # fail with the real message, not numpy's reshape ValueError
+        # (review finding, r5)
+        raise ValueError(f"mesh needs batch*shard = {batch * shard} "
+                         f"devices; only {len(devices)} available")
     if batch * shard != len(devices):
         devices = devices[: batch * shard]
     arr = np.asarray(devices).reshape(batch, shard)

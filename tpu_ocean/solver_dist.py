@@ -142,6 +142,17 @@ class DistributedOceanSolver:
             if cfg.resolution % 16 != 0 or cfg.resolution < 64:
                 raise ValueError("half_spectrum needs resolution % 16 == 0 "
                                  "and >= 64 (the N/2-length column kernels)")
+            if n % 256 and jax.default_backend() != "cpu":
+                # the C2R fold runs kernels at length M = N/2; Mosaic's
+                # 128-lane rule therefore needs 128 | N/2 on hardware
+                # (review finding, r5 — N ≡ 128 mod 256, e.g. 384, passed
+                # every earlier check and compile-failed). The sharded
+                # route has no mirror fallback, so fail fast.
+                raise ValueError(f"sharded half_spectrum needs resolution "
+                                 f"divisible by 256 on TPU hardware (got "
+                                 f"{n}: the fold-length N/2 kernels break "
+                                 f"the 128-lane rule); drop half_spectrum "
+                                 f"or use OceanSolver for this grid")
             if n_dev > 1 and (n_dev % 2 != 0
                               or (n // (2 * n_dev)) % 8 != 0):
                 raise ValueError(

@@ -167,6 +167,22 @@ def sample_h0_planes(key: jax.Array, phillips_spec):
     return noise[..., 0] * scale, noise[..., 1] * scale
 
 
+def _spectrum_pair(kx, kz, amplitude, wind, damping, length,
+                   model: str, jonswap_kw):
+    """(P(k), P(−k)) under the selected spectrum model — the ONE dispatch
+    shared by all three h0-pair samplers (it was triplicated before r5;
+    `jonswap_kw` is also scrubbed of a duplicate 'length' key, which would
+    have raised TypeError on the call)."""
+    spec = spectrum_fn(model)
+    if model == "phillips":
+        return (spec(kx, kz, amplitude, wind, damping),
+                spec(-kx, -kz, amplitude, wind, damping))
+    kw = dict(jonswap_kw or {})
+    kw.pop("length", None)
+    return (spec(kx, kz, amplitude, wind, length=length, **kw),
+            spec(-kx, -kz, amplitude, wind, length=length, **kw))
+
+
 def h0_pair_fft_planes(key: jax.Array, n: int, length: float,
                        amplitude: float, wind, damping: float,
                        model: str = "phillips", jonswap_kw: dict = None):
@@ -175,14 +191,8 @@ def h0_pair_fft_planes(key: jax.Array, n: int, length: float,
     from tpu_ocean.grids import wavevector_grid
 
     kx, kz, _ = wavevector_grid(n, length, "fft")
-    spec = spectrum_fn(model)
-    if model == "phillips":
-        p_pos = spec(kx, kz, amplitude, wind, damping)
-        p_neg = spec(-kx, -kz, amplitude, wind, damping)
-    else:
-        kw = jonswap_kw or {}
-        p_pos = spec(kx, kz, amplitude, wind, length=length, **kw)
-        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **kw)
+    p_pos, p_neg = _spectrum_pair(kx, kz, amplitude, wind, damping, length,
+                                  model, jonswap_kw)
     k1, k2 = jax.random.split(key)
     r1, i1 = sample_h0_planes(k1, p_pos)
     r2, i2 = sample_h0_planes(k2, p_neg)
@@ -204,15 +214,9 @@ def h0_pair_centered(key: jax.Array, n: int, length: float, amplitude: float,
     from tpu_ocean.grids import wavevector_grid
 
     kx, kz, _ = wavevector_grid(n, length, "centered")
-    spec = spectrum_fn(model)
-    if model == "phillips":
-        p_pos = spec(kx, kz, amplitude, wind, damping)
-        # k at index (N−n, N−m): π(2(N−n)−N)/L = −k_n exactly.
-        p_neg = spec(-kx, -kz, amplitude, wind, damping)
-    else:
-        kw = jonswap_kw or {}
-        p_pos = spec(kx, kz, amplitude, wind, length=length, **kw)
-        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **kw)
+    # k at index (N−n, N−m): π(2(N−n)−N)/L = −k_n exactly.
+    p_pos, p_neg = _spectrum_pair(kx, kz, amplitude, wind, damping, length,
+                                  model, jonswap_kw)
     k1, k2 = jax.random.split(key)
     h0 = sample_h0(k1, p_pos)
     h0_conj = jnp.conj(sample_h0(k2, p_neg))
@@ -234,14 +238,8 @@ def h0_pair_fft(key: jax.Array, n: int, length: float, amplitude: float,
     from tpu_ocean.grids import wavevector_grid
 
     kx, kz, _ = wavevector_grid(n, length, "fft")
-    spec = spectrum_fn(model)
-    if model == "phillips":
-        p_pos = spec(kx, kz, amplitude, wind, damping)
-        p_neg = spec(-kx, -kz, amplitude, wind, damping)
-    else:
-        kw = jonswap_kw or {}
-        p_pos = spec(kx, kz, amplitude, wind, length=length, **kw)
-        p_neg = spec(-kx, -kz, amplitude, wind, length=length, **kw)
+    p_pos, p_neg = _spectrum_pair(kx, kz, amplitude, wind, damping, length,
+                                  model, jonswap_kw)
     k1, k2 = jax.random.split(key)
     h0 = sample_h0(k1, p_pos)
     h0_conj = jnp.conj(sample_h0(k2, p_neg))
