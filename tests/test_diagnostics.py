@@ -200,3 +200,20 @@ def test_phase_evolution_is_long_run_stable():
         f"around {mean:.1f}"
     # the first and last quarters carry comparable energy: no secular trend
     assert 0.5 < v[:100].mean() / v[-100:].mean() < 2.0
+
+
+def test_metrics_summary_handles_zero_steps():
+    """`--steps 0` demos print a report instead of np.percentile's
+    IndexError (review finding, r5)."""
+    from tpu_ocean.observe import Metrics
+    m = Metrics(grid_points=64)
+    out = m.summary()
+    assert out["steps"] == 0 and out["mean_ms"] == 0.0
+
+
+def test_foam_coverage_rename_keeps_alias():
+    from tpu_ocean import diagnostics
+    import jax.numpy as jnp
+    foam = jnp.asarray([[0.0, 1.0], [1.0, 0.2]], jnp.float32)
+    assert float(diagnostics.foam_coverage(foam)) == 0.5
+    assert diagnostics.steepness is diagnostics.foam_coverage

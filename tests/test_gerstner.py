@@ -147,3 +147,19 @@ def test_pond_solver_config3_shape_and_determinism():
     assert f1.offset_y.shape == (512, 512)
     assert np.array_equal(np.asarray(f1.offset_y), np.asarray(f2.offset_y))
     assert np.isfinite(np.asarray(f1.offset_y)).all()
+
+
+def test_pond_serving_aliases_use_ocean_subtract_convention():
+    """disp_x/disp_z aliases NEGATE the pond offsets so a consumer
+    applying the shared ocean rule displaced = x − chop·disp recovers the
+    shader's vertex.xyz += offs (review finding, r5); raw offsets stay."""
+    bank = WaveBank.random(1, 4)
+    x, z = grids.coordinate_grid(16, 1.0)
+    f = gerstner_eval(bank, jnp.asarray(np.asarray(x, np.float32)),
+                      jnp.asarray(np.asarray(z, np.float32)), 0.7)
+    np.testing.assert_array_equal(np.asarray(f.disp_x),
+                                  -np.asarray(f.offset_x))
+    np.testing.assert_array_equal(np.asarray(f.disp_z),
+                                  -np.asarray(f.offset_z))
+    np.testing.assert_array_equal(np.asarray(f.height),
+                                  np.asarray(f.offset_y))

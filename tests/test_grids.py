@@ -61,3 +61,22 @@ def test_centered_ifft_factors_reproduce_direct_sum(n):
     pre, post = grids.centered_ifft_factors(n, length, w)
     via_fft = post * (np.fft.ifft(pre * h) * n)
     np.testing.assert_allclose(via_fft, direct, rtol=1e-9, atol=1e-9)
+
+
+def test_centered_ifft_factors_odd_n():
+    """η = ½ for BOTH parities: odd N's floor already centers the mesh at
+    (i − N/2 + ½)·w, so the old odd-N η = 0 put the IFFT half a cell off
+    the oracle's sample points (64% rel err at N = 9 — review finding,
+    r5). Exactness pinned at both parities."""
+    from tpu_ocean.grids import centered_ifft_factors, coordinate_1d
+    for n in (8, 9, 13, 16):
+        w = 1.0
+        length = n * w
+        rng = np.random.default_rng(0)
+        h = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        k = 2 * np.pi * (np.arange(n) - n / 2) / length
+        x = coordinate_1d(n, w)
+        direct = np.array([np.sum(h * np.exp(1j * k * xi)) for xi in x])
+        pre, post = centered_ifft_factors(n, length, w)
+        via = post * np.fft.ifft(pre * h) * n
+        assert np.abs(via - direct).max() < 1e-10 * np.abs(direct).max(), n

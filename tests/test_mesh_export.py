@@ -214,3 +214,31 @@ def test_clipmap_obj_export(frame, tmp_path):
     path = viz.save_clipmap_obj(str(tmp_path / "clip.obj"), fields, cfg,
                                 camera=(0.0, 0.0), levels=2, fine_cells=4)
     assert os.path.getsize(path) > 100
+
+
+def test_clipmap_winding_matches_reference_mesh():
+    """Every clipmap face must wind like mesh_arrays' reference triangles
+    (+y geometric face normal in index space) — the r5 review caught the
+    clipmap wound the other way, rendering backface-culled from above."""
+    from tpu_ocean.viz import _clipmap_index_mesh
+    ij, faces, _ = _clipmap_index_mesh(64, (32, 32), h0=4, levels=3)
+    p = ij[faces].astype(np.float64)
+    # +y face normal in (x, z) index space == NEGATIVE (x,z)-plane cross
+    # product under the right-handed (x, y, z) convention mesh_arrays uses
+    cross = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+             - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+    ref_n = 8
+    idx = np.arange(ref_n * ref_n).reshape(ref_n, ref_n)
+    a = idx[:-1, :-1]
+    ref_faces = np.concatenate([
+        np.stack([a, a + 1, a + ref_n], -1).reshape(-1, 3),
+        np.stack([idx[1:, :-1], idx[1:, :-1] - ref_n + 1,
+                  idx[1:, :-1] + 1], -1).reshape(-1, 3)])
+    rij = np.stack(np.meshgrid(np.arange(ref_n), np.arange(ref_n),
+                               indexing="ij"), -1).reshape(-1, 2)
+    rp = rij[ref_faces].astype(np.float64)
+    ref_cross = ((rp[:, 1, 0] - rp[:, 0, 0]) * (rp[:, 2, 1] - rp[:, 0, 1])
+                 - (rp[:, 2, 0] - rp[:, 0, 0]) * (rp[:, 1, 1] - rp[:, 0, 1]))
+    # all reference faces share one orientation sign; the clipmap must too
+    assert len(set(np.sign(ref_cross))) == 1
+    assert set(np.sign(cross)) == set(np.sign(ref_cross))

@@ -118,9 +118,10 @@ def run_pond(args) -> int:
     from tpu_ocean.observe import Metrics
     from tpu_ocean import viz
 
+    import dataclasses
     cfg = POND_DEMO
     if args.res:
-        cfg = cfg.__class__(**{**cfg.__dict__, "resolution": args.res})
+        cfg = dataclasses.replace(cfg, resolution=args.res)
     bank = (WaveBank.random(args.seed, args.waves) if args.waves
             else WaveBank.from_packed4(cfg))
     solver = PondSolver(cfg, bank=bank, use_pallas=args.pallas)

@@ -22,9 +22,15 @@ def surface_variance(height: jnp.ndarray) -> jnp.ndarray:
     return jnp.var(height)
 
 
-def steepness(foam: jnp.ndarray) -> jnp.ndarray:
+def foam_coverage(foam: jnp.ndarray) -> jnp.ndarray:
     """Fraction of the surface breaking (foam coverage > ½)."""
     return jnp.mean((foam > 0.5).astype(jnp.float32))
+
+
+#: deprecated alias — the function never measured wave steepness (Hs·k/2);
+#: it is the foam-coverage fraction (review finding, r5). Kept one round
+#: for import compatibility.
+steepness = foam_coverage
 
 
 def omnidirectional_spectrum(height: jnp.ndarray, length: float,
@@ -63,7 +69,7 @@ def energy_budget(fields) -> dict:
     return {
         "hs": float(significant_wave_height(fields.height)),
         "var": float(surface_variance(fields.height)),
-        "foam_cover": float(steepness(fields.foam)),
+        "foam_cover": float(foam_coverage(fields.foam)),
         "max_disp": float(jnp.max(jnp.sqrt(fields.disp_x ** 2
                                            + fields.disp_z ** 2))),
         "min_jacobian": float(jnp.min(fields.jacobian)),

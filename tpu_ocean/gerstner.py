@@ -122,18 +122,24 @@ class PondFields(NamedTuple):
     normal: jax.Array        # [N, N, 3]
 
     # serving aliases: the pond family streams through the same wire names
-    # as the ocean (serve.STREAMABLE), so one client consumes either
+    # as the ocean (serve.STREAMABLE), so one client consumes either.
+    # SIGN: the ocean wire convention is displaced_x = x − chop·disp_x
+    # (FFTMesh.cs:245, sample.surface_at), while the pond shader ADDS its
+    # offsets (MistralWaterLib.cginc Displacement: vertex.xyz += offs) —
+    # so the aliases NEGATE the offsets, making x − disp_x == x + offset_x
+    # for every consumer applying the shared rule (review finding, r5;
+    # offset_x/offset_z keep the raw shader-convention values)
     @property
     def height(self):
         return self.offset_y
 
     @property
     def disp_x(self):
-        return self.offset_x
+        return -self.offset_x
 
     @property
     def disp_z(self):
-        return self.offset_z
+        return -self.offset_z
 
 
 def gerstner_eval(bank: WaveBank, x, z, t, normal_mode: str = "analytic"):

@@ -95,7 +95,13 @@ def centered_ifft_factors(n: int, length: float, unit_width: float):
     Returns (pre[n] complex128, post[n] complex128) so that
         h = post ⊗ post · IFFT2_unnorm(pre ⊗ pre · H).
     """
-    eta = 0.5 if n % 2 == 0 else 0.0
+    # x_i = (i − ⌊N/2⌋)·w (+ w/2 for even N, coordinate_1d) is
+    # (i − (N/2 − ½))·w for BOTH parities: even N adds the half cell
+    # explicitly, odd N gets it from the floor (⌊N/2⌋ = N/2 − ½). η is
+    # therefore ½ unconditionally — the old odd-N η = 0 landed the IFFT
+    # half a cell off the oracle's sample points (64% rel err at N = 9;
+    # review finding, r5 — only even N was ever tested or shipped).
+    eta = 0.5
     shift = n / 2.0 - eta
     idx = np.arange(n, dtype=np.float64)
     pre = np.exp(-2j * np.pi * idx * shift / n)

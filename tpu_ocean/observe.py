@@ -95,6 +95,12 @@ class Metrics:
         """Aggregate over recorded steps, dropping the first ``warmup``
         (compile) entries."""
         recs = self.records[warmup:] or self.records
+        if not recs:
+            # a zero-step run (e.g. `--steps 0`) must report, not crash
+            # with np.percentile's IndexError (review finding, r5)
+            return {"steps": 0, "mean_ms": 0.0, "p50_ms": 0.0,
+                    "p95_ms": 0.0, "updates_per_s": 0.0,
+                    "grid_points_per_s": 0.0}
         walls = np.asarray([r.wall_dt_s for r in recs])
         return {
             "steps": len(recs),

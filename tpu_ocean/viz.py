@@ -338,17 +338,13 @@ def mesh_arrays(fields, cfg, display_scale: bool = False,
     return {"vertices": verts, "uv": uv, "normals": nrm, "faces": faces}
 
 
-def save_mesh_obj(path: str, fields, cfg, display_scale: bool = False,
-                  decimate: int = 1) -> str:
-    """Write one displaced frame as a Wavefront OBJ (v/vt/vn + f v/vt/vn),
-    consumable by any DCC tool — see mesh_arrays for the geometry spec."""
-    m = mesh_arrays(fields, cfg, display_scale=display_scale,
-                    decimate=decimate)
+def _write_obj(path: str, m: dict, header: str) -> str:
+    """Wavefront OBJ serialization (v/vt/vn + f v/vt/vn) shared by the
+    full-grid and clipmap exporters."""
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     with open(path, "w") as f:
-        f.write("# tpu_ocean displaced ocean frame "
-                "(topology: OceanRenderer.cs:172-207)\n")
+        f.write(header + "\n")
         np.savetxt(f, m["vertices"], fmt="v %.6f %.6f %.6f")
         np.savetxt(f, m["uv"], fmt="vt %.6f %.6f")
         np.savetxt(f, m["normals"], fmt="vn %.6f %.6f %.6f")
@@ -358,6 +354,16 @@ def save_mesh_obj(path: str, fields, cfg, display_scale: bool = False,
                                        t[:, 2], t[:, 2], t[:, 2]]),
                    fmt="f %d/%d/%d %d/%d/%d %d/%d/%d")
     return path
+
+
+def save_mesh_obj(path: str, fields, cfg, display_scale: bool = False,
+                  decimate: int = 1) -> str:
+    """Write one displaced frame as a Wavefront OBJ (v/vt/vn + f v/vt/vn),
+    consumable by any DCC tool — see mesh_arrays for the geometry spec."""
+    m = mesh_arrays(fields, cfg, display_scale=display_scale,
+                    decimate=decimate)
+    return _write_obj(path, m, "# tpu_ocean displaced ocean frame "
+                               "(topology: OceanRenderer.cs:172-207)")
 
 
 def _clipmap_index_mesh(n: int, center, h0: int, levels: int):
@@ -411,10 +417,13 @@ def _clipmap_index_mesh(n: int, center, h0: int, levels: int):
     faces = []
 
     def quad(i0, j0, p):
+        # winding matches mesh_arrays' reference triangles (+y geometric
+        # face normals — the clipmap wound the other way before r5 and
+        # rendered backface-culled from above; review finding)
         a, b = v(i0, j0), v(i0 + p, j0)
         c, d = v(i0, j0 + p), v(i0 + p, j0 + p)
-        faces.append((a, b, d))
-        faces.append((a, d, c))
+        faces.append((a, d, b))
+        faces.append((a, c, d))
 
     def fan(i0, j0, p, inner):
         """Stitch cell: fan around the center lattice point, inserting the
@@ -446,7 +455,7 @@ def _clipmap_index_mesh(n: int, center, h0: int, levels: int):
         m = len(loop)
         for t in range(m):
             a, b = loop[t], loop[(t + 1) % m]
-            faces.append((cidx, v(*a), v(*b)))
+            faces.append((cidx, v(*b), v(*a)))   # +y winding, as quad()
 
     for k in range(levels):
         p = 2 ** k
@@ -521,17 +530,7 @@ def save_clipmap_obj(path: str, fields, cfg, camera=(0.0, 0.0),
     m = clipmap_mesh_arrays(fields, cfg, camera=camera, levels=levels,
                             fine_cells=fine_cells,
                             display_scale=display_scale)
-    parent = os.path.dirname(os.path.abspath(path))
-    os.makedirs(parent, exist_ok=True)
-    with open(path, "w") as f:
-        f.write("# tpu_ocean camera-adaptive clipmap frame "
-                "(tessellation analogue: MistralWaterCommon.cginc:215-296)\n")
-        np.savetxt(f, m["vertices"], fmt="v %.6f %.6f %.6f")
-        np.savetxt(f, m["uv"], fmt="vt %.6f %.6f")
-        np.savetxt(f, m["normals"], fmt="vn %.6f %.6f %.6f")
-        t = m["faces"] + 1
-        np.savetxt(f, np.column_stack([t[:, 0], t[:, 0], t[:, 0],
-                                       t[:, 1], t[:, 1], t[:, 1],
-                                       t[:, 2], t[:, 2], t[:, 2]]),
-                   fmt="f %d/%d/%d %d/%d/%d %d/%d/%d")
-    return path
+    return _write_obj(path, m,
+                      "# tpu_ocean camera-adaptive clipmap frame "
+                      "(tessellation analogue: "
+                      "MistralWaterCommon.cginc:215-296)")
