@@ -544,9 +544,14 @@ def main():
     # over the tunnel either (three children died at 560 s in a row; the
     # persistent cache never populates when the compile itself is killed)
     single_child_s = max(150.0, min(1200.0, 150.0 * (args.res / 2048.0) ** 2))
+    # the realsweep child pays MULTIPLE Mosaic compile sets: scale its
+    # budget with the grid too — the flat 560 s could never survive a cold
+    # 8192² compile, making auto mode structurally unable to bank large-N
+    # (review finding, r5; same class as the r4 single-child fix)
+    sweep_child_s = max(560.0, min(2400.0, 2.5 * single_child_s))
     measure = ((lambda t, f=False: _run_child(
                     t, args,
-                    {"realsweep": 560.0, "calibrate": 210.0,
+                    {"realsweep": sweep_child_s, "calibrate": 210.0,
                      "canary": args.canary_timeout}.get(t, single_child_s),
                     fields=f))
                if not args.in_process else _in_process)
@@ -591,7 +596,7 @@ def main():
             skip_canary = False
             outage["sweep_attempts"] += 1
             fast = outage["sweep_attempts"] > 1
-            timeout = min(420.0 if fast else 560.0,
+            timeout = min(0.75 * sweep_child_s if fast else sweep_child_s,
                           max(90.0, remaining() - 20.0))
             res0 = _run_child("realsweep", args, timeout,
                               skip=sorted(done | failed), fast=fast)
@@ -645,7 +650,8 @@ def main():
                 # a bf16/packed/half matmul child published as bare
                 # 'matmul' would masquerade as parity-grade and write the
                 # wrong ledger tier (the same hole the sweep labels close)
-                r["backend"] = _variant_label("matmul", False,
+                r["backend"] = _variant_label("matmul",
+                                              args.pallas_fields,
                                               args.pack_channels,
                                               args.half_spectrum,
                                               args.precision)
@@ -716,8 +722,11 @@ def main():
     # tunnel is slow the budget is spent on the measurement, not the
     # anchor; a dead tunnel (nothing collected) would only hang it
     calib = None
-    if (not args.no_calibrate and remaining() > 60.0
-            and (collected or args.in_process)):
+    # --in-process is the CPU/debug path: the TPU-sized calibration ladder
+    # (1024³ matmul chains) takes tens of minutes on CPU with no timeout —
+    # skip it there (review finding, r5)
+    if (not args.no_calibrate and not args.in_process and collected
+            and remaining() > 60.0):
         calib = measure("calibrate")
         if "error" in calib and remaining() > 60.0:
             print(f"# calibration retry: {calib}", file=sys.stderr)

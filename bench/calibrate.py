@@ -131,6 +131,13 @@ def main():
     ap.add_argument("--peak-tflops", type=float, default=400.0,
                     help="physical upper bound for the chip (v5e bf16 peak "
                          "~197; generous 2x margin by default)")
+    ap.add_argument("--forcing", type=str, default="tinypull",
+                    choices=["tinypull", "block", "auto"],
+                    help="execution forcing; tinypull is the demonstrated-"
+                         "safe default on the tunnel ('auto' pulls the "
+                         "heavy chain's own output, which can hang and "
+                         "poison the process — the reason bench.py always "
+                         "overrode this)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ks_fixed = ([int(s) for s in args.ks.split(",")] if args.ks else None)
@@ -150,7 +157,8 @@ def main():
             top = max(64, int(6e13 / (2.0 * n ** 3)))
             ks = [max(1, top // 64), max(2, top // 8), top]
         try:
-            r = measure_size(n, ks, peak_tflops=args.peak_tflops)
+            r = measure_size(n, ks, peak_tflops=args.peak_tflops,
+                             forcing=args.forcing)
         except Exception as e:
             r = {"n": n, "error": f"{type(e).__name__}: {e}"}
         results.append(r)

@@ -39,7 +39,8 @@ def main():
     ap.add_argument("--lod", action="store_true",
                     help="time the LOD schedule: one ladder per distinct "
                          "refresh subset, schedule-weighted average")
-    ap.add_argument("--forcing", type=str, default="auto")
+    ap.add_argument("--forcing", type=str, default="tinypull",
+                help="benchlib forcing; tinypull is the demonstrated-safe default on the tunnel (auto pulls the heavy loop's own output, which can hang/poison)")
     args = ap.parse_args()
 
     import jax

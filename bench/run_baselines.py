@@ -153,27 +153,43 @@ def config3():
 
 
 def _ocean_throughput(n, backend, steps=64):
+    """(per_step_s, suspect) via the rigorous K-ladder. On TPU the solver
+    rides the all-real plane pipeline (complex64 in the program breaks the
+    tinypull forcing — CLAUDE.md hard rules); the requested ``backend``
+    applies on CPU, where complex is fine and every backend is ladderable.
+    Pre-r5 this used the dispatch+block wall-clock — the exact timing mode
+    CLAUDE.md declares fake on the session TPU — and DISCARDED the suspect
+    flag (review finding, r5)."""
     import jax
     from tpu_ocean.config import OCEAN_DEMO
     from tpu_ocean.solver import OceanSolver
-    from tpu_ocean.benchlib import time_steps
+    from tpu_ocean.benchlib import time_steps_ladder
 
     cfg = OCEAN_DEMO.replace(resolution=n, length=float(n))
-    solver = OceanSolver(cfg, fft_backend=backend)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        solver = OceanSolver(cfg, fft_backend="pallas", real_state=True,
+                             pallas_fields=True, pack_channels=True)
+    else:
+        solver = OceanSolver(cfg, fft_backend=backend)
     state = solver.init(jax.random.PRNGKey(0))
-    from tpu_ocean.benchlib import time_steps_meta
-    return time_steps_meta(solver._step_impl, state, 1.0 / 60.0,
-                           k1=max(8, steps // 8), k2=steps,
-                           extra=solver._consts).per_step_s
+    k = max(4, steps // 4)
+    lad = time_steps_ladder(solver._step_impl, state, 1.0 / 60.0,
+                            ks=(k, 4 * k, 16 * k), extra=solver._consts,
+                            forcing="tinypull" if on_tpu else "auto")
+    return lad.per_step_s, bool(lad.suspect)
 
 
 def config4(backend="matmul"):
-    dt = _ocean_throughput(1024, backend)
-    return _emit({"config": 4, "desc": f"1024^2 ocean step ({backend})",
+    dt, suspect = _ocean_throughput(1024, backend)
+    return _emit({"config": 4, "desc": f"1024^2 ocean step "
+                                       f"(ladder; requested {backend})",
                   "ms_per_step": round(dt * 1e3, 4),
                   "updates_per_s": round(1 / dt, 1),
                   "grid_points_per_s_chip": round(1024 * 1024 / dt, 1),
-                  "pass": 1 / dt > 60})
+                  "timing_suspect": suspect,
+                  # a suspect ladder can never publish a pass verdict
+                  "pass": False if suspect else 1 / dt > 60})
 
 
 def config5(backend="matmul"):
@@ -182,17 +198,18 @@ def config5(backend="matmul"):
     if jax.default_backend() == "cpu":
         return _emit({"config": 5, "desc": "4096^2 (skipped on CPU)",
                       "pass": None})
-    dt = _ocean_throughput(n, backend, steps=20)
+    dt, suspect = _ocean_throughput(n, backend, steps=20)
     implied_tbps = 30 * n * n * 4 / dt / 1e12
+    suspect = suspect or implied_tbps > 8.0
     return _emit({"config": 5,
-                  "desc": f"4096^2 ocean step, single chip ({backend}); "
-                          "multi-host pending pod hardware",
+                  "desc": f"4096^2 ocean step, single chip (ladder; "
+                          "multi-host pending pod hardware)",
                   "ms_per_step": round(dt * 1e3, 4),
                   "updates_per_s": round(1 / dt, 1),
                   "grid_points_per_s_chip": round(n * n / dt, 1),
                   "implied_hbm_tbps": round(implied_tbps, 2),
-                  "timing_suspect": implied_tbps > 8.0,
-                  "pass": 1 / dt > 60})
+                  "timing_suspect": suspect,
+                  "pass": False if suspect else 1 / dt > 60})
 
 
 def main():
@@ -229,7 +246,9 @@ def main():
 
     if args.append_md:
         import datetime
-        with open("BASELINE.md", "a") as f:
+        md = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "BASELINE.md")
+        with open(md, "a") as f:
             f.write(f"\n### Measured {datetime.date.today()} "
                     f"({jax.default_backend()})\n\n```json\n")
             for r in results:

@@ -117,7 +117,15 @@ def main() -> int:
                 staller.connect(server.address)
                 staller.sendall(b"{}\n")
                 want += 1
+            t_wait = time.perf_counter()
             while server.client_count < want:
+                if time.perf_counter() - t_wait > 60.0:
+                    # a client thread that failed to connect would
+                    # otherwise spin this loop until the external timeout
+                    # with no diagnostic (review finding, r5)
+                    raise RuntimeError(
+                        f"only {server.client_count}/{want} clients "
+                        f"connected after 60 s; client errors: {errs}")
                 time.sleep(0.01)
             t0 = time.perf_counter()
             server.run(steps=steps)

@@ -55,7 +55,9 @@ def main() -> int:
     ap.add_argument("--tag", type=str, default="r4")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
-    kind = "dist" if args.dist else ("half" if args.half else "flagship")
+    kind = ("dist_half" if (args.dist and args.half) else
+            "dist" if args.dist else
+            "half" if args.half else "flagship")
     out = args.out or f"/tmp/tpu_ocean_trace_{args.tag}_{kind}_{args.res}"
 
     cfg = OCEAN_DEMO.replace(resolution=args.res, length=float(args.res))
@@ -65,7 +67,8 @@ def main() -> int:
         mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("shard",))
         solver = DistributedOceanSolver(cfg, mesh, fft_backend="pallas",
                                         real_state=True, pack_channels=True,
-                                        pallas_fields=True)
+                                        pallas_fields=True,
+                                        half_spectrum=args.half)
         extra = (solver._omega, solver._coeffs,
                  solver._pre_re, solver._pre_im,
                  solver._post_re, solver._post_im,
