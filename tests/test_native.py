@@ -60,3 +60,41 @@ def test_exporter_capacity_backpressure(tmp_path):
         big = np.zeros(2048 // 8 * 4)
         ok = ex.submit("big", 0, big)
         assert not ok
+
+
+def test_native_oracle_odd_n_matches_python():
+    """Odd-N vertex coordinates use the INTEGER halfResolution
+    (FFTMesh.cs:104) — the float N/2 form shifted every odd-N sample half
+    a cell (45% height error at N=15; review finding, r5)."""
+    for n in (9, 15):
+        cfg = OceanConfig(resolution=n, length=float(n) + 0.39,
+                          wind=(5.0, 3.0), amplitude=0.01,
+                          spectrum_layout="centered",
+                          dispersion_mode="quantized",
+                          evolution_mode="absolute")
+        rng = np.random.default_rng(1)
+        o = Oracle(cfg, rng=rng)
+        ref = o.fields(0.7)
+        got = native.oracle_fields(n, cfg.length, cfg.unit_width,
+                                   cfg.choppiness, 0.7, o.h0, o.h0_conj)
+        err = (np.abs(np.asarray(got["height"]) - ref.height).max()
+               / np.abs(ref.height).max())
+        assert err < 1e-12, (n, err)
+
+
+def test_exporter_reports_write_errors():
+    """AsyncExporter.errors() counts failed writes; a truncated path is
+    refused (not silently collided onto another file) and a flush with
+    errors() == 0 guarantees every accepted submission landed complete
+    (review findings, r5)."""
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        with native.AsyncExporter(d) as exp:
+            a = np.zeros((4, 4))
+            assert exp.submit("ok", 1, a)
+            # a name long enough to overflow the 512-byte path buffer
+            assert not exp.submit("x" * 600, 2, a)
+            exp.flush()
+            assert exp.errors() == 1
+        assert len(glob.glob(os.path.join(d, "*.npy"))) == 1

@@ -71,6 +71,8 @@ def _load():
     lib.exporter_flush.argtypes = [ctypes.c_void_p]
     lib.exporter_destroy.restype = None
     lib.exporter_destroy.argtypes = [ctypes.c_void_p]
+    lib.exporter_errors.restype = ctypes.c_int64
+    lib.exporter_errors.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -139,6 +141,12 @@ class AsyncExporter:
 
     def flush(self) -> None:
         self._lib.exporter_flush(self._h)
+
+    def errors(self) -> int:
+        """Failed opens/short writes/renames/truncated paths since
+        creation; flush() + errors() == 0 guarantees every accepted
+        submission is a complete .npy on disk (r5)."""
+        return int(self._lib.exporter_errors(self._h))
 
     def close(self) -> None:
         if self._h is not None:
