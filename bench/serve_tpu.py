@@ -143,6 +143,15 @@ def main() -> int:
         {"lod4": dict(lod=4)}, with_staller=False, steps=args.steps)
     note(f"served lod4-only: {lod4_sps:.2f} steps/s")
 
+    # scenario A3: ONE full-res f16 client — the device-side cast halves
+    # the pull itself, the ONLY lever that shrinks a full-res consumer's
+    # dominant cost on this link (zlib only shrinks the socket bytes)
+    note("serving loop: single full-res f16 client...")
+    f16_sps, f16_counts, _, f16_errs = run_served(
+        {"full_f16": dict(dtype="float16")}, with_staller=False,
+        steps=args.steps)
+    note(f"served full-f16-only: {f16_sps:.2f} steps/s")
+
     # scenario A2: ONE full-res zlib client — isolates the compressed
     # wire vs the raw full-res pull cost (scenario B's raw client)
     note("serving loop: single full-res zlib client...")
@@ -162,7 +171,7 @@ def main() -> int:
          "lod2_f16": dict(lod=2, dtype="float16"),
          "lod4_stride2": dict(lod=4, frame_stride=2)},
         with_staller=True, steps=args.steps)
-    errs += lod4_errs + zl_errs
+    errs += lod4_errs + zl_errs + f16_errs
     served_s = args.steps / served_sps
     note(f"served mixed: {served_sps:.2f} steps/s")
 
@@ -175,6 +184,9 @@ def main() -> int:
         "served_lod4_only_steps_per_s": round(lod4_sps, 2),
         "interference_lod4_only_pct": round(
             100.0 * (unserved_sps / lod4_sps - 1.0), 2),
+        "served_full_f16_only_steps_per_s": round(f16_sps, 2),
+        "interference_full_f16_only_pct": round(
+            100.0 * (unserved_sps / f16_sps - 1.0), 2),
         "served_full_zlib_only_steps_per_s": round(zl_sps, 2),
         "interference_full_zlib_only_pct": round(
             100.0 * (unserved_sps / zl_sps - 1.0), 2),
