@@ -144,12 +144,20 @@ def test_pallas_plain_routes_to_fused_at_scale(monkeypatch):
     kept = solver_mod.OceanSolver(cfg, fft_backend="pallas", real_state=True,
                                   pack_channels=True, half_spectrum=True)
     assert kept.fft_backend == "pallas"
-    # centered layout cannot ride the fused pipeline: no reroute there
+    # centered layout cannot ride the fused pipeline — and since r5 the
+    # constructor REFUSES rather than building the exact non-fused plane
+    # set that crashed the worker in r3 (review finding)
     ccfg = OceanConfig(resolution=64, length=64.0, wind=(8.0, 5.0),
                        amplitude=0.4, spectrum_layout="centered",
                        normals_mode="spectral")
+    import pytest
+    with pytest.raises(ValueError, match="centered"):
+        solver_mod.OceanSolver(ccfg, fft_backend="pallas")
+    # below the route threshold centered+pallas stays constructible
+    monkeypatch.setattr(solver_mod, "PALLAS_PLAIN_ROUTE_N", 8192)
     plain = solver_mod.OceanSolver(ccfg, fft_backend="pallas")
     assert plain.fft_backend == "pallas"
+    monkeypatch.setattr(solver_mod, "PALLAS_PLAIN_ROUTE_N", 64)
     # routed output == explicit fused output (same program)
     import jax
     explicit = solver_mod.OceanSolver(cfg, fft_backend="pallas_fused",

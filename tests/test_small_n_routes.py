@@ -234,3 +234,40 @@ def test_distributed_half_rejects_fold_illegal_n(monkeypatch):
     DistributedOceanSolver(cfg2, mesh, fft_backend="pallas",
                            real_state=True, pack_channels=True,
                            half_spectrum=True)
+
+
+def test_distributed_rejects_shard_illegal_row_batch(monkeypatch):
+    """Transposed-regime per-shard row batches must pick a lane-legal
+    block: N = 1280/D = 4 passes every N-level gate but yields 320-row
+    shards → a 64-row block, Mosaic-illegal on hardware (review finding,
+    r5). Power-of-two shard counts over 128-multiples stay accepted."""
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.parallel import make_mesh
+    from tpu_ocean.solver_dist import DistributedOceanSolver
+
+    def cfg(n):
+        return OceanConfig(resolution=n, length=float(n), wind=(8.0, 5.0),
+                           amplitude=0.5, spectrum_layout="fft",
+                           normals_mode="stencil")
+    _patched_tpu(monkeypatch)
+    with pytest.raises(ValueError, match="per-shard"):
+        DistributedOceanSolver(cfg(1280), make_mesh(shard=4),
+                               fft_backend="pallas")
+    # legal shardings construct: 128-multiple locals and whole-batch picks
+    DistributedOceanSolver(cfg(1024), make_mesh(shard=4),
+                           fft_backend="pallas")
+    DistributedOceanSolver(cfg(512), make_mesh(shard=8),
+                           fft_backend="pallas")
+
+
+def test_solver_rejects_centered_pallas_at_worker_crash_scale(monkeypatch):
+    """The r3 worker-crash config had one remaining user-reachable door:
+    centered layout + 'pallas' at N ≥ PALLAS_PLAIN_ROUTE_N has no fused
+    reroute — the constructor now refuses (review finding, r5)."""
+    from tpu_ocean.config import OceanConfig
+    from tpu_ocean.solver import OceanSolver, PALLAS_PLAIN_ROUTE_N
+    cfg = OceanConfig(resolution=PALLAS_PLAIN_ROUTE_N,
+                      length=float(PALLAS_PLAIN_ROUTE_N), wind=(8.0, 5.0),
+                      amplitude=0.5, spectrum_layout="centered")
+    with pytest.raises(ValueError, match="centered"):
+        OceanSolver(cfg, fft_backend="pallas")

@@ -237,28 +237,11 @@ def ifft2_x_sharded_half(re, im, axis_name: str,
         yr = jnp.take(yr, inv, axis=-2)
         yi = jnp.take(yi, inv, axis=-2)
         vr, vi = _c2r_combine(yr, yi, nyr, nyi, True, axis=-2)
-        from tpu_ocean.fft.pallas_fft import (HALF_NAT_COLUMN_KERNEL,
-                                              HALF_COLUMN_RADIX2,
-                                              _ifft1d_axis2_radix2)
-        if (HALF_NAT_COLUMN_KERNEL and mh <= MAX_PALLAS_N
-                and mh % 128 == 0):
-            # same engine swap as the single-chip half route: the fold
-            # halves the column length to M = N/2, which fits the fused
-            # kernel's envelope at 4096² where the full column does not
-            # (probed +2.6% on the whole step, PROBE_r4_half_nat_column)
-            xr, xi = _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
-                                       jnp.swapaxes(vi, -1, -2),
-                                       True, precision)        # [1, M, N/D]
-        elif (HALF_COLUMN_RADIX2 and mh % 256 == 0
-                and mh // 2 <= MAX_PALLAS_N):
-            # 8192² regime: M = 4096 via the radix-2 DIT over two kernel
-            # columns — mirrors the single-chip engine (−8.2% vs the
-            # einsum chain, bench/PROBE_r5_half_radix2_8192.json); the
-            # split/butterfly are local, the a2a is untouched
-            xr, xi = _ifft1d_axis2_radix2(vr, vi, True, precision)
-        else:
-            xr, xi = ifft1d_planes_axis2(vr, vi, True,
-                                         precision)            # [1, M, N/D]
+        from tpu_ocean.fft.pallas_fft import half_column_pass
+        # the shared measurement-backed column-engine dispatch (kernel
+        # column / radix-2 DIT / einsum): the split/butterfly are local,
+        # the a2a is untouched
+        xr, xi = half_column_pass(vr, vi, mh, True, precision)
     else:
         yr, yi = _fft1d_transposed(sel_re, sel_im, inverse=True,
                                    precision=precision)   # [1, N, B/2]

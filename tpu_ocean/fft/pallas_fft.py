@@ -424,6 +424,42 @@ def _pick_block_rows(n_rows: int, n: int, vmem_budget=4 * 1024 * 1024):
     return r
 
 
+def half_column_pass(vr, vi, m: int, inverse: bool, precision):
+    """The half channel's COLUMN transform (length ``m`` = N/2 along axis
+    -2) with the measurement-backed engine dispatch — ONE implementation
+    for the single-chip, sharded, and fused half routes (it was
+    triplicated and drifted once before r5):
+
+      * kernel column (transposed-store, axes swapped) when m fits the
+        envelope and is lane-legal — PROBE_r4_half_nat_column, −2.7%;
+      * radix-2 DIT over two kernel columns in the 8192² regime —
+        PROBE_r5_half_radix2_8192, −8.2%;
+      * einsum chain otherwise.
+    """
+    if (HALF_NAT_COLUMN_KERNEL and m <= MAX_PALLAS_N
+            and m % 128 == 0):
+        return _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
+                                 jnp.swapaxes(vi, -1, -2),
+                                 inverse, precision)
+    if (HALF_COLUMN_RADIX2 and m % 256 == 0
+            and m // 2 <= MAX_PALLAS_N):
+        return _ifft1d_axis2_radix2(vr, vi, inverse, precision)
+    from tpu_ocean.fft.matmul import ifft1d_planes_axis2
+    return ifft1d_planes_axis2(vr, vi, inverse, precision)
+
+
+def transposed_rows_legal(n_rows: int, n: int) -> bool:
+    """Mosaic lane rule for the TRANSPOSED store on hardware: the block
+    the picker chooses for an ``n_rows`` batch must be a 128-multiple or
+    the whole batch (sub-128 partial blocks → "unsupported shape cast").
+    Full grids always satisfy this (n_rows = N with 128 | N); SHARDED
+    batches of N/D rows need not (e.g. N = 1280, D = 4 → 320 rows →
+    r = 64) — solver_dist validates with this predicate (review finding,
+    r5)."""
+    r = _pick_block_rows(n_rows, n)
+    return r % 128 == 0 or r == n_rows
+
+
 def pallas_supported(n: int, fused: bool = False) -> bool:
     """True when the solver can build a pallas-flavored pipeline at side N:
     the fused transposed-store kernels below MAX_PALLAS_N/MAX_FUSED_N, the
@@ -849,29 +885,9 @@ def ifft2_planes_half(re, im, inverse: bool = True,
         yr, yi = fft1d_natural_large(re[:, :m], im[:, :m], inverse,
                                      precision)                 # [C, M, N]
         vr, vi = _c2r_combine(yr, yi, nyr, nyi, inverse, axis=-2)
-        if (HALF_NAT_COLUMN_KERNEL and m <= MAX_PALLAS_N
-                and m % 128 == 0):
-            # the C2R fold HALVES the column length: at N = 4096 the full
-            # path's column (4096) is out of the fused kernel's VMEM
-            # envelope, but the half channel's column (M = 2048) fits — so
-            # swap the axes and run the transposed-store kernel (one HBM
-            # round trip; its transposed output lands exactly in the
-            # [C, M, N] orientation the einsum pass produces). The swap is
-            # an XLA copy the combine can fuse into; probed vs the einsum
-            # column on hardware (bench/PROBE_r4_half_nat_column.json).
-            xr, xi = _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
-                                       jnp.swapaxes(vi, -1, -2),
-                                       inverse, precision)      # [C, M, N]
-        elif (HALF_COLUMN_RADIX2 and m % 256 == 0
-                and m // 2 <= MAX_PALLAS_N):
-            # 8192² half channel: M = 4096 exceeds the kernel envelope but
-            # M/2 = 2048 fits — radix-2 DIT over two kernel columns. NOTE
-            # this is a DIFFERENT trade than PROBE_r4_column_radix2 (which
-            # compared DIT against an available direct kernel column and
-            # lost): here the alternative is the einsum column chain.
-            xr, xi = _ifft1d_axis2_radix2(vr, vi, inverse, precision)
-        else:
-            xr, xi = ifft1d_planes_axis2(vr, vi, inverse, precision)
+        # measurement-backed column-engine dispatch, shared with the
+        # sharded and fused half routes (half_column_pass)
+        xr, xi = half_column_pass(vr, vi, m, inverse, precision)
     # x[2m] = Re v[m], x[2m+1] = Im v[m]: interleave as even/odd rows
     return jnp.stack([xr, xi], axis=2).reshape(c, n, n)
 

@@ -286,9 +286,14 @@ def assemble_rowfft_natural(h0_pair, phase, length: float, dz_sign: float,
 
 def _pick_rows_fused(m: int, n: int):
     """Row block for the fused kernel: must keep the transposed store's
-    minor dim (R) lane-aligned, under ~13 MB live VMEM."""
+    minor dim (R) lane-aligned, under ~13 MB live VMEM. The block MUST
+    divide the row count — a non-divisor grid silently skips the trailing
+    rows and leaves uninitialized (NaN) output (reproduced at N = 18/20,
+    review finding r5); continue halving to 1 like _pick_block_rows."""
     r = 128
     while m % r != 0 and r > 8:
+        r //= 2
+    while m % r != 0 and r > 1:
         r //= 2
     return r
 
@@ -506,26 +511,11 @@ def ifft2_fused_planes_half(h0_pair, phase, length: float, dz_sign: float,
                                          dz_sign, ch_start=ch_count - 1,
                                          ch_count=1, **kw)   # [1, M, N]
         vr, vi = _c2r_combine(yr, yi, nyr, nyi, True, axis=-2)
-        # same column-engine dispatch as the non-fused twin
-        # (pallas_fft.ifft2_planes_half): kernel column when the fold
-        # length fits the envelope, radix-2 DIT in the 8192² regime,
-        # einsum otherwise — the fused route previously hard-coded the
-        # einsum chain and forwent both banked wins (review finding, r5)
-        from tpu_ocean.fft.pallas_fft import (HALF_NAT_COLUMN_KERNEL,
-                                              HALF_COLUMN_RADIX2,
-                                              MAX_PALLAS_N,
-                                              _ifft1d_axis2_radix2)
-        if (HALF_NAT_COLUMN_KERNEL and mh <= MAX_PALLAS_N
-                and mh % 128 == 0):
-            xr, xi = _fft1d_transposed(jnp.swapaxes(vr, -1, -2),
-                                       jnp.swapaxes(vi, -1, -2),
-                                       True, precision)        # [1, M, N]
-        elif (HALF_COLUMN_RADIX2 and mh % 256 == 0
-                and mh // 2 <= MAX_PALLAS_N):
-            xr, xi = _ifft1d_axis2_radix2(vr, vi, True, precision)
-        else:
-            xr, xi = ifft1d_planes_axis2(vr, vi, True,
-                                         precision)            # [1, M, N]
+        # the shared measurement-backed column-engine dispatch — the
+        # fused route previously hard-coded the einsum chain and forwent
+        # both banked wins (review finding, r5)
+        from tpu_ocean.fft.pallas_fft import half_column_pass
+        xr, xi = half_column_pass(vr, vi, mh, True, precision)
     else:
         re_f, im_f = _fft1d_transposed(re_t, im_t, inverse=True,
                                        precision=precision)

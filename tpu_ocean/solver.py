@@ -159,6 +159,20 @@ class OceanSolver:
                               f"falling back to 'matmul'")
                 fft_backend = "matmul"
         if (fft_backend == "pallas" and eval_mode == "fft"
+                and cfg.spectrum_layout == "centered"
+                and n >= PALLAS_PLAIN_ROUTE_N):
+            # no fused escape exists for the centered layout (the fused
+            # kernels assemble fft-ordered wavevectors in-kernel), so this
+            # config would run the exact non-fused pipeline the r3 sweep
+            # measured killing the TPU worker — refuse instead of crash
+            # (review finding, r5)
+            raise ValueError(
+                f"fft_backend='pallas' with spectrum_layout='centered' at "
+                f"N >= {PALLAS_PLAIN_ROUTE_N} materializes the plane set "
+                f"that crashes the TPU worker (r3) and has no fused "
+                f"reroute; use spectrum_layout='fft' or the 'matmul'/"
+                f"'reference' backends at this scale")
+        if (fft_backend == "pallas" and eval_mode == "fft"
                 and cfg.spectrum_layout == "fft" and not half_spectrum
                 and n >= PALLAS_PLAIN_ROUTE_N):
             # see PALLAS_PLAIN_ROUTE_N: the non-fused pipeline's extra
@@ -400,22 +414,31 @@ class OceanSolver:
                                   cfg.wind, cfg.damping,
                                   model=cfg.spectrum_model,
                                   jonswap_kw=cfg.jonswap_kw)
-        h0 = jnp.asarray(h0, dtype=jnp.complex64)
-        h0_conj = jnp.asarray(h0_conj, dtype=jnp.complex64)
         # Initial phase = 0: the reference's phase textures start black
         # (OceanRenderer.cs:138-139; SURVEY.md C5).
         if self.real_state:
-            # injected-h0 path (parity tests): split the given complex pair
+            # injected-h0 / gpu_hash_seeds path: split the complex pair
+            # HOST-SIDE in numpy — the previous jnp.asarray(complex64)
+            # transfer + eager jnp.real/imag violated real_state's
+            # complex-free guarantee (CLAUDE.md hard rule (a); even eager
+            # complex ops during init poison later transfers on the
+            # tunneled runtime — review finding, r5). np.asarray pulls a
+            # device-resident injection to host, which only parity tests
+            # (CPU) do.
+            h0_np = np.asarray(h0)
+            h0c_np = np.asarray(h0_conj)
             return self.symmetrize(OceanStateReal(
-                h0_re=jnp.real(h0).astype(jnp.float32),
-                h0_im=jnp.imag(h0).astype(jnp.float32),
-                h0c_re=jnp.real(h0_conj).astype(jnp.float32),
-                h0c_im=jnp.imag(h0_conj).astype(jnp.float32),
+                h0_re=jnp.asarray(np.real(h0_np), jnp.float32),
+                h0_im=jnp.asarray(np.imag(h0_np), jnp.float32),
+                h0c_re=jnp.asarray(np.real(h0c_np), jnp.float32),
+                h0c_im=jnp.asarray(np.imag(h0c_np), jnp.float32),
                 phase=jnp.zeros((n, n), dtype=jnp.float32),
                 t=jnp.zeros((), dtype=jnp.float32),
                 step=jnp.zeros((), dtype=jnp.int32),
                 foam_accum=jnp.zeros((n, n), dtype=jnp.float32),
             ))
+        h0 = jnp.asarray(h0, dtype=jnp.complex64)
+        h0_conj = jnp.asarray(h0_conj, dtype=jnp.complex64)
         return self.symmetrize(OceanState(
             h0=h0,
             h0_conj=h0_conj,
@@ -491,7 +514,12 @@ class OceanSolver:
 
     def _step_impl(self, state, dt: jax.Array, c=None):
         cfg = self.cfg
-        if c is None:           # benchlib & friends call with two args
+        if c is None:
+            # EAGER convenience only (autodiff tests & friends call with
+            # two args outside jit). Under jit, pass consts EXPLICITLY:
+            # closing device arrays into a trace re-fetches them at
+            # lowering — minutes over the tunnel, or UNIMPLEMENTED
+            # (CLAUDE.md hard rule; solver._step_jit does it right)
             c = self._consts
         if isinstance(state, OceanStateReal):
             return self._step_impl_real(state, dt, c)

@@ -99,6 +99,33 @@ class DistributedOceanSolver:
                              f"divisible by 128 on TPU hardware (got {n}); "
                              f"use a non-Pallas fft_backend or OceanSolver "
                              f"for this grid")
+        from tpu_ocean.fft.pallas_fft import (transposed_rows_legal,
+                                              MAX_PALLAS_N as _MAXP)
+        if (fft_backend in ("pallas", "pallas_fused")
+                and n <= _MAXP and jax.default_backend() != "cpu"):
+            # TRANSPOSED regime only (beyond MAX_PALLAS_N the row pass is
+            # the any-block natural-store kernel and the column is einsum):
+            # the per-SHARD row batch (N/D rows) must satisfy the
+            # transposed store's lane rule — the picked block must be a
+            # 128-multiple or the whole batch. N = 1280/D = 4 passes every
+            # N-level gate but yields 320-row shards → a 64-row block →
+            # Mosaic "unsupported shape cast" on hardware (review finding,
+            # r5). Fail fast with the real constraint.
+            local = n // n_dev
+            if not transposed_rows_legal(local, n):
+                raise ValueError(
+                    f"per-shard row batch N/D = {local} picks a sub-128 "
+                    f"transposed-store block (Mosaic-illegal on hardware); "
+                    f"choose D so N/D is a multiple of 128 or small enough "
+                    f"to be a single block, or use a non-Pallas "
+                    f"fft_backend")
+            if half_spectrum and n_dev > 1 and not transposed_rows_legal(
+                    n // (2 * n_dev), n):
+                raise ValueError(
+                    f"the mirror-balanced half route row-transforms "
+                    f"N/(2D) = {n // (2 * n_dev)} rows per device, which "
+                    f"picks a Mosaic-illegal sub-128 block on hardware; "
+                    f"reduce D or drop half_spectrum")
         if pallas_fields and n // n_dev < 2:
             raise ValueError("pallas_fields needs ≥2 local columns per shard")
         self.cfg = cfg
